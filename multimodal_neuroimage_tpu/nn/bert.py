@@ -1,0 +1,146 @@
+"""BERT-style temporal encoder over fMRI ROI timeseries.
+
+The reference feeds ROI timeseries as ``inputs_embeds`` into a HuggingFace
+``BertModel`` (reference model.py:154-192) configured with
+``hidden_size = intermediate_vec`` (84/48/22), ``num_hidden_layers =
+transformer_hidden_layers`` (16), 12 heads, ``max_position_embeddings =
+sequence_length + 1`` and the HF defaults it does NOT override:
+intermediate_size=3072, erf-GELU, layer_norm_eps=1e-12,
+attention_probs_dropout_prob=0.1, post-layer-norm residuals, tanh pooler
+(model.py:59-67).  This module reproduces those semantics exactly (numerical
+parity with ``transformers.BertModel`` is asserted in
+tests/test_bert_parity.py) while staying a pure jittable function.
+
+TPU notes: the whole (B, T+1, H) stack is one fused XLA program; attention is
+a plain batched matmul (T<=1201, H<=85 — far below the sizes where a custom
+kernel wins). bf16 compute is applied by the trainer's policy, not here.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from multimodal_neuroimage_tpu.nn.common import leaky_relu
+
+_bert_init = nn.initializers.normal(stddev=0.02)
+LN_EPS = 1e-12
+
+
+class BertSelfAttention(nn.Module):
+    hidden: int
+    heads: int
+    attn_dropout: float = 0.1
+    hidden_dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B, T, H = x.shape
+        hd = self.hidden // self.heads
+        q = nn.Dense(self.hidden, kernel_init=_bert_init, name="query")(x)
+        k = nn.Dense(self.hidden, kernel_init=_bert_init, name="key")(x)
+        v = nn.Dense(self.hidden, kernel_init=_bert_init, name="value")(x)
+
+        def split(t):
+            return t.reshape(B, T, self.heads, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        scores = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.asarray(hd, scores.dtype))
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        probs = nn.Dropout(self.attn_dropout)(probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhts,bhsd->bhtd", probs, v)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, H)
+
+        out = nn.Dense(self.hidden, kernel_init=_bert_init, name="output_dense")(ctx)
+        out = nn.Dropout(self.hidden_dropout)(out, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=LN_EPS, name="output_ln")(out + x)
+
+
+class BertLayer(nn.Module):
+    hidden: int
+    heads: int
+    intermediate: int = 3072
+    attn_dropout: float = 0.1
+    hidden_dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = BertSelfAttention(self.hidden, self.heads, self.attn_dropout,
+                              self.hidden_dropout, name="attention")(
+            x, deterministic)
+        h = nn.Dense(self.intermediate, kernel_init=_bert_init,
+                     name="intermediate_dense")(x)
+        h = nn.gelu(h, approximate=False)  # HF 'gelu' is the erf form
+        h = nn.Dense(self.hidden, kernel_init=_bert_init, name="output_dense")(h)
+        h = nn.Dropout(self.hidden_dropout)(h, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=LN_EPS, name="output_ln")(h + x)
+
+
+class BertEncoder(nn.Module):
+    """``transformers.BertModel(add_pooling_layer=True)`` driven purely by
+    ``inputs_embeds`` (reference model.py:175-186): learned absolute position
+    embeddings + a single token-type embedding, embedding LayerNorm/dropout,
+    N post-LN layers, tanh pooler on token 0."""
+
+    hidden: int
+    layers: int
+    heads: int
+    max_positions: int
+    intermediate: int = 3072
+    hidden_dropout: float = 0.1
+    attn_dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, inputs_embeds, deterministic: bool = True):
+        B, T, H = inputs_embeds.shape
+        pos_table = self.param("position_embeddings", _bert_init,
+                               (self.max_positions, self.hidden))
+        type_table = self.param("token_type_embeddings", _bert_init,
+                                (1, self.hidden))
+        x = inputs_embeds + pos_table[None, :T, :] + type_table[None, :, :]
+        x = nn.LayerNorm(epsilon=LN_EPS, name="embeddings_ln")(x)
+        x = nn.Dropout(self.hidden_dropout)(x, deterministic=deterministic)
+
+        for i in range(self.layers):
+            x = BertLayer(self.hidden, self.heads, self.intermediate,
+                          self.attn_dropout, self.hidden_dropout,
+                          name=f"layer_{i}")(x, deterministic)
+
+        pooled = nn.Dense(self.hidden, kernel_init=_bert_init,
+                          name="pooler_dense")(x[:, 0])
+        pooled = jnp.tanh(pooled)
+        return x, pooled
+
+
+class TemporalBert(nn.Module):
+    """Reference ``Transformer_Block`` (model.py:154-192): a learnable CLS
+    token produced by Linear+LeakyReLU from a constant 0.5 vector
+    (model.py:161-170) is prepended, then the BERT encoder runs; returns the
+    per-timestep sequence (CLS stripped) and the pooled CLS."""
+
+    hidden: int
+    layers: int
+    heads: int
+    max_positions: int
+    intermediate: int = 3072
+    hidden_dropout: float = 0.1
+    attn_dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B = x.shape[0]
+        cls_const = jnp.full((B, 1, self.hidden), 0.5, dtype=x.dtype)
+        cls = nn.Dense(self.hidden, kernel_init=_bert_init,
+                       name="cls_embedding")(cls_const)
+        cls = leaky_relu(cls)
+        seq = jnp.concatenate([cls, x], axis=1)
+        seq_out, pooled = BertEncoder(
+            self.hidden, self.layers, self.heads, self.max_positions,
+            self.intermediate, self.hidden_dropout, self.attn_dropout,
+            name="bert")(seq, deterministic)
+        return {"sequence": seq_out[:, 1:, :], "cls": pooled}

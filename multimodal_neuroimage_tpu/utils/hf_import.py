@@ -1,0 +1,58 @@
+"""Import HuggingFace BertModel weights into the JAX BertEncoder param tree.
+
+Serves two purposes:
+ 1. golden-parity testing against ``transformers.BertModel`` — the exact stack
+    the reference uses (reference model.py:4, 159);
+ 2. migrating reference ``.pth`` checkpoints into this framework.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def _t(x) -> np.ndarray:
+    arr = np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
+    return arr.astype(np.float32)
+
+
+def bert_params_from_hf(state: Mapping[str, Any], num_layers: int,
+                        prefix: str = "") -> Dict[str, Any]:
+    """Map a ``transformers.BertModel`` state_dict to BertEncoder params.
+
+    ``prefix`` selects a submodule inside a larger state_dict (e.g.
+    ``transformer_low.bert.`` when importing a reference Transformer_Block).
+    """
+    def g(name):
+        return _t(state[prefix + name])
+
+    def dense(name):
+        return {"kernel": g(f"{name}.weight").T, "bias": g(f"{name}.bias")}
+
+    def ln(name):
+        return {"scale": g(f"{name}.weight"), "bias": g(f"{name}.bias")}
+
+    params: Dict[str, Any] = {
+        "position_embeddings": g("embeddings.position_embeddings.weight"),
+        # HF type_vocab_size defaults to 2; with inputs_embeds only type 0 is used
+        "token_type_embeddings": g("embeddings.token_type_embeddings.weight")[0:1],
+        "embeddings_ln": ln("embeddings.LayerNorm"),
+        "pooler_dense": dense("pooler.dense"),
+    }
+    for i in range(num_layers):
+        base = f"encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "attention": {
+                "query": dense(f"{base}.attention.self.query"),
+                "key": dense(f"{base}.attention.self.key"),
+                "value": dense(f"{base}.attention.self.value"),
+                "output_dense": dense(f"{base}.attention.output.dense"),
+                "output_ln": ln(f"{base}.attention.output.LayerNorm"),
+            },
+            "intermediate_dense": dense(f"{base}.intermediate.dense"),
+            "output_dense": dense(f"{base}.output.dense"),
+            "output_ln": ln(f"{base}.output.LayerNorm"),
+        }
+    return params
