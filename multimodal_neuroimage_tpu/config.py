@@ -194,7 +194,8 @@ class Config:
             "frequency_domain_ultralow", "timeseries_and_frequency",
         }
         assert self.intermediate_vec in (84, 48, 22)
-        assert self.lr_policy in {"step", "SGDR", "OneCycle", "CosAnn"}
+        assert self.lr_policy in {"step", "SGDR", "OneCycle", "CosAnn"}, \
+            f"unknown lr policy {self.lr_policy}"
         return self
 
 

@@ -1,0 +1,145 @@
+"""Input pipeline: subject-level splits -> batched, device-prefetched streams.
+
+Replaces the reference's DataHandler + torch DataLoader stack
+(reference data_preprocess_and_load/dataloaders.py:17-182):
+
+  * ``drop_last=True`` batching (dataloaders.py:139) — keeps shapes static
+    for XLA (one compiled program per dataset);
+  * per-epoch reshuffle seeded like ``DistributedSampler.set_epoch``
+    (trainer.py:365-366) but with an explicit counter-based rng, so every
+    host draws the SAME permutation and takes its own contiguous shard
+    (replaces rank-sliced DistributedSampler, dataloaders.py:74-81);
+  * pin_memory/persistent_workers host->GPU staging (dataloaders.py:136-141)
+    -> a thread pool for npy/preprocess work plus a one-deep device-put
+    lookahead (double-buffered host->HBM prefetch);
+  * optional on-device fused FIR band-split per batch (ops/fir.py) when
+    cfg.preprocess == 'device'.
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from multimodal_neuroimage_tpu.data.datasets import ABCD_SEQ_LEN, ItemLoader
+from multimodal_neuroimage_tpu.data.index import SubjectRecord, build_subject_index
+from multimodal_neuroimage_tpu.data.splits import SplitManager
+from multimodal_neuroimage_tpu.parallel.mesh import shard_batch
+
+
+def collate(items: List[Dict], target_key: str) -> Tuple[Dict[str, np.ndarray], List[str]]:
+    """Stack item dicts; the phenotype target is renamed to 'target' and
+    subject_name strings stay host-side."""
+    names = [it["subject_name"] for it in items]
+    batch: Dict[str, np.ndarray] = {}
+    for key in items[0]:
+        if key == "subject_name":
+            continue
+        out_key = "target" if key == target_key else key
+        batch[out_key] = np.stack([np.asarray(it[key]) for it in items])
+    return batch, names
+
+
+def device_preprocess(batch: Dict, cfg) -> Dict:
+    """Fused on-device FIR band-split for batches carrying raw series
+    (cfg.preprocess == 'device'; replaces datasets.py:272-307 per-item CPU work)."""
+    if "fmri_raw" not in batch:
+        return batch
+    from multimodal_neuroimage_tpu.ops.fir import fir_bandsplit_batch
+    bands = fir_bandsplit_batch(
+        batch["fmri_raw"], batch["fmri_length"], t_max=ABCD_SEQ_LEN,
+        lb_hz=cfg.fir_lb_hz, tr_seconds=cfg.tr_seconds,
+        fir_order=cfg.fir_order,
+        global_zscore_raw=(cfg.fmri_type == "timeseries"))
+    out = {k: v for k, v in batch.items()
+           if k not in ("fmri_raw", "fmri_length")}
+    raw_key = ("fmri_raw_sequence"
+               if cfg.dataset_name in ("multimodal", "multimodal_prs")
+               else "fmri_sequence")
+    if cfg.fmri_type == "timeseries":
+        out["fmri_sequence"] = bands["raw"]
+    elif cfg.fmri_type == "time_domain_low":
+        out["fmri_sequence"] = bands["low"]
+    elif cfg.fmri_type == "time_domain_ultralow":
+        out["fmri_sequence"] = bands["ultralow"]
+    else:  # divided_frequency
+        out[raw_key] = bands["raw"]
+        out["fmri_lowfreq_sequence"] = bands["low"]
+        out["fmri_ultralowfreq_sequence"] = bands["ultralow"]
+    return out
+
+
+class DataPipeline:
+    """Split-aware batched pipeline over the subject index."""
+
+    def __init__(self, cfg, mesh=None, records: Optional[List[SubjectRecord]] = None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.records = records if records is not None else build_subject_index(cfg)
+        self.item_loader = ItemLoader(cfg)
+        splitter = SplitManager(cfg.base_path, cfg.dataset_name, cfg.seed,
+                                cfg.train_split, cfg.val_split)
+        subjects = [r.subject for r in self.records]
+        train_s, val_s, test_s = splitter.split(subjects)
+        by_name = {r.subject: r for r in self.records}
+        self.splits: Dict[str, List[SubjectRecord]] = {
+            "train": [by_name[s] for s in train_s if s in by_name],
+            "val": [by_name[s] for s in val_s if s in by_name],
+            "test": [by_name[s] for s in test_s if s in by_name],
+        }
+        self.pool = ThreadPoolExecutor(max_workers=max(cfg.workers, 1))
+
+    def steps_per_epoch(self, split: str = "train") -> int:
+        pc = jax.process_count()
+        per_host = self.cfg.batch_size
+        return len(self.splits[split]) // (per_host * pc)
+
+    def _batches(self, split: str, epoch: int, shuffle: bool
+                 ) -> Iterator[Tuple[Dict[str, np.ndarray], List[str]]]:
+        recs = self.splits[split]
+        order = np.arange(len(recs))
+        if shuffle:
+            order = np.random.default_rng(
+                (self.cfg.seed, epoch)).permutation(len(recs))
+        bs = self.cfg.batch_size
+        pc, pi = jax.process_count(), jax.process_index()
+        global_bs = bs * pc
+        n_steps = len(recs) // global_bs  # drop_last
+        for step in range(n_steps):
+            start = step * global_bs + pi * bs
+            idxs = order[start:start + bs]
+            items = list(self.pool.map(
+                lambda i: self.item_loader(recs[i]), idxs))
+            yield collate(items, self.cfg.target)
+
+    def epoch(self, split: str, epoch: int = 0, shuffle: Optional[bool] = None,
+              to_device: bool = True
+              ) -> Iterator[Tuple[Dict, List[str]]]:
+        """Yield (batch, subject_names). With ``to_device`` the batch is
+        committed to the mesh ('data'-sharded) with a one-deep lookahead so
+        host IO overlaps device compute."""
+        if shuffle is None:
+            shuffle = split == "train"
+        it = self._batches(split, epoch, shuffle)
+        if not to_device or self.mesh is None:
+            yield from it
+            return
+
+        def put(pair):
+            batch, names = pair
+            dev = shard_batch(batch, self.mesh)
+            dev = device_preprocess(dev, self.cfg)
+            return dev, names
+
+        pending = None
+        for pair in it:
+            nxt = put(pair)
+            if pending is not None:
+                yield pending
+            pending = nxt
+        if pending is not None:
+            yield pending

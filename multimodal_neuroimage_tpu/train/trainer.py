@@ -1,0 +1,224 @@
+"""Training runtime: config -> mesh -> pipeline -> jitted steps -> metrics.
+
+TPU-native equivalent of the reference's Trainer (reference trainer.py:31-783)
+with the mandated boot order (trainer.py:33-35): data -> lr handler -> model ->
+checkpoint chain -> device placement -> optimizer -> writer -> losses. Here
+device placement is a mesh + shardings and AMP/DDP are replaced by the bf16
+policy + GSPMD step (see train/state.py).
+
+``profiling=True`` shortens the run to 1 epoch / 10 batches for smoke/profile
+parity with ``--profiling`` (main.py:98; trainer.py:301-302, 434-437) and wraps
+the loop in a jax.profiler trace when ``profile_dir`` is set (replaces NVTX).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from multimodal_neuroimage_tpu.ckpt.checkpoint import (
+    BestCheckpointPolicy, latest_checkpoint, load_checkpoint, load_raw_params,
+    partial_restore)
+from multimodal_neuroimage_tpu.data.loader import DataPipeline
+from multimodal_neuroimage_tpu.evaluation.metrics import SubjectAccumulator
+from multimodal_neuroimage_tpu.models.registry import create_model
+from multimodal_neuroimage_tpu.obs.writer import Writer
+from multimodal_neuroimage_tpu.parallel.mesh import (build_mesh,
+                                                     maybe_initialize_distributed,
+                                                     replicate)
+from multimodal_neuroimage_tpu.train.losses import active_losses
+from multimodal_neuroimage_tpu.train.state import (create_train_state,
+                                                   make_eval_step,
+                                                   make_train_step,
+                                                   optimizer_from_config)
+
+PROFILING_MAX_BATCHES = 10  # --profiling cap (trainer.py:434-437)
+
+
+class Trainer:
+    def __init__(self, cfg, sets: Optional[List[str]] = None):
+        self.cfg = cfg
+        self.sets = sets or ["train", "val"]
+        maybe_initialize_distributed(cfg.distributed)
+        if cfg.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+        self.mesh = build_mesh(cfg.mesh_shape, cfg.mesh_axes)
+
+        # 1. data (trainer.py:58)
+        self.pipeline = DataPipeline(cfg, self.mesh)
+        steps = max(self.pipeline.steps_per_epoch("train"), 1)
+
+        # 2-3. schedule + model (trainer.py:59, 78)
+        self.tx, self.schedule = optimizer_from_config(cfg, steps)
+        self.model = create_model(cfg)
+
+        sample_batch, _ = next(self.pipeline.epoch(
+            self.sets[0] if "train" not in self.sets else "train",
+            shuffle=False))
+        self.state = create_train_state(self.model, sample_batch, self.tx,
+                                        cfg.seed)
+
+        # 4. weight chaining / resume (trainer.py:79, 87, 118-162)
+        self.epoch0 = 0
+        self.val_threshold: Optional[float] = None
+        self._restore_weights()
+
+        self.state = self.state.replace(
+            params=replicate(self.state.params, self.mesh),
+            opt_state=replicate(self.state.opt_state, self.mesh))
+
+        # 6-7. losses + steps + writer (trainer.py:89-104)
+        self.loss_specs = active_losses(
+            cfg.task, cfg.fine_tune_task,
+            use_merge_loss=cfg.use_merge_loss, use_unet_loss=cfg.use_unet_loss,
+            use_cont_loss=cfg.use_cont_loss, use_mask_loss=cfg.use_mask_loss,
+            intensity_factor=cfg.intensity_factor,
+            perceptual_factor=cfg.perceptual_factor,
+            reconstruction_factor=cfg.reconstruction_factor)
+        self.train_step = make_train_step(self.model, self.loss_specs,
+                                          cfg.compute_dtype)
+        self.eval_step = make_eval_step(self.model, self.loss_specs,
+                                        cfg.compute_dtype)
+        log_dir = os.path.join(cfg.experiment_folder or cfg.log_dir)
+        self.writer = Writer(log_dir, self.sets, cfg.running_mean_size,
+                             use_tensorboard=bool(cfg.experiment_folder),
+                             use_wandb=cfg.use_wandb)
+        self.accumulator = SubjectAccumulator(cfg.fine_tune_task)
+        self.ckpt_policy = BestCheckpointPolicy(
+            log_dir, cfg.experiment_title or cfg.exp_name, cfg.fine_tune_task)
+        self.pred_key = cfg.fine_tune_task
+        self.optuna_trial = None  # set by hpo harness
+
+    # ------------------------------------------------------------------
+    def _restore_weights(self) -> None:
+        cfg = self.cfg
+        folder = cfg.experiment_folder or cfg.log_dir
+        resume = latest_checkpoint(folder) if folder else None
+        if resume:
+            loaded = load_checkpoint(resume, self.state.params,
+                                     self.state.opt_state)
+            self.state = self.state.replace(
+                params=loaded["params"],
+                opt_state=loaded.get("opt_state", self.state.opt_state),
+                step=np.asarray(loaded["step"]))
+            self.epoch0 = loaded["epoch"]
+            self.val_threshold = loaded["metadata"].get("val_threshold")
+            print(f"resumed from {resume} (epoch {self.epoch0})")
+        elif cfg.model_weights_path:
+            src = load_raw_params(cfg.model_weights_path)
+            merged, stats = partial_restore(
+                self.state.params, src,
+                load_cls_embedding=cfg.load_cls_embedding)
+            self.state = self.state.replace(params=merged)
+            print(f"phase-chained weights from {cfg.model_weights_path}: "
+                  f"{stats}")
+
+    # ------------------------------------------------------------------
+    def _record_batch(self, preds: Dict, batch: Dict, names: List[str],
+                      mode: str) -> None:
+        if self.pred_key not in preds:
+            return
+        scores = np.asarray(preds[self.pred_key]).reshape(-1)
+        targets = np.asarray(batch["target"]).reshape(-1)
+        self.accumulator.append(names, scores, targets, mode)
+
+    def train_epoch(self, epoch: int) -> None:
+        cfg = self.cfg
+        for i, (batch, names) in enumerate(
+                self.pipeline.epoch("train", epoch)):
+            self.state, losses, preds = self.train_step(self.state, batch)
+            self.writer.write_losses(
+                {k: float(v) for k, v in losses.items()}, "train")
+            self._record_batch(preds, batch, names, "train")
+            if cfg.profiling and i + 1 >= PROFILING_MAX_BATCHES:
+                break
+
+    def eval_epoch(self, mode: str, epoch: int = 0) -> None:
+        cfg = self.cfg
+        for i, (batch, names) in enumerate(
+                self.pipeline.epoch(mode, epoch, shuffle=False)):
+            losses, preds = self.eval_step(self.state.params, batch)
+            self.writer.write_losses(
+                {k: float(v) for k, v in losses.items()}, mode)
+            self._record_batch(preds, batch, names, mode)
+            if cfg.profiling and i + 1 >= PROFILING_MAX_BATCHES:
+                break
+
+    # ------------------------------------------------------------------
+    def training(self) -> Dict[str, float]:
+        """Full loop (trainer.py:300-341). Returns the last metric summary."""
+        cfg = self.cfg
+        n_epochs = 1 if cfg.profiling else cfg.nEpochs
+        metrics: Dict[str, float] = {}
+        ctx = None
+        if cfg.profile_dir:
+            jax.profiler.start_trace(cfg.profile_dir)
+        try:
+            for epoch in range(self.epoch0, n_epochs):
+                t0 = time.time()
+                self.train_epoch(epoch)
+                self.eval_epoch("val", epoch)
+                lr = float(self.schedule(int(self.state.step)))
+                self.writer.loss_summary(lr)
+                metrics = self.accumulator.summary(
+                    ["train", "val"], val_threshold=self.val_threshold)
+                self.writer.write_subject_predictions(self.accumulator)
+                self.writer.record_metrics(metrics)
+                self.writer.save_history_to_csv()
+                self.writer.register_wandb(epoch, lr)
+                self.accumulator.reset()
+                self._checkpoint(epoch, metrics)
+                print(f"epoch {epoch} took {time.time() - t0:.1f}s")
+                if self.optuna_trial is not None:
+                    self._optuna_report(epoch, metrics)
+        finally:
+            if cfg.profile_dir:
+                jax.profiler.stop_trace()
+        return metrics
+
+    def _checkpoint(self, epoch: int, metrics: Dict[str, float]) -> None:
+        if jax.process_index() != 0:
+            return
+        val_loss = None
+        hist = self.writer.loss_history.get("total_val_loss_history")
+        if hist:
+            val_loss = hist[-1]
+        threshold = metrics.get("val_best_threshold")
+        if threshold is not None:
+            self.val_threshold = threshold
+        self.ckpt_policy.update(
+            val_auroc=metrics.get("val_AUROC"),
+            val_acc=metrics.get("val_Balanced_Accuracy"),
+            val_loss=val_loss,
+            params=self.state.params, opt_state=self.state.opt_state,
+            step=int(self.state.step), epoch=epoch,
+            metadata={"val_threshold": self.val_threshold,
+                      "metrics": metrics})
+
+    def _optuna_report(self, epoch: int, metrics: Dict[str, float]) -> None:
+        """Per-epoch pruning report (trainer.py:319-331)."""
+        import optuna
+        value = (metrics.get("val_AUROC", 0.0)
+                 if self.cfg.fine_tune_task == "binary_classification"
+                 else self.writer.loss_history.get(
+                     "total_val_loss_history", [float("inf")])[-1])
+        self.optuna_trial.report(value, epoch)
+        if self.optuna_trial.should_prune():
+            raise optuna.TrialPruned()
+
+    def testing(self) -> Dict[str, float]:
+        """Phase-4 evaluation with the frozen val threshold
+        (trainer.py:571-582, metrics.py:21-33)."""
+        self.eval_epoch("test")
+        self.writer.loss_summary(0.0)
+        metrics = self.accumulator.summary(
+            ["test"], val_threshold=self.val_threshold)
+        self.writer.write_subject_predictions(self.accumulator)
+        self.writer.record_metrics(metrics)
+        self.writer.save_history_to_csv()
+        self.accumulator.reset()
+        return metrics
