@@ -1,0 +1,95 @@
+"""Benchmark: flagship cross-modal train-step throughput (subjects/sec/chip).
+
+Measures BASELINE.md config #3 — the full Func_Struct_Cross stack (dual
+16-layer temporal BERTs over (368, 84) band-split fMRI + SwinFusion
+cross-window attention over 84x84 struct + SwinV2 head) doing fwd+bwd+update,
+batch sharded over all local chips.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md: no README/
+docs/benchmarks; BASELINE.json "published": {}), and its torch stack cannot
+run in this image (timm absent). The first run on a given host class writes
+``BENCH_BASELINE.json``; later runs report the ratio against that recorded
+first measurement, so the value tracks optimization progress across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+
+def main() -> None:
+    from __graft_entry__ import _example_batch, _flagship_cfg
+    from multimodal_neuroimage_tpu.models.registry import create_model
+    from multimodal_neuroimage_tpu.parallel.mesh import (build_mesh, replicate,
+                                                         shard_batch)
+    from multimodal_neuroimage_tpu.train.losses import active_losses
+    from multimodal_neuroimage_tpu.train.state import (create_train_state,
+                                                       make_train_step,
+                                                       optimizer_from_config)
+
+    n_chips = jax.local_device_count()
+    platform = jax.devices()[0].platform
+    per_chip_batch = int(os.environ.get("BENCH_PER_CHIP_BATCH", "8"))
+    batch_size = per_chip_batch * n_chips
+
+    cfg = _flagship_cfg(tiny=(platform == "cpu"))
+    mesh = build_mesh()
+    model = create_model(cfg)
+    batch = _example_batch(batch_size)
+
+    tx, _ = optimizer_from_config(cfg, steps_per_epoch=100)
+    state = create_train_state(model, batch, tx, cfg.seed)
+    state = state.replace(params=replicate(state.params, mesh),
+                          opt_state=replicate(state.opt_state, mesh))
+    specs = active_losses(cfg.task, cfg.fine_tune_task)
+    step = make_train_step(model, specs, compute_dtype=cfg.compute_dtype)
+    dev_batch = shard_batch(batch, mesh)
+
+    # warmup/compile
+    state, losses, _ = step(state, dev_batch)
+    jax.block_until_ready(losses["total"])
+
+    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, losses, _ = step(state, dev_batch)
+    jax.block_until_ready(losses["total"])
+    dt = time.perf_counter() - t0
+
+    subjects_per_sec = batch_size * n_steps / dt
+    per_chip = subjects_per_sec / n_chips
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH_BASELINE.json")
+    key = f"{platform}_x{n_chips}"
+    baselines = {}
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baselines = json.load(f)
+    if key not in baselines:
+        baselines[key] = per_chip
+        try:
+            with open(baseline_path, "w") as f:
+                json.dump(baselines, f, indent=1)
+        except OSError:
+            pass
+    vs_baseline = per_chip / baselines[key]
+
+    print(json.dumps({
+        "metric": "train_step_subjects_per_sec_per_chip",
+        "value": round(per_chip, 3),
+        "unit": f"subjects/sec/chip ({platform}, bs={per_chip_batch}/chip, "
+                f"fwd+bwd+update, Func_Struct_Cross)",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Phase-driven CLI (replaces reference main.py).
+
+Usage mirrors the reference's entry point (reference main.py:24-332, 601-619):
+
+    python -m multimodal_neuroimage_tpu.cli.main \
+        --step 3 --dataset_name sMRI --target sex --exp_name myexp
+
+``--step N`` selects the phase (1=2DBERT, 2=lowfreqBERT, 3=VIT, 4=test,
+5=FuncStruct, 6=SwinFusion — PHASE_TASKS); per-phase hyperparameter defaults
+come from the typed phase overlays (config.PHASE_DEFAULTS, replacing the
+``_phaseN``-suffix convention resolved by reference utils.py:144-151).
+Weight chaining across phases (reference utils.py:95-128 ``weight_loader``)
+resolves the previous phase's best checkpoint automatically.
+
+Experiment folders are stamped like the reference (utils.py:130,
+main.py:345-350): <base>/experiments/<exp_name>_<target>_<datestamp>/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import glob
+import os
+import pickle
+from datetime import datetime
+from typing import Optional
+
+from multimodal_neuroimage_tpu.config import (Config, PHASE_TASKS,
+                                              config_for_phase)
+
+
+def datestamp() -> str:
+    """Seoul-timezone run stamp (reference utils.py:130)."""
+    try:
+        from zoneinfo import ZoneInfo
+        now = datetime.now(ZoneInfo("Asia/Seoul"))
+    except Exception:
+        now = datetime.now()
+    return now.strftime("%Y%m%d_%H%M%S")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    """Argparse schema over the Config dataclass: every Config field is a
+    flag; booleans use explicit --flag / --no-flag pairs (replacing the
+    reference's store_false traps — SURVEY §5.6)."""
+    p = argparse.ArgumentParser("multimodal_neuroimage_tpu")
+    for f in dataclasses.fields(Config):
+        if f.name in ("phase_overrides",):
+            continue
+        name = f"--{f.name}"
+        if f.type == "bool" or isinstance(f.default, bool):
+            p.add_argument(name, dest=f.name, default=f.default,
+                           action=argparse.BooleanOptionalAction)
+        elif f.default is None or isinstance(f.default, tuple):
+            p.add_argument(name, default=f.default, type=str)
+        else:
+            p.add_argument(name, default=f.default, type=type(f.default))
+    return p
+
+
+def _parse_tuple(v):
+    if isinstance(v, str):
+        return tuple(int(x) for x in v.replace(",", " ").split())
+    return v
+
+
+def config_from_args(argv=None) -> Config:
+    parser = build_parser()
+    args = vars(parser.parse_args(argv))
+    # flags the user explicitly set (differ from parser defaults) must beat
+    # the per-phase default overlays
+    user_set = {k for k, v in args.items() if v != parser.get_default(k)}
+    for key in list(args):
+        if key.startswith("fusion_") and key.endswith(("depths", "heads")):
+            args[key] = _parse_tuple(args[key])
+    for key in ("mesh_shape",):
+        if isinstance(args.get(key), str):
+            args[key] = _parse_tuple(args[key])
+    if isinstance(args.get("lr_warmup"), str):
+        args["lr_warmup"] = int(args["lr_warmup"])
+    base = Config(**args)
+    return config_for_phase(base, base.step, user_set=user_set)
+
+
+def setup_experiment_folder(cfg: Config) -> Config:
+    """<base>/experiments/<exp_name>_<target>_<stamp>/ (main.py:334, 345-350)."""
+    if cfg.experiment_folder:
+        return cfg
+    title = f"{cfg.exp_name}_{cfg.target}"
+    folder = os.path.join(cfg.base_path, "experiments",
+                          f"{title}_{datestamp()}")
+    os.makedirs(folder, exist_ok=True)
+    return dataclasses.replace(cfg, experiment_folder=folder,
+                               experiment_title=title)
+
+
+def args_logger(cfg: Config) -> None:
+    """Archive the resolved config as pkl + txt (reference utils.py:153-166)."""
+    folder = cfg.experiment_folder
+    with open(os.path.join(folder, "argument_documentation.txt"), "w") as f:
+        for k, v in sorted(dataclasses.asdict(cfg).items()):
+            f.write(f"{k}: {v}\n")
+    with open(os.path.join(folder, "arguments.pkl"), "wb") as f:
+        pickle.dump(dataclasses.asdict(cfg), f)
+
+
+def weight_loader(cfg: Config) -> Optional[str]:
+    """Chain weights from the previous phase's best checkpoint
+    (reference utils.py:95-128): step N loads the newest BEST checkpoint from
+    the most recent experiment folder of step N-1's task (or any earlier
+    experiment of the same title)."""
+    if cfg.model_weights_path:
+        return cfg.model_weights_path
+    chain_from = {2: 1, 4: cfg.step - 1, 5: 3, 6: 3}.get(cfg.step)
+    if chain_from is None:
+        return None
+    pattern = os.path.join(cfg.base_path, "experiments", "*", "*BEST*.ckpt")
+    candidates = sorted(glob.glob(pattern), key=os.path.getmtime)
+    return candidates[-1] if candidates else None
+
+
+def run_phase(cfg: Config) -> dict:
+    """Experiment driver (reference main.py:340-535)."""
+    from multimodal_neuroimage_tpu.train.trainer import Trainer
+    cfg = setup_experiment_folder(cfg)
+    args_logger(cfg)
+    weights = weight_loader(cfg)
+    if weights and not cfg.model_weights_path:
+        cfg = dataclasses.replace(cfg, model_weights_path=weights)
+
+    if cfg.use_optuna:
+        from multimodal_neuroimage_tpu.hpo.optuna_harness import run_study
+        return run_study(cfg)
+
+    if cfg.task == "test" or cfg.step == 4:
+        trainer = Trainer(cfg, sets=["test"])
+        return trainer.testing()
+    trainer = Trainer(cfg, sets=["train", "val"])
+    return trainer.training()
+
+
+def main(argv=None) -> None:
+    cfg = config_from_args(argv)
+    metrics = run_phase(cfg)
+    print("final metrics:", metrics)
+
+
+if __name__ == "__main__":
+    main()

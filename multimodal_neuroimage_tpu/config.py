@@ -62,6 +62,7 @@ class Config:
     fir_order: int = 64                       # nitime FilterAnalyzer default
     # data locations (synthetic-friendly defaults; reference main.py:35-41)
     fmri_timeseries_path: str = "./data/fmri_timeseries"
+    fmri_image_path: str = "./data/fmri_image"
     dti_path: str = "./data/dti"
     smri_path: str = "./data/smri_cortical_thickness"
     dti_smri_path: str = "./data/dti+smri"
@@ -69,7 +70,8 @@ class Config:
     hcp_path: str = "./data/hcp"
     metadata_csv: str = ""                    # ABCD_phenotype_total.csv location
     subject_list_path: str = ""               # multimodal_sub_list.txt location
-    # preprocessing placement: 'device' = fused on-TPU FIR/zscore, 'host' = numpy
+    # preprocessing placement: 'device' = fused on-TPU FIR/zscore,
+    # 'host' = numpy per item, 'native' = C++ batch pipeline (native/fastpipe)
     preprocess: str = "device"
     prefetch_depth: int = 2                   # double-buffered device prefetch
 
@@ -164,6 +166,10 @@ class Config:
     running_mean_size: int = 5000             # main.py:73
     log_dir: str = "runs"
     debug_nans: bool = False
+    # per-step NaN audit forces a device sync per step (the reference's
+    # .item() pattern, trainer.py:560-563); False defers syncs to the epoch
+    # summary for full step pipelining
+    nan_audit: bool = True
 
     # ---- checkpointing ------------------------------------------------------------
     experiment_folder: str = ""
@@ -196,6 +202,8 @@ class Config:
         assert self.intermediate_vec in (84, 48, 22)
         assert self.lr_policy in {"step", "SGDR", "OneCycle", "CosAnn"}, \
             f"unknown lr policy {self.lr_policy}"
+        assert self.preprocess in {"device", "host", "native"}, \
+            f"unknown preprocess placement {self.preprocess}"
         return self
 
 
@@ -219,19 +227,26 @@ PHASE_DEFAULTS: Dict[int, Dict[str, Any]] = {
             lr_step=500, lr_warmup=500, sequence_length=368, workers=4),
     6: dict(task="SwinFusion", batch_size=8, nEpochs=20, optim="AdamW",
             weight_decay=1e-5, lr_policy="step", lr_init=1e-3, lr_gamma=0.97,
-            lr_step=500, lr_warmup=500, sequence_length=368, workers=4),
+            lr_step=500, lr_warmup=500, sequence_length=368, workers=4,
+            # standalone SwinFusion keeps its class defaults of 0.8
+            # (reference model.py:1161 — kwargs carry no drop_rate at phase 6)
+            fusion_drop_rate=0.8, fusion_attn_drop_rate=0.8),
 }
 
 
-def config_for_phase(cfg: Config, step: int) -> Config:
+def config_for_phase(cfg: Config, step: int,
+                     user_set: Optional[set] = None) -> Config:
     """Resolve the phase-specific view of a config.
 
     Equivalent to the reference's ``sort_args`` stripping ``_phase{N}`` suffixes
-    (utils.py:144-151): phase defaults are applied first, then any user-specified
-    ``cfg.phase_overrides[step]`` entries win.
+    (utils.py:144-151). Precedence (low to high): phase defaults <
+    explicitly user-set fields (``user_set`` names, e.g. CLI flags) <
+    ``cfg.phase_overrides[step]``.
     """
     fields = {f.name for f in dataclasses.fields(Config)}
     updates: Dict[str, Any] = dict(PHASE_DEFAULTS.get(step, {}))
+    for name in (user_set or ()):
+        updates.pop(name, None)
     updates.update(cfg.phase_overrides.get(step, {}))
     updates = {k: v for k, v in updates.items() if k in fields}
     updates["step"] = step

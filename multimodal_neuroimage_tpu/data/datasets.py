@@ -53,12 +53,13 @@ def _base(record: SubjectRecord, target_key: str) -> Dict[str, np.ndarray]:
 class ItemLoader:
     """Dataset dispatch (replaces DataHandler.get_dataset, dataloaders.py:30-50)."""
 
-    def __init__(self, cfg):
+    def __init__(self, cfg, augment: bool = False):
         self.cfg = cfg
         self.target_key = cfg.target
         fns: Dict[str, Callable[[SubjectRecord], Dict]] = {
             "hcp": self.hcp,
             "fMRI_timeseries": self.fmri_timeseries,
+            "fMRI_image": self.fmri_image,
             "DTI": self.dti,
             "sMRI": self.smri,
             "struct": self.struct_pair,
@@ -69,8 +70,17 @@ class ItemLoader:
         if cfg.dataset_name not in fns:
             raise NotImplementedError(cfg.dataset_name)
         self.fn = fns[cfg.dataset_name]
+        # train-only augmentation (reference datasets.py:46-48; the eval
+        # dataset clone sets augment=None, dataloaders.py:59-60)
+        self.augment = None
+        if augment and cfg.augment_prob > 0:
+            from multimodal_neuroimage_tpu.data.augmentations import brain_gaussian
+            self.augment = brain_gaussian(augment_prob=cfg.augment_prob,
+                                          seed=cfg.seed)
         # device-preprocess mode defers FIR/zscore/pad to the fused TPU kernel
+        # (the sinc-resampled ultralow variant stays on host)
         self.device_fmri = (cfg.preprocess == "device"
+                            and cfg.feature_map_gen != "resample"
                             and cfg.dataset_name in ("fMRI_timeseries",
                                                      "multimodal",
                                                      "multimodal_prs")
@@ -98,10 +108,24 @@ class ItemLoader:
         if self.device_fmri:
             return self._raw_fmri_item(record)
         y = _load_abcd_fmri_raw(record.paths["fmri"])
+        if self.augment is not None:
+            y = self.augment(y)
         out = _base(record, self.target_key)
         out.update(preprocess_fmri_host(
             y, self.cfg.fmri_type, ABCD_SEQ_LEN, self.cfg.filtering_type,
-            self.cfg.fir_lb_hz, self.cfg.tr_seconds, self.cfg.fir_order))
+            self.cfg.fir_lb_hz, self.cfg.tr_seconds, self.cfg.fir_order,
+            self.cfg.feature_map_gen, self.cfg.feature_map_size))
+        return out
+
+    def fmri_image(self, record: SubjectRecord) -> Dict[str, np.ndarray]:
+        """4-D NIfTI volume path (datasets.py:130-169) via the built-in
+        NIfTI-1 reader (nibabel-free)."""
+        from multimodal_neuroimage_tpu.data.nifti import read_nifti
+        y = read_nifti(record.paths["fmri_image"])
+        if self.augment is not None:
+            y = self.augment(y)
+        out = _base(record, self.target_key)
+        out["fmri_sequence"] = y.astype(np.float32)
         return out
 
     def hcp(self, record: SubjectRecord) -> Dict[str, np.ndarray]:
@@ -143,9 +167,12 @@ class ItemLoader:
             out["fmri_length"] = raw["fmri_length"]
             return out
         y = _load_abcd_fmri_raw(record.paths["fmri"])
+        if self.augment is not None:
+            y = self.augment(y)
         bands = preprocess_fmri_host(
             y, "divided_frequency", ABCD_SEQ_LEN, self.cfg.filtering_type,
-            self.cfg.fir_lb_hz, self.cfg.tr_seconds, self.cfg.fir_order)
+            self.cfg.fir_lb_hz, self.cfg.tr_seconds, self.cfg.fir_order,
+            self.cfg.feature_map_gen, self.cfg.feature_map_size)
         # multimodal key names (datasets.py:700): raw sequence is
         # 'fmri_raw_sequence' here vs 'fmri_sequence' in the fMRI-only dataset
         out["fmri_raw_sequence"] = bands["fmri_sequence"]

@@ -94,6 +94,46 @@ def bandsplit(y: np.ndarray, filtering_type: str = "FIR", lb_hz: float = 0.0035,
     }
 
 
+def sinc_resample(x: np.ndarray, orig_freq: int = 3, new_freq: int = 1,
+                  lowpass_filter_width: int = 6,
+                  rolloff: float = 0.99) -> np.ndarray:
+    """Polyphase windowed-sinc resampling along the last axis.
+
+    Reimplements torchaudio's ``resample(..., resampling_method=
+    'sinc_interpolation')`` semantics (used by the reference for the
+    compressed ultralow stream, datasets.py:259-269: orig_freq=3, new_freq=1)
+    without the torchaudio dependency: a Hann^2-windowed sinc lowpass at
+    ``rolloff * min(freqs)``, evaluated per output phase.
+    """
+    from math import gcd
+    g = gcd(int(orig_freq), int(new_freq))
+    orig, new = int(orig_freq) // g, int(new_freq) // g
+    base_freq = min(orig, new) * rolloff
+    width = int(np.ceil(lowpass_filter_width * orig / base_freq))
+
+    idx = np.arange(-width, width + orig, dtype=np.float64) / orig
+    t = (-np.arange(new)[:, None] / new + idx[None, :]) * base_freq
+    t = np.clip(t, -lowpass_filter_width, lowpass_filter_width)
+    window = np.cos(t * np.pi / lowpass_filter_width / 2.0) ** 2
+    t_pi = t * np.pi
+    kernel = np.where(t_pi == 0, 1.0, np.sin(t_pi) / np.where(t_pi == 0, 1.0,
+                                                              t_pi))
+    kernel = kernel * window * (base_freq / orig)          # (new, K)
+
+    T = x.shape[-1]
+    num_out = int(np.ceil(T * new / orig))
+    lead = x.reshape(-1, T)
+    padded = np.pad(lead, ((0, 0), (width, width + orig)))
+    out = np.zeros((lead.shape[0], num_out), dtype=np.float64)
+    K = kernel.shape[1]
+    for phase in range(new):
+        conv = np.stack([padded[:, j * orig: j * orig + K] @ kernel[phase]
+                         for j in range((num_out - phase + new - 1) // new)],
+                        axis=1)
+        out[:, phase::new] = conv[:, : out[:, phase::new].shape[1]]
+    return out.reshape(*x.shape[:-1], num_out)
+
+
 def spectrum_magnitude(y: np.ndarray, drop_dc: bool = False) -> np.ndarray:
     """|FFT| over time, positive frequencies only (nitime
     SpectralAnalyzer.spectrum_fourier — datasets.py:233-241, 308-341).
@@ -113,14 +153,24 @@ def preprocess_fmri_host(
     lb_hz: float = 0.0035,
     tr_seconds: float = 0.8,
     fir_order: int = 64,
+    feature_map_gen: str = "no",
+    feature_map_size: str = "same",
 ) -> Dict[str, np.ndarray]:
     """Full host preprocessing of one subject's (ROI, T) series for a given
     ``fmri_type``; returns float32 arrays shaped (sequence_length_or_184, ROI)
-    keyed exactly like the reference's per-item dicts (datasets.py:227-365)."""
+    keyed exactly like the reference's per-item dicts (datasets.py:227-365).
+
+    ``feature_map_gen == 'resample'`` compresses the ultralow band 3:1 with
+    windowed-sinc resampling and pads to 128 (datasets.py:258-269, 295-301;
+    for divided_frequency only together with feature_map_size='different').
+    """
     out: Dict[str, np.ndarray] = {}
 
     def _finish(arr: np.ndarray, target: int) -> np.ndarray:
         return pad_time_axis(arr, target).T.astype(np.float32)
+
+    def _resample_ul(ul: np.ndarray) -> np.ndarray:
+        return _finish(sinc_resample(ul, orig_freq=3, new_freq=1), 128)
 
     if fmri_type == "timeseries":
         out["fmri_sequence"] = _finish(zscore(y, axis=None), sequence_length)
@@ -133,12 +183,20 @@ def preprocess_fmri_host(
         if fmri_type == "time_domain_low":
             out["fmri_sequence"] = _finish(bands["low"], sequence_length)
         elif fmri_type == "time_domain_ultralow":
-            out["fmri_sequence"] = _finish(bands["ultralow"], sequence_length)
+            if feature_map_gen == "resample":
+                out["fmri_sequence"] = _resample_ul(bands["ultralow"])
+            else:
+                out["fmri_sequence"] = _finish(bands["ultralow"],
+                                               sequence_length)
         else:
             out["fmri_sequence"] = _finish(bands["raw"], sequence_length)
             out["fmri_lowfreq_sequence"] = _finish(bands["low"], sequence_length)
-            out["fmri_ultralowfreq_sequence"] = _finish(bands["ultralow"],
-                                                        sequence_length)
+            if feature_map_gen == "resample" and feature_map_size == "different":
+                out["fmri_ultralowfreq_sequence"] = _resample_ul(
+                    bands["ultralow"])
+            else:
+                out["fmri_ultralowfreq_sequence"] = _finish(bands["ultralow"],
+                                                            sequence_length)
     elif fmri_type == "frequency_domain_low":
         bands = bandsplit(y, filtering_type, lb_hz, tr_seconds, fir_order)
         low_unscored = filt_component(y, bands, "low")

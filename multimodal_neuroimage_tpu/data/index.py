@@ -70,6 +70,10 @@ def resolve_paths(dataset_name: str, subject: str, cfg) -> Dict[str, str]:
                                        f"dti_count+smri_{kind}_{subject}.npy")
     if dataset_name == "hcp":
         paths["fmri"] = os.path.join(cfg.hcp_path, f"{subject}_cortex.npy")
+    if dataset_name == "fMRI_image":
+        # 4-D NIfTI volumes (datasets.py:157: masked_image_sub-<KEY>.nii.gz)
+        paths["fmri_image"] = os.path.join(
+            cfg.fmri_image_path, f"masked_image_sub-{subject}.nii.gz")
     return paths
 
 

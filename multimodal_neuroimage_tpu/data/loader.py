@@ -80,7 +80,9 @@ class DataPipeline:
         self.cfg = cfg
         self.mesh = mesh
         self.records = records if records is not None else build_subject_index(cfg)
-        self.item_loader = ItemLoader(cfg)
+        # train loader augments; eval loader never does (dataloaders.py:59-60)
+        self.item_loader = ItemLoader(cfg, augment=True)
+        self.eval_item_loader = ItemLoader(cfg, augment=False)
         splitter = SplitManager(cfg.base_path, cfg.dataset_name, cfg.seed,
                                 cfg.train_split, cfg.val_split)
         subjects = [r.subject for r in self.records]
@@ -105,16 +107,83 @@ class DataPipeline:
         if shuffle:
             order = np.random.default_rng(
                 (self.cfg.seed, epoch)).permutation(len(recs))
+        loader = self.item_loader if split == "train" else self.eval_item_loader
         bs = self.cfg.batch_size
         pc, pi = jax.process_count(), jax.process_index()
         global_bs = bs * pc
         n_steps = len(recs) // global_bs  # drop_last
+        use_native = (self.cfg.preprocess == "native"
+                      and self._native_supported(split))
         for step in range(n_steps):
             start = step * global_bs + pi * bs
             idxs = order[start:start + bs]
-            items = list(self.pool.map(
-                lambda i: self.item_loader(recs[i]), idxs))
+            if use_native:
+                batch = self._native_batch([recs[i] for i in idxs])
+                if batch is not None:
+                    yield batch
+                    continue
+                use_native = False  # lib unavailable: fall back permanently
+            items = list(self.pool.map(lambda i: loader(recs[i]), idxs))
             yield collate(items, self.cfg.target)
+
+    # -- native (C++) batch fast path ------------------------------------------
+    def _native_supported(self, split: str) -> bool:
+        cfg = self.cfg
+        if split == "train" and cfg.augment_prob > 0:
+            return False  # augmentation runs in the Python item path
+        if cfg.dataset_name in ("DTI", "sMRI", "DTI+sMRI", "struct"):
+            return True
+        if cfg.dataset_name in ("multimodal", "multimodal_prs"):
+            return cfg.feature_map_gen != "resample"
+        if cfg.dataset_name == "fMRI_timeseries":
+            return cfg.fmri_type == "divided_frequency" and \
+                cfg.feature_map_gen != "resample"
+        return False
+
+    def _native_batch(self, recs) -> Optional[Tuple[Dict, List[str]]]:
+        """Whole-batch load+preprocess through native/fastpipe.cpp (parallel
+        npy parse + filtfilt + zscore + pad in C++). Returns None when the
+        native library can't be built — callers fall back to the item path."""
+        from multimodal_neuroimage_tpu.data import native
+        from multimodal_neuroimage_tpu.data.filters import design_highpass_fir
+        if not native.native_available():
+            return None
+        cfg = self.cfg
+        names = [r.subject for r in recs]
+        batch: Dict[str, np.ndarray] = {
+            "subject": np.asarray([r.idx for r in recs], np.int64),
+            "target": np.asarray([r.target for r in recs], np.float32),
+        }
+        mat_key = {"DTI": ("dti", "dti"), "sMRI": ("smri", "smri"),
+                   "DTI+sMRI": ("struct", "struct")}.get(cfg.dataset_name)
+        if cfg.dataset_name == "struct":
+            batch["smri"] = native.matrix_batch_native(
+                [r.paths["smri"] for r in recs], 84, 84, cfg.workers)
+            batch["dti"] = native.matrix_batch_native(
+                [r.paths["dti"] for r in recs], 84, 84, cfg.workers)
+        elif mat_key is not None:
+            batch[mat_key[0]] = native.matrix_batch_native(
+                [r.paths[mat_key[1]] for r in recs], 84, 84, cfg.workers)
+        if cfg.dataset_name in ("multimodal", "multimodal_prs"):
+            batch["struct"] = native.matrix_batch_native(
+                [r.paths["struct"] for r in recs], 84, 84, cfg.workers)
+        if cfg.dataset_name in ("multimodal", "multimodal_prs",
+                                "fMRI_timeseries"):
+            taps = design_highpass_fir(cfg.fir_order, cfg.fir_lb_hz,
+                                       1.0 / cfg.tr_seconds)
+            bands = native.bandsplit_batch_native(
+                [r.paths["fmri"] for r in recs], taps,
+                t_max=cfg.sequence_length, n_rois=cfg.intermediate_vec,
+                nthreads=cfg.workers)
+            raw_key = ("fmri_raw_sequence"
+                       if cfg.dataset_name != "fMRI_timeseries"
+                       else "fmri_sequence")
+            batch[raw_key] = bands["raw"]
+            batch["fmri_lowfreq_sequence"] = bands["low"]
+            batch["fmri_ultralowfreq_sequence"] = bands["ultralow"]
+        if cfg.dataset_name == "multimodal_prs":
+            batch["prs"] = np.stack([r.prs for r in recs]).astype(np.float32)
+        return batch, names
 
     def epoch(self, split: str, epoch: int = 0, shuffle: Optional[bool] = None,
               to_device: bool = True

@@ -62,7 +62,7 @@ class Writer:
         for name, value in loss_dict.items():
             key = f"{name}_{set_name}"
             vals = self.loss_values[key]
-            vals.append(float(value))
+            vals.append(value)  # may be a device scalar; synced at summary
             if set_name == "train":
                 del vals[:-self.running_mean_size]
         if set_name == "train":
@@ -75,7 +75,7 @@ class Writer:
         for key, vals in self.loss_values.items():
             if not vals:
                 continue
-            mean = sum(vals) / len(vals)
+            mean = float(sum(float(v) for v in vals) / len(vals))
             self.loss_history[f"{key}_loss_history"].append(mean)
             out[key] = mean
             self._scalar(f"loss/{key}", mean, len(self.loss_history[

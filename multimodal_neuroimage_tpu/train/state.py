@@ -106,21 +106,29 @@ def _cast_tree(tree, dtype):
 
 def make_train_step(model, loss_specs: Dict[str, LossSpec],
                     compute_dtype: str = "bfloat16",
-                    donate: bool = True) -> Callable:
+                    donate: bool = True, remat: bool = False) -> Callable:
     """Build the single jitted optimizer step.
 
     Returns fn(state, batch) -> (state, loss_dict, outputs). With the batch
     committed to a 'data'-sharded NamedSharding and params replicated, XLA
     compiles the full fwd+bwd+update with gradient collectives over ICI.
+    ``remat`` checkpoints the forward (recompute in backward) to trade FLOPs
+    for HBM (replaces nothing in the reference — a TPU memory lever).
     """
     cdtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+
+    def apply_fn(p, b, dropout_rng):
+        return model.apply({"params": p}, b, deterministic=False,
+                           rngs={"dropout": dropout_rng,
+                                 "droppath": dropout_rng})
+
+    if remat:
+        apply_fn = jax.checkpoint(apply_fn)
 
     def loss_fn(params, batch, dropout_rng):
         p = _cast_tree(params, cdtype)
         b = _cast_tree(batch, cdtype)
-        outputs = model.apply({"params": p}, b, deterministic=False,
-                              rngs={"dropout": dropout_rng,
-                                    "droppath": dropout_rng})
+        outputs = apply_fn(p, b, dropout_rng)
         outputs = _cast_tree(outputs, jnp.float32)
         losses = compute_losses(outputs, _cast_tree(batch, jnp.float32),
                                 loss_specs)

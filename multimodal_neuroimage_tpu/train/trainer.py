@@ -80,7 +80,7 @@ class Trainer:
             perceptual_factor=cfg.perceptual_factor,
             reconstruction_factor=cfg.reconstruction_factor)
         self.train_step = make_train_step(self.model, self.loss_specs,
-                                          cfg.compute_dtype)
+                                          cfg.compute_dtype, remat=cfg.remat)
         self.eval_step = make_eval_step(self.model, self.loss_specs,
                                         cfg.compute_dtype)
         log_dir = os.path.join(cfg.experiment_folder or cfg.log_dir)
@@ -92,6 +92,7 @@ class Trainer:
             log_dir, cfg.experiment_title or cfg.exp_name, cfg.fine_tune_task)
         self.pred_key = cfg.fine_tune_task
         self.optuna_trial = None  # set by hpo harness
+        self.nan_subjects: Dict[str, set] = {}
 
     # ------------------------------------------------------------------
     def _restore_weights(self) -> None:
@@ -126,14 +127,37 @@ class Trainer:
         targets = np.asarray(batch["target"]).reshape(-1)
         self.accumulator.append(names, scores, targets, mode)
 
+    def _audit_nans(self, losses: Dict, names: List[str]) -> Dict:
+        """Per-loss NaN audit collecting offending subject IDs
+        (reference trainer.py:548-555). With cfg.nan_audit=False the loss
+        scalars stay on device (no per-step sync; converted lazily at the
+        epoch summary)."""
+        if not self.cfg.nan_audit:
+            return losses
+        out = {}
+        for k, v in losses.items():
+            fv = float(v)
+            if not np.isfinite(fv):
+                self.nan_subjects.setdefault(k, set()).update(names)
+                print(f"[nan-audit] non-finite {k} loss; subjects {names}")
+            out[k] = fv
+        return out
+
     def train_epoch(self, epoch: int) -> None:
         cfg = self.cfg
         for i, (batch, names) in enumerate(
                 self.pipeline.epoch("train", epoch)):
             self.state, losses, preds = self.train_step(self.state, batch)
-            self.writer.write_losses(
-                {k: float(v) for k, v in losses.items()}, "train")
+            self.writer.write_losses(self._audit_nans(losses, names), "train")
             self._record_batch(preds, batch, names, "train")
+            # mid-epoch validation every validation_frequency batches
+            # (reference trainer.py:439-453; default is effectively off)
+            if (i + 1) % cfg.validation_frequency == 0:
+                self.eval_epoch("val", epoch)
+                metrics = self.accumulator.summary(
+                    ["train", "val"], val_threshold=self.val_threshold)
+                self.writer.record_metrics(metrics)
+                self.accumulator.reset(keep_mode="train")
             if cfg.profiling and i + 1 >= PROFILING_MAX_BATCHES:
                 break
 
@@ -142,8 +166,7 @@ class Trainer:
         for i, (batch, names) in enumerate(
                 self.pipeline.epoch(mode, epoch, shuffle=False)):
             losses, preds = self.eval_step(self.state.params, batch)
-            self.writer.write_losses(
-                {k: float(v) for k, v in losses.items()}, mode)
+            self.writer.write_losses(self._audit_nans(losses, names), mode)
             self._record_batch(preds, batch, names, mode)
             if cfg.profiling and i + 1 >= PROFILING_MAX_BATCHES:
                 break
@@ -200,15 +223,20 @@ class Trainer:
                       "metrics": metrics})
 
     def _optuna_report(self, epoch: int, metrics: Dict[str, float]) -> None:
-        """Per-epoch pruning report (trainer.py:319-331)."""
-        import optuna
+        """Per-epoch pruning report (trainer.py:319-331). Works with real
+        optuna trials and the fallback random-search trials alike."""
         value = (metrics.get("val_AUROC", 0.0)
                  if self.cfg.fine_tune_task == "binary_classification"
                  else self.writer.loss_history.get(
                      "total_val_loss_history", [float("inf")])[-1])
         self.optuna_trial.report(value, epoch)
         if self.optuna_trial.should_prune():
-            raise optuna.TrialPruned()
+            try:
+                import optuna
+                raise optuna.TrialPruned()
+            except ImportError:
+                from multimodal_neuroimage_tpu.hpo.optuna_harness import _Pruned
+                raise _Pruned()
 
     def testing(self) -> Dict[str, float]:
         """Phase-4 evaluation with the frozen val threshold
