@@ -23,6 +23,12 @@ import time
 import jax
 import numpy as np
 
+# Persist compiled executables across runs — the flagship stack compiles in
+# ~minutes through the remote-compile tunnel; later runs reuse the cache.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+
 
 def main() -> None:
     from __graft_entry__ import _example_batch, _flagship_cfg
@@ -42,19 +48,23 @@ def main() -> None:
     cfg = _flagship_cfg(tiny=(platform == "cpu"))
     mesh = build_mesh()
     model = create_model(cfg)
-    batch = _example_batch(batch_size)
+    batch = _example_batch(batch_size, r=cfg.intermediate_vec)
 
     tx, _ = optimizer_from_config(cfg, steps_per_epoch=100)
     state = create_train_state(model, batch, tx, cfg.seed)
     state = state.replace(params=replicate(state.params, mesh),
                           opt_state=replicate(state.opt_state, mesh))
     specs = active_losses(cfg.task, cfg.fine_tune_task)
-    step = make_train_step(model, specs, compute_dtype=cfg.compute_dtype)
+    step = make_train_step(model, specs, compute_dtype=cfg.compute_dtype,
+                           mesh=mesh)
     dev_batch = shard_batch(batch, mesh)
 
-    # warmup/compile
-    state, losses, _ = step(state, dev_batch)
-    jax.block_until_ready(losses["total"])
+    # warmup/compile: the first ~3 calls may trigger layout-driven recompiles
+    # under buffer donation; time only the steady state
+    for _ in range(3):
+        state, losses, _ = step(state, dev_batch)
+        jax.block_until_ready(losses["total"])
+    assert np.isfinite(float(losses["total"])), "non-finite training loss"
 
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
     t0 = time.perf_counter()

@@ -24,9 +24,12 @@ from __future__ import annotations
 from typing import Dict, Tuple
 
 import flax.linen as nn
+
+from multimodal_neuroimage_tpu.nn.common import LayerNorm
 import jax.numpy as jnp
 import numpy as np
 
+from multimodal_neuroimage_tpu.nn.common import TorchConv
 from multimodal_neuroimage_tpu.nn.swinfusion import CRSTB, RSTB
 from multimodal_neuroimage_tpu.nn.swin2d import SwinTransformerV2
 
@@ -66,13 +69,13 @@ class SwinFusionBackbone(nn.Module):
         pos_drop = nn.Dropout(self.drop_rate)
 
         # shared conv stem (reference uses the A stem for both, model.py:1406)
-        stem1 = nn.Conv(E // 2, (3, 3), padding=1, name="conv_first1_A")
-        stem2 = nn.Conv(E, (3, 3), padding=1, name="conv_first2_A")
+        stem1 = TorchConv(E // 2, (3, 3), name="conv_first1_A")
+        stem2 = TorchConv(E, (3, 3), name="conv_first2_A")
 
         def extract(x, branch: str):
             h = _lrelu(stem2(_lrelu(stem1(x[..., None]))))    # (B, 84, 84, E)
             t = h.reshape(h.shape[0], L, E)
-            t = nn.LayerNorm(name=f"patch_norm_{branch}")(t)
+            t = LayerNorm(name=f"patch_norm_{branch}")(t)
             t = pos_drop(t, deterministic=deterministic)
             dpr = self._dpr(self.ex_depths)
             for i, (depth, heads) in enumerate(zip(self.ex_depths,
@@ -83,7 +86,7 @@ class SwinFusionBackbone(nn.Module):
                          drop_path=dpr[sum(self.ex_depths[:i]):
                                        sum(self.ex_depths[:i + 1])],
                          name=f"Ex_{branch}_{i}")(t, deterministic)
-            return nn.LayerNorm(name=f"norm_Ex_{branch}")(t)
+            return LayerNorm(name=f"norm_Ex_{branch}")(t)
 
         x = extract(a.astype(jnp.float32), "A")
         y = extract(b.astype(jnp.float32), "B")
@@ -100,12 +103,12 @@ class SwinFusionBackbone(nn.Module):
                          drop_path=dpr[sum(self.fusion_depths[:i]):
                                        sum(self.fusion_depths[:i + 1])],
                          name=f"Fusion_{i}")(x, y, deterministic)
-        x = nn.LayerNorm(name="norm_Fusion_A")(x)
-        y = nn.LayerNorm(name="norm_Fusion_B")(y)
+        x = LayerNorm(name="norm_Fusion_A")(x)
+        y = LayerNorm(name="norm_Fusion_B")(y)
         h = jnp.concatenate([x.reshape(-1, *res, E), y.reshape(-1, *res, E)],
                             axis=-1)
-        h = _lrelu(nn.Conv(E, (3, 3), padding=1,
-                           name="conv_after_body_Fusion")(h))
+        h = _lrelu(TorchConv(E, (3, 3),
+                             name="conv_after_body_Fusion")(h))
 
         # reconstruction (model.py:1464-1482)
         t = h.reshape(h.shape[0], L, E)
@@ -117,11 +120,11 @@ class SwinFusionBackbone(nn.Module):
                      drop_path=dpr[sum(self.re_depths[:i]):
                                    sum(self.re_depths[:i + 1])],
                      name=f"Re_{i}")(t, deterministic)
-        t = nn.LayerNorm(name="norm_Re")(t)
+        t = LayerNorm(name="norm_Re")(t)
         h = t.reshape(-1, *res, E)
-        h = _lrelu(nn.Conv(E // 2, (3, 3), padding=1, name="conv_last1")(h))
-        h = _lrelu(nn.Conv(E // 4, (3, 3), padding=1, name="conv_last2")(h))
-        h = nn.Conv(1, (3, 3), padding=1, name="conv_last3")(h)
+        h = _lrelu(TorchConv(E // 2, (3, 3), name="conv_last1")(h))
+        h = _lrelu(TorchConv(E // 4, (3, 3), name="conv_last2")(h))
+        h = TorchConv(1, (3, 3), name="conv_last3")(h)
         return h[..., 0]                                     # (B, 84, 84)
 
 

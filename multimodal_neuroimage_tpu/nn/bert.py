@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from multimodal_neuroimage_tpu.nn.common import leaky_relu
+from multimodal_neuroimage_tpu.nn.common import LayerNorm, leaky_relu
 
 _bert_init = nn.initializers.normal(stddev=0.02)
 LN_EPS = 1e-12
@@ -38,6 +38,8 @@ class BertSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from multimodal_neuroimage_tpu.ops.attention import (
+            fused_attention, fused_attention_active)
         B, T, H = x.shape
         hd = self.hidden // self.heads
         q = nn.Dense(self.hidden, kernel_init=_bert_init, name="query")(x)
@@ -48,17 +50,29 @@ class BertSelfAttention(nn.Module):
             return t.reshape(B, T, self.heads, hd).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        scores = jnp.einsum("bhtd,bhsd->bhts", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores / jnp.sqrt(jnp.asarray(hd, scores.dtype))
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        probs = nn.Dropout(self.attn_dropout)(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhts,bhsd->bhtd", probs, v)
+        q = q / jnp.sqrt(jnp.asarray(hd, q.dtype))
+        if fused_attention_active():
+            # Pallas kernel: probabilities (the (B,H,T,T) hot tensor,
+            # SURVEY §3.2 HOT LOOP #1) never leave VMEM; dropout fused.
+            rate = 0.0 if deterministic else self.attn_dropout
+            if rate > 0.0:
+                seed = jax.random.randint(self.make_rng("dropout"), (),
+                                          0, 2 ** 31 - 1)
+            else:
+                seed = jnp.asarray(0, jnp.int32)
+            ctx = fused_attention(q, k, v, seed, rate)
+        else:
+            scores = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                                preferred_element_type=jnp.float32)
+            probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+            probs = nn.Dropout(self.attn_dropout)(probs,
+                                                  deterministic=deterministic)
+            ctx = jnp.einsum("bhts,bhsd->bhtd", probs, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, H)
 
         out = nn.Dense(self.hidden, kernel_init=_bert_init, name="output_dense")(ctx)
         out = nn.Dropout(self.hidden_dropout)(out, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=LN_EPS, name="output_ln")(out + x)
+        return LayerNorm(epsilon=LN_EPS, name="output_ln")(out + x)
 
 
 class BertLayer(nn.Module):
@@ -78,14 +92,36 @@ class BertLayer(nn.Module):
         h = nn.gelu(h, approximate=False)  # HF 'gelu' is the erf form
         h = nn.Dense(self.hidden, kernel_init=_bert_init, name="output_dense")(h)
         h = nn.Dropout(self.hidden_dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=LN_EPS, name="output_ln")(h + x)
+        return LayerNorm(epsilon=LN_EPS, name="output_ln")(h + x)
+
+
+class _BertScanBody(nn.Module):
+    """nn.scan body: one BertLayer, carry = activations."""
+
+    hidden: int
+    heads: int
+    intermediate: int
+    attn_dropout: float
+    hidden_dropout: float
+
+    @nn.compact
+    def __call__(self, x, deterministic):
+        y = BertLayer(self.hidden, self.heads, self.intermediate,
+                      self.attn_dropout, self.hidden_dropout,
+                      name="layer")(x, deterministic)
+        return y, None
 
 
 class BertEncoder(nn.Module):
     """``transformers.BertModel(add_pooling_layer=True)`` driven purely by
     ``inputs_embeds`` (reference model.py:175-186): learned absolute position
     embeddings + a single token-type embedding, embedding LayerNorm/dropout,
-    N post-LN layers, tanh pooler on token 0."""
+    N post-LN layers, tanh pooler on token 0.
+
+    ``scan_layers`` stacks the N identical layers under ``lax.scan`` (params
+    gain a leading depth axis) — the layer body is traced/compiled ONCE
+    instead of N times, cutting XLA compile time ~N-fold for the 16-layer
+    stacks. The math is identical to the unrolled loop."""
 
     hidden: int
     layers: int
@@ -94,6 +130,7 @@ class BertEncoder(nn.Module):
     intermediate: int = 3072
     hidden_dropout: float = 0.1
     attn_dropout: float = 0.1
+    scan_layers: bool = True
 
     @nn.compact
     def __call__(self, inputs_embeds, deterministic: bool = True):
@@ -103,13 +140,22 @@ class BertEncoder(nn.Module):
         type_table = self.param("token_type_embeddings", _bert_init,
                                 (1, self.hidden))
         x = inputs_embeds + pos_table[None, :T, :] + type_table[None, :, :]
-        x = nn.LayerNorm(epsilon=LN_EPS, name="embeddings_ln")(x)
+        x = LayerNorm(epsilon=LN_EPS, name="embeddings_ln")(x)
         x = nn.Dropout(self.hidden_dropout)(x, deterministic=deterministic)
 
-        for i in range(self.layers):
-            x = BertLayer(self.hidden, self.heads, self.intermediate,
-                          self.attn_dropout, self.hidden_dropout,
-                          name=f"layer_{i}")(x, deterministic)
+        if self.scan_layers:
+            scan = nn.scan(_BertScanBody,
+                           variable_axes={"params": 0},
+                           split_rngs={"params": True, "dropout": True},
+                           in_axes=nn.broadcast, length=self.layers)
+            x, _ = scan(self.hidden, self.heads, self.intermediate,
+                        self.attn_dropout, self.hidden_dropout,
+                        name="layers")(x, deterministic)
+        else:
+            for i in range(self.layers):
+                x = BertLayer(self.hidden, self.heads, self.intermediate,
+                              self.attn_dropout, self.hidden_dropout,
+                              name=f"layer_{i}")(x, deterministic)
 
         pooled = nn.Dense(self.hidden, kernel_init=_bert_init,
                           name="pooler_dense")(x[:, 0])

@@ -2,14 +2,57 @@
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
 xavier_uniform_init = nn.initializers.xavier_uniform()
+
+
+class TorchConv(nn.Module):
+    """Conv with PyTorch's default initialization: kaiming-uniform(a=sqrt(5))
+    kernel and U(-1/sqrt(fan_in), 1/sqrt(fan_in)) bias.
+
+    flax's zero bias default left the SwinFusion conv stems emitting EXACT
+    zeros on the zero off-diagonal region of the diagonal-embedded fMRI
+    matrix (model.py:1977-1989): every downstream LayerNorm then sees
+    variance 0 and scales backward cotangents by 1/sqrt(eps) (~1e3); ~24
+    stacked LNs overflow f32 and NaN the gradients. Nonzero bias (the
+    reference's torch behavior) breaks the exact-zero plateau at the source.
+    """
+
+    features: int
+    kernel_size: tuple
+    padding: Any = 1
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = int(np.prod(self.kernel_size)) * x.shape[-1]
+        bound = 1.0 / np.sqrt(fan_in)
+        return nn.Conv(
+            self.features, self.kernel_size, padding=self.padding,
+            kernel_init=nn.initializers.variance_scaling(
+                1.0 / 3.0, "fan_in", "uniform"),
+            bias_init=lambda key, shape, dtype=jnp.float32:
+                jax.random.uniform(key, shape, dtype, -bound, bound),
+            name="conv")(x)
+
+
+def LayerNorm(**kwargs) -> nn.LayerNorm:
+    """LayerNorm with the exact two-pass variance.
+
+    flax's default fast variance (E[x^2] - E[x]^2) cancels catastrophically
+    on near-constant activations — on TPU the computed variance can go below
+    -eps, and sqrt(negative) NaNs the backward. The diagonal-embedded fMRI
+    matrices (model.py:1977-1989) produce exactly such constant token
+    features after the SwinFusion conv stems, which is where this bit us
+    (patch_norm_A gradient NaN at full size)."""
+    kwargs.setdefault("use_fast_variance", False)
+    return nn.LayerNorm(**kwargs)
 
 
 def leaky_relu(x, negative_slope: float = 0.01):
@@ -18,15 +61,19 @@ def leaky_relu(x, negative_slope: float = 0.01):
 
 class DropPath(nn.Module):
     """Stochastic depth per sample (timm DropPath semantics, used throughout
-    the reference's Swin stacks — swin_v2_module.py:239)."""
+    the reference's Swin stacks — swin_v2_module.py:239).
+
+    ``rate`` may be overridden per call with a traced scalar so stacked
+    blocks under ``nn.scan`` can carry per-depth schedules."""
 
     rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        if self.rate == 0.0 or deterministic:
+    def __call__(self, x, deterministic: bool = True, rate=None):
+        if deterministic or (rate is None and self.rate == 0.0):
             return x
-        keep = 1.0 - self.rate
+        r = self.rate if rate is None else rate
+        keep = 1.0 - r
         rng = self.make_rng("droppath")
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape)

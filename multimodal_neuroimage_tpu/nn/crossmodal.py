@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multimodal_neuroimage_tpu.nn.common import xavier_uniform_init
+from multimodal_neuroimage_tpu.nn.common import LayerNorm, xavier_uniform_init
 
 
 @lru_cache(maxsize=32)
@@ -123,7 +123,7 @@ class MultEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, x_k=None, x_v=None, deterministic: bool = True):
-        ln0 = nn.LayerNorm(name="ln0")
+        ln0 = LayerNorm(name="ln0")
         residual = x
         xn = ln0(x)
         mask = None
@@ -143,7 +143,7 @@ class MultEncoderLayer(nn.Module):
         x = residual + h
 
         residual = x
-        h = nn.LayerNorm(name="ln1")(x)
+        h = LayerNorm(name="ln1")(x)
         h = nn.relu(nn.Dense(4 * self.embed_dim,
                              kernel_init=xavier_uniform_init, name="fc1")(h))
         h = nn.Dropout(self.relu_dropout)(h, deterministic=deterministic)
@@ -195,4 +195,4 @@ class MultTransformerEncoder(nn.Module):
                                      self.res_dropout, self.attn_mask,
                                      name=f"layer_{i}")(
                     x, deterministic=deterministic)
-        return nn.LayerNorm(name="final_ln")(x)
+        return LayerNorm(name="final_ln")(x)

@@ -19,6 +19,8 @@ from __future__ import annotations
 from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
+
+from multimodal_neuroimage_tpu.nn.common import LayerNorm
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multimodal_neuroimage_tpu.nn.common import (
+from multimodal_neuroimage_tpu.nn.common import (LayerNorm, 
     DropPath, Mlp, trunc_normal_init, window_partition, window_reverse)
 
 
@@ -120,14 +120,11 @@ class WindowAttentionV2(nn.Module):
         # cosine attention (swin_v2_module.py:152-156)
         q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
         k = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-12)
-        attn = jnp.einsum("bwhnd,bwhmd->bwhnm", q, k,
-                          preferred_element_type=jnp.float32)
         logit_scale = self.param(
             "logit_scale",
             lambda rng, shape: jnp.full(shape, math.log(10.0)),
             (heads, 1, 1))
         logit_scale = jnp.exp(jnp.clip(logit_scale, max=math.log(1.0 / 0.01)))
-        attn = attn * logit_scale[None, None]
 
         # continuous relative position bias (swin_v2_module.py:158-163)
         table = jnp.asarray(relative_coords_table(
@@ -137,21 +134,41 @@ class WindowAttentionV2(nn.Module):
             nn.relu(h1)).reshape(-1, heads)
         idx = jnp.asarray(relative_position_index(*self.window_size).reshape(-1))
         rel_bias = bias_table[idx].reshape(N, N, heads).transpose(2, 0, 1)
-        attn = attn + 16.0 * jax.nn.sigmoid(rel_bias)[None, None]
+        bias = 16.0 * jax.nn.sigmoid(rel_bias)
 
-        if mask is not None:
-            attn = attn + jnp.asarray(mask)[None, :, None]
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-
-        out = jnp.einsum("bwhnm,bwhmd->bwhnd", attn, v)
+        from multimodal_neuroimage_tpu.ops.attention import (
+            fused_attention_active, fused_window_attention)
+        if fused_attention_active():
+            # fold the per-head cosine logit scale into q, then reuse the
+            # fused bias+mask window kernel (probabilities stay in VMEM)
+            q_scaled = q * logit_scale[None, None, :, :, :]
+            rate = 0.0 if deterministic else self.attn_drop
+            seed = (jax.random.randint(self.make_rng("dropout"), (),
+                                       0, 2 ** 31 - 1)
+                    if rate > 0.0 else jnp.asarray(0, jnp.int32))
+            out = fused_window_attention(q_scaled, k, v, bias, mask, seed,
+                                         rate)
+        else:
+            attn = jnp.einsum("bwhnd,bwhmd->bwhnm", q, k,
+                              preferred_element_type=jnp.float32)
+            attn = attn * logit_scale[None, None]
+            attn = attn + bias[None, None]
+            if mask is not None:
+                attn = attn + jnp.asarray(mask)[None, :, None]
+            attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+            attn = nn.Dropout(self.attn_drop)(attn,
+                                              deterministic=deterministic)
+            out = jnp.einsum("bwhnm,bwhmd->bwhnd", attn, v)
         out = out.transpose(0, 1, 3, 2, 4).reshape(B, nW, N, C)
         out = nn.Dense(self.dim, kernel_init=trunc_normal_init, name="proj")(out)
         return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
 
 
 class SwinBlockV2(nn.Module):
-    """Res-post-norm Swin V2 block (swin_v2_module.py:198-304)."""
+    """Res-post-norm Swin V2 block (swin_v2_module.py:198-304).
+
+    ``dp_rate`` (call arg) optionally overrides the static drop_path field
+    with a traced per-depth rate for scanned stacks."""
 
     dim: int
     input_resolution: Tuple[int, int]
@@ -172,7 +189,7 @@ class SwinBlockV2(nn.Module):
         return ws, shift
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, dp_rate=None):
         H, W = self.input_resolution
         B, L, C = x.shape
         ws, shift = self._effective()
@@ -192,13 +209,13 @@ class SwinBlockV2(nn.Module):
             x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
         x = x.reshape(B, H * W, C)
         # res-post-norm, zero-init (swin_v2_module.py:299-302, 446-451)
-        x = nn.LayerNorm(scale_init=nn.initializers.zeros, name="norm1")(x)
-        x = shortcut + DropPath(self.drop_path)(x, deterministic)
+        x = LayerNorm(scale_init=nn.initializers.zeros, name="norm1")(x)
+        x = shortcut + DropPath(self.drop_path)(x, deterministic, dp_rate)
 
         h = Mlp(int(self.dim * self.mlp_ratio), self.dim, drop=self.drop,
                 name="mlp")(x, deterministic)
-        h = nn.LayerNorm(scale_init=nn.initializers.zeros, name="norm2")(h)
-        return x + DropPath(self.drop_path)(h, deterministic)
+        h = LayerNorm(scale_init=nn.initializers.zeros, name="norm2")(h)
+        return x + DropPath(self.drop_path)(h, deterministic, dp_rate)
 
 
 class PatchMerging(nn.Module):
@@ -218,12 +235,40 @@ class PatchMerging(nn.Module):
              x[:, 1::2, 1::2]], axis=-1).reshape(B, (H // 2) * (W // 2), 4 * C)
         x = nn.Dense(2 * self.dim, use_bias=False,
                      kernel_init=trunc_normal_init, name="reduction")(x)
-        return nn.LayerNorm(name="norm")(x)
+        return LayerNorm(name="norm")(x)
+
+
+class _SwinPairBody(nn.Module):
+    """nn.scan body: (no-shift, shift) SwinV2 block pair."""
+
+    dim: int
+    input_resolution: Tuple[int, int]
+    num_heads: int
+    window_size: int
+    mlp_ratio: float
+    qkv_bias: bool
+    drop: float
+    attn_drop: float
+    pretrained_window_size: int
+
+    @nn.compact
+    def __call__(self, x, dp_pair, deterministic):
+        common = dict(dim=self.dim, input_resolution=self.input_resolution,
+                      num_heads=self.num_heads, window_size=self.window_size,
+                      mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                      drop=self.drop, attn_drop=self.attn_drop, drop_path=1.0,
+                      pretrained_window_size=self.pretrained_window_size)
+        x = SwinBlockV2(shift_size=0, name="block_0", **common)(
+            x, deterministic, dp_pair[0])
+        x = SwinBlockV2(shift_size=self.window_size // 2, name="block_1",
+                        **common)(x, deterministic, dp_pair[1])
+        return x, None
 
 
 class SwinStage(nn.Module):
     """One stage: depth blocks alternating shift 0 / ws//2, optional merge
-    (swin_v2_module.py:376-433)."""
+    (swin_v2_module.py:376-433). Even depths run as one scanned block pair
+    (single trace per stage — compile-time lever, see nn/swinfusion.py)."""
 
     dim: int
     input_resolution: Tuple[int, int]
@@ -240,17 +285,36 @@ class SwinStage(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        for i in range(self.depth):
-            dp = (self.drop_path[i] if isinstance(self.drop_path, (list, tuple))
-                  else self.drop_path)
-            x = SwinBlockV2(
-                self.dim, self.input_resolution, self.num_heads,
-                self.window_size,
-                shift_size=0 if i % 2 == 0 else self.window_size // 2,
-                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
-                drop=self.drop, attn_drop=self.attn_drop, drop_path=dp,
-                pretrained_window_size=self.pretrained_window_size,
-                name=f"block_{i}")(x, deterministic)
+        if self.depth % 2 == 0 and self.depth >= 2:
+            dpr = (list(self.drop_path)
+                   if isinstance(self.drop_path, (list, tuple))
+                   else [float(self.drop_path)] * self.depth)
+            dp_pairs = jnp.asarray(
+                np.asarray(dpr, np.float32).reshape(self.depth // 2, 2))
+            scan = nn.scan(_SwinPairBody,
+                           variable_axes={"params": 0},
+                           split_rngs={"params": True, "dropout": True,
+                                       "droppath": True},
+                           in_axes=(0, nn.broadcast),
+                           length=self.depth // 2)
+            x, _ = scan(self.dim, self.input_resolution, self.num_heads,
+                        self.window_size, self.mlp_ratio, self.qkv_bias,
+                        self.drop, self.attn_drop,
+                        self.pretrained_window_size, name="pairs")(
+                x, dp_pairs, deterministic)
+        else:
+            for i in range(self.depth):
+                dp = (self.drop_path[i]
+                      if isinstance(self.drop_path, (list, tuple))
+                      else self.drop_path)
+                x = SwinBlockV2(
+                    self.dim, self.input_resolution, self.num_heads,
+                    self.window_size,
+                    shift_size=0 if i % 2 == 0 else self.window_size // 2,
+                    mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                    drop=self.drop, attn_drop=self.attn_drop, drop_path=dp,
+                    pretrained_window_size=self.pretrained_window_size,
+                    name=f"block_{i}")(x, deterministic)
         if self.downsample:
             x = PatchMerging(self.input_resolution, self.dim,
                              name="downsample")(x)
@@ -287,7 +351,7 @@ class PatchEmbed(nn.Module):
         B, ph, pw, C = x.shape
         x = x.reshape(B, ph * pw, C)
         if self.patch_norm:
-            x = nn.LayerNorm(name="norm")(x)
+            x = LayerNorm(name="norm")(x)
         return x
 
 
@@ -352,5 +416,5 @@ class SwinTransformerV2(nn.Module):
                 downsample=i < n_layers - 1,
                 name=f"stage_{i}")(x, deterministic)
 
-        x = nn.LayerNorm(name="norm")(x)
+        x = LayerNorm(name="norm")(x)
         return x.mean(axis=1)  # AdaptiveAvgPool1d(1) over tokens (model.py:1111)

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multimodal_neuroimage_tpu.nn.common import (DropPath, Mlp,
+from multimodal_neuroimage_tpu.nn.common import (LayerNorm, DropPath, Mlp,
                                                  trunc_normal_init,
                                                  window_partition,
                                                  window_reverse)
@@ -74,8 +74,6 @@ class WindowAttentionV1(nn.Module):
             return t.reshape(B, nW, N, heads, hd).transpose(0, 1, 3, 2, 4)
 
         q, k, v = split_heads(q) * scale, split_heads(k), split_heads(v)
-        attn = jnp.einsum("bwhnd,bwhmd->bwhnm", q, k,
-                          preferred_element_type=jnp.float32)
 
         ws = self.window_size
         table = self.param("relative_position_bias_table",
@@ -83,14 +81,25 @@ class WindowAttentionV1(nn.Module):
                            ((2 * ws - 1) * (2 * ws - 1), heads))
         idx = jnp.asarray(relative_position_index(ws, ws).reshape(-1))
         bias = table[idx].reshape(N, N, heads).transpose(2, 0, 1)
-        attn = attn + bias[None, None]
 
-        if mask is not None:
-            attn = attn + jnp.asarray(mask)[None, :, None]
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-
-        out = jnp.einsum("bwhnm,bwhmd->bwhnd", attn, v)
+        from multimodal_neuroimage_tpu.ops.attention import (
+            fused_attention_active, fused_window_attention)
+        if fused_attention_active():
+            rate = 0.0 if deterministic else self.attn_drop
+            seed = (jax.random.randint(self.make_rng("dropout"), (),
+                                       0, 2 ** 31 - 1)
+                    if rate > 0.0 else jnp.asarray(0, jnp.int32))
+            out = fused_window_attention(q, k, v, bias, mask, seed, rate)
+        else:
+            attn = jnp.einsum("bwhnd,bwhmd->bwhnm", q, k,
+                              preferred_element_type=jnp.float32)
+            attn = attn + bias[None, None]
+            if mask is not None:
+                attn = attn + jnp.asarray(mask)[None, :, None]
+            attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+            attn = nn.Dropout(self.attn_drop)(attn,
+                                              deterministic=deterministic)
+            out = jnp.einsum("bwhnm,bwhmd->bwhnd", attn, v)
         out = out.transpose(0, 1, 3, 2, 4).reshape(B, nW, N, C)
         out = nn.Dense(self.dim, name="proj")(out)
         return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
@@ -131,7 +140,7 @@ class FusionBlock(nn.Module):
         return ws, shift
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, dp_rate=None):
         ws, shift = self._effective()
         H, W = self.input_resolution
         mask = shift_attn_mask(H, W, ws, shift)
@@ -140,14 +149,14 @@ class FusionBlock(nn.Module):
                                  attn_drop=self.attn_drop,
                                  proj_drop=self.drop, name="attn")
         shortcut = x
-        h = nn.LayerNorm(name="norm1")(x)
+        h = LayerNorm(name="norm1")(x)
         h = _windowed(lambda w: attn(w, mask=mask,
                                      deterministic=deterministic),
                       h, self.input_resolution, ws, shift)
-        x = shortcut + DropPath(self.drop_path)(h, deterministic)
+        x = shortcut + DropPath(self.drop_path)(h, deterministic, dp_rate)
         h = Mlp(int(self.dim * self.mlp_ratio), self.dim, drop=self.drop,
-                name="mlp")(nn.LayerNorm(name="norm2")(x), deterministic)
-        return x + DropPath(self.drop_path)(h, deterministic)
+                name="mlp")(LayerNorm(name="norm2")(x), deterministic)
+        return x + DropPath(self.drop_path)(h, deterministic, dp_rate)
 
 
 class CrossFusionBlock(nn.Module):
@@ -173,7 +182,7 @@ class CrossFusionBlock(nn.Module):
         return ws, shift
 
     @nn.compact
-    def __call__(self, x, y, deterministic: bool = True):
+    def __call__(self, x, y, deterministic: bool = True, dp_rate=None):
         ws, shift = self._effective()
         H, W = self.input_resolution
         B, L, C = x.shape
@@ -200,8 +209,8 @@ class CrossFusionBlock(nn.Module):
             return t.reshape(B, L, C)
 
         shortcut_A, shortcut_B = x, y
-        xw = to_windows(nn.LayerNorm(name="norm1_A")(x))
-        yw = to_windows(nn.LayerNorm(name="norm1_B")(y))
+        xw = to_windows(LayerNorm(name="norm1_A")(x))
+        yw = to_windows(LayerNorm(name="norm1_B")(y))
         x = from_windows(attn_A(xw, yw, mask=mask,
                                 deterministic=deterministic))
         y = from_windows(attn_B(yw, xw, mask=mask,
@@ -209,20 +218,82 @@ class CrossFusionBlock(nn.Module):
 
         dp_A = DropPath(self.drop_path, name="drop_path_A")
         dp_B = DropPath(self.drop_path, name="drop_path_B")
-        x = shortcut_A + dp_A(x, deterministic)
+        x = shortcut_A + dp_A(x, deterministic, dp_rate)
         x = x + dp_A(Mlp(int(self.dim * self.mlp_ratio), self.dim,
                          drop=self.drop, name="mlp_A")(
-            nn.LayerNorm(name="norm2_A")(x), deterministic), deterministic)
-        y = shortcut_B + dp_B(y, deterministic)
+            LayerNorm(name="norm2_A")(x), deterministic), deterministic,
+            dp_rate)
+        y = shortcut_B + dp_B(y, deterministic, dp_rate)
         y = y + dp_B(Mlp(int(self.dim * self.mlp_ratio), self.dim,
                          drop=self.drop, name="mlp_B")(
-            nn.LayerNorm(name="norm2_B")(y), deterministic), deterministic)
+            LayerNorm(name="norm2_B")(y), deterministic), deterministic,
+            dp_rate)
         return x, y
+
+
+def _dp_pairs(drop_path, depth: int) -> jnp.ndarray:
+    dpr = (list(drop_path) if isinstance(drop_path, (list, tuple))
+           else [float(drop_path)] * depth)
+    return jnp.asarray(np.asarray(dpr, np.float32).reshape(depth // 2, 2))
+
+
+class _FusionPairBody(nn.Module):
+    """nn.scan body: one (no-shift, shift) block pair with traced per-depth
+    DropPath rates."""
+
+    dim: int
+    input_resolution: Tuple[int, int]
+    num_heads: int
+    window_size: int
+    mlp_ratio: float
+    qkv_bias: bool
+    drop: float
+    attn_drop: float
+
+    @nn.compact
+    def __call__(self, x, dp_pair, deterministic):
+        common = dict(dim=self.dim, input_resolution=self.input_resolution,
+                      num_heads=self.num_heads, window_size=self.window_size,
+                      mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                      drop=self.drop, attn_drop=self.attn_drop, drop_path=1.0)
+        x = FusionBlock(shift_size=0, name="block_0", **common)(
+            x, deterministic, dp_pair[0])
+        x = FusionBlock(shift_size=self.window_size // 2, name="block_1",
+                        **common)(x, deterministic, dp_pair[1])
+        return x, None
+
+
+class _CrossPairBody(nn.Module):
+    dim: int
+    input_resolution: Tuple[int, int]
+    num_heads: int
+    window_size: int
+    mlp_ratio: float
+    qkv_bias: bool
+    drop: float
+    attn_drop: float
+
+    @nn.compact
+    def __call__(self, carry, dp_pair, deterministic):
+        x, y = carry
+        common = dict(dim=self.dim, input_resolution=self.input_resolution,
+                      num_heads=self.num_heads, window_size=self.window_size,
+                      mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                      drop=self.drop, attn_drop=self.attn_drop, drop_path=1.0)
+        x, y = CrossFusionBlock(shift_size=0, name="block_0", **common)(
+            x, y, deterministic, dp_pair[0])
+        x, y = CrossFusionBlock(shift_size=self.window_size // 2,
+                                name="block_1", **common)(
+            x, y, deterministic, dp_pair[1])
+        return (x, y), None
 
 
 class BasicLayerFusion(nn.Module):
     """depth FusionBlocks alternating shift 0 / ws//2
-    (swinfusion_module.py:609-667)."""
+    (swinfusion_module.py:609-667). Even depths run as ONE scanned block pair
+    (single trace/compile regardless of depth — the stacks here are 54+
+    blocks deep and XLA compile time is the binding constraint, SURVEY §7.2
+    step 9); odd depths fall back to the unrolled loop."""
 
     dim: int
     input_resolution: Tuple[int, int]
@@ -237,6 +308,18 @@ class BasicLayerFusion(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        if self.depth % 2 == 0 and self.depth >= 2:
+            scan = nn.scan(_FusionPairBody,
+                           variable_axes={"params": 0},
+                           split_rngs={"params": True, "dropout": True,
+                                       "droppath": True},
+                           in_axes=(0, nn.broadcast),
+                           length=self.depth // 2)
+            x, _ = scan(self.dim, self.input_resolution, self.num_heads,
+                        self.window_size, self.mlp_ratio, self.qkv_bias,
+                        self.drop, self.attn_drop, name="pairs")(
+                x, _dp_pairs(self.drop_path, self.depth), deterministic)
+            return x
         for i in range(self.depth):
             dp = (self.drop_path[i] if isinstance(self.drop_path, (list, tuple))
                   else self.drop_path)
@@ -250,7 +333,8 @@ class BasicLayerFusion(nn.Module):
 
 
 class CrossBasicLayer(nn.Module):
-    """depth CrossFusionBlocks alternating shift (swinfusion_module.py:669-747)."""
+    """depth CrossFusionBlocks alternating shift (swinfusion_module.py:669-747),
+    scanned in pairs like BasicLayerFusion."""
 
     dim: int
     input_resolution: Tuple[int, int]
@@ -265,6 +349,18 @@ class CrossBasicLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, y, deterministic: bool = True):
+        if self.depth % 2 == 0 and self.depth >= 2:
+            scan = nn.scan(_CrossPairBody,
+                           variable_axes={"params": 0},
+                           split_rngs={"params": True, "dropout": True,
+                                       "droppath": True},
+                           in_axes=(0, nn.broadcast),
+                           length=self.depth // 2)
+            (x, y), _ = scan(self.dim, self.input_resolution, self.num_heads,
+                             self.window_size, self.mlp_ratio, self.qkv_bias,
+                             self.drop, self.attn_drop, name="pairs")(
+                (x, y), _dp_pairs(self.drop_path, self.depth), deterministic)
+            return x, y
         for i in range(self.depth):
             dp = (self.drop_path[i] if isinstance(self.drop_path, (list, tuple))
                   else self.drop_path)

@@ -106,7 +106,8 @@ def _cast_tree(tree, dtype):
 
 def make_train_step(model, loss_specs: Dict[str, LossSpec],
                     compute_dtype: str = "bfloat16",
-                    donate: bool = True, remat: bool = False) -> Callable:
+                    donate: bool = True, remat: bool = False,
+                    mesh=None) -> Callable:
     """Build the single jitted optimizer step.
 
     Returns fn(state, batch) -> (state, loss_dict, outputs). With the batch
@@ -114,8 +115,18 @@ def make_train_step(model, loss_specs: Dict[str, LossSpec],
     compiles the full fwd+bwd+update with gradient collectives over ICI.
     ``remat`` checkpoints the forward (recompute in backward) to trade FLOPs
     for HBM (replaces nothing in the reference — a TPU memory lever).
+
+    ``mesh`` pins the output state to the replicated sharding — without the
+    constraint, GSPMD may pick a different layout for the returned state than
+    the input had, and the next call RECOMPILES; under buffer donation this
+    flip-flops every step (measured 16-46 s/step vs 1.1 s pinned).
     """
     cdtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+
+    repl = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        repl = NamedSharding(mesh, PartitionSpec())
 
     def apply_fn(p, b, dropout_rng):
         return model.apply({"params": p}, b, deterministic=False,
@@ -140,6 +151,10 @@ def make_train_step(model, loss_specs: Dict[str, LossSpec],
         (_, (losses, outputs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch, rng)
         new_state = state.apply_gradients(grads)
+        if repl is not None:
+            new_state = jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, repl),
+                new_state)
         preds = {k: outputs[k] for k in ("binary_classification", "regression")
                  if k in outputs}
         return new_state, losses, preds

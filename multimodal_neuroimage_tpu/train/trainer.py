@@ -46,7 +46,19 @@ class Trainer:
         maybe_initialize_distributed(cfg.distributed)
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
-        self.mesh = build_mesh(cfg.mesh_shape, cfg.mesh_axes)
+        # the data axis must divide the per-host batch; shrink the mesh to
+        # the largest divisor when they mismatch (e.g. batch 4 on 8 chips)
+        import math
+        n_local = jax.local_device_count()
+        usable = math.gcd(cfg.batch_size, n_local)
+        if (cfg.mesh_shape is None and usable != n_local
+                and len(cfg.mesh_axes) == 1):
+            print(f"[mesh] batch_size {cfg.batch_size} not divisible by "
+                  f"{n_local} local devices; using {usable}")
+            self.mesh = build_mesh((usable,), cfg.mesh_axes,
+                                   devices=jax.devices()[:usable])
+        else:
+            self.mesh = build_mesh(cfg.mesh_shape, cfg.mesh_axes)
 
         # 1. data (trainer.py:58)
         self.pipeline = DataPipeline(cfg, self.mesh)
@@ -80,7 +92,8 @@ class Trainer:
             perceptual_factor=cfg.perceptual_factor,
             reconstruction_factor=cfg.reconstruction_factor)
         self.train_step = make_train_step(self.model, self.loss_specs,
-                                          cfg.compute_dtype, remat=cfg.remat)
+                                          cfg.compute_dtype, remat=cfg.remat,
+                                          mesh=self.mesh)
         self.eval_step = make_eval_step(self.model, self.loss_specs,
                                         cfg.compute_dtype)
         log_dir = os.path.join(cfg.experiment_folder or cfg.log_dir)
@@ -93,6 +106,7 @@ class Trainer:
         self.pred_key = cfg.fine_tune_task
         self.optuna_trial = None  # set by hpo harness
         self.nan_subjects: Dict[str, set] = {}
+        self._pending: List = []
 
     # ------------------------------------------------------------------
     def _restore_weights(self) -> None:
@@ -123,9 +137,26 @@ class Trainer:
                       mode: str) -> None:
         if self.pred_key not in preds:
             return
+        if not self.cfg.nan_audit:
+            # defer the device->host copy: keep the device scalars and flush
+            # them in one batched transfer at summary time (keeps the step
+            # pipeline free of per-step syncs)
+            self._pending.append((names, preds[self.pred_key],
+                                  batch["target"], mode))
+            return
         scores = np.asarray(preds[self.pred_key]).reshape(-1)
         targets = np.asarray(batch["target"]).reshape(-1)
         self.accumulator.append(names, scores, targets, mode)
+
+    def _flush_pending(self) -> None:
+        if not self._pending:
+            return
+        arrays = jax.device_get([(p[1], p[2]) for p in self._pending])
+        for (names, _, _, mode), (scores, targets) in zip(self._pending,
+                                                          arrays):
+            self.accumulator.append(names, np.asarray(scores).reshape(-1),
+                                    np.asarray(targets).reshape(-1), mode)
+        self._pending = []
 
     def _audit_nans(self, losses: Dict, names: List[str]) -> Dict:
         """Per-loss NaN audit collecting offending subject IDs
@@ -154,6 +185,7 @@ class Trainer:
             # (reference trainer.py:439-453; default is effectively off)
             if (i + 1) % cfg.validation_frequency == 0:
                 self.eval_epoch("val", epoch)
+                self._flush_pending()
                 metrics = self.accumulator.summary(
                     ["train", "val"], val_threshold=self.val_threshold)
                 self.writer.record_metrics(metrics)
@@ -187,6 +219,7 @@ class Trainer:
                 self.eval_epoch("val", epoch)
                 lr = float(self.schedule(int(self.state.step)))
                 self.writer.loss_summary(lr)
+                self._flush_pending()
                 metrics = self.accumulator.summary(
                     ["train", "val"], val_threshold=self.val_threshold)
                 self.writer.write_subject_predictions(self.accumulator)
@@ -243,6 +276,7 @@ class Trainer:
         (trainer.py:571-582, metrics.py:21-33)."""
         self.eval_epoch("test")
         self.writer.loss_summary(0.0)
+        self._flush_pending()
         metrics = self.accumulator.summary(
             ["test"], val_threshold=self.val_threshold)
         self.writer.write_subject_predictions(self.accumulator)

@@ -19,11 +19,14 @@ def _t(x) -> np.ndarray:
 
 
 def bert_params_from_hf(state: Mapping[str, Any], num_layers: int,
-                        prefix: str = "") -> Dict[str, Any]:
+                        prefix: str = "",
+                        scan_layers: bool = True) -> Dict[str, Any]:
     """Map a ``transformers.BertModel`` state_dict to BertEncoder params.
 
     ``prefix`` selects a submodule inside a larger state_dict (e.g.
     ``transformer_low.bert.`` when importing a reference Transformer_Block).
+    With ``scan_layers`` (the encoder default) the per-layer trees are stacked
+    along a leading depth axis under ``layers/layer``.
     """
     def g(name):
         return _t(state[prefix + name])
@@ -41,9 +44,10 @@ def bert_params_from_hf(state: Mapping[str, Any], num_layers: int,
         "embeddings_ln": ln("embeddings.LayerNorm"),
         "pooler_dense": dense("pooler.dense"),
     }
-    for i in range(num_layers):
+
+    def layer_tree(i):
         base = f"encoder.layer.{i}"
-        params[f"layer_{i}"] = {
+        return {
             "attention": {
                 "query": dense(f"{base}.attention.self.query"),
                 "key": dense(f"{base}.attention.self.key"),
@@ -55,4 +59,13 @@ def bert_params_from_hf(state: Mapping[str, Any], num_layers: int,
             "output_dense": dense(f"{base}.output.dense"),
             "output_ln": ln(f"{base}.output.LayerNorm"),
         }
+
+    if scan_layers:
+        import jax
+        trees = [layer_tree(i) for i in range(num_layers)]
+        params["layers"] = {"layer": jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *trees)}
+    else:
+        for i in range(num_layers):
+            params[f"layer_{i}"] = layer_tree(i)
     return params
