@@ -77,12 +77,54 @@ def resolve_paths(dataset_name: str, subject: str, cfg) -> Dict[str, str]:
     return paths
 
 
+def build_hcp_index(cfg) -> List[SubjectRecord]:
+    """HCP cohort (reference datasets.py:60-108): sex from
+    HCP_1200_gender.csv (Subject/Gender, M->1), age from
+    HCP_1200_precise_age.csv (subject/age, z-scored); subjects come from the
+    ``<id>_cortex.npy`` files present in hcp_path."""
+    meta_dir = os.path.join(cfg.base_path, "data", "metadata")
+    if cfg.target == "age":
+        meta = pd.read_csv(cfg.metadata_csv or os.path.join(
+            meta_dir, "HCP_1200_precise_age.csv"))
+        lookup = meta.set_index(meta["subject"].astype(int))["age"]
+        mean, std = float(lookup.mean()), float(lookup.std())
+    elif cfg.target == "sex":
+        meta = pd.read_csv(cfg.metadata_csv or os.path.join(
+            meta_dir, "HCP_1200_gender.csv"))
+        lookup = meta.set_index(meta["Subject"].astype(int))["Gender"]
+    else:
+        # the reference's other-target branch was dead code (datasets.py:84
+        # referenced an undefined meta_data — SURVEY §2.3); fail loudly
+        raise ValueError(f"HCP supports targets 'sex'/'age', got {cfg.target}")
+
+    records: List[SubjectRecord] = []
+    i = 0
+    for fname in sorted(os.listdir(cfg.hcp_path)):
+        if not fname.endswith("_cortex.npy"):
+            continue
+        subject = fname.split("_")[0]
+        key = int(subject)
+        if key not in lookup.index:
+            continue
+        if cfg.target == "age":
+            target = (float(lookup.loc[key]) - mean) / std
+        else:
+            target = 1.0 if str(lookup.loc[key]) == "M" else 0.0
+        records.append(SubjectRecord(
+            idx=i, subject=subject,
+            paths=resolve_paths("hcp", subject, cfg), target=target))
+        i += 1
+    return records
+
+
 def build_subject_index(cfg) -> List[SubjectRecord]:
     """Scan metadata, intersect cohorts, encode targets.
 
     Regression targets are z-scored with the mean/std of the FULL non-NA
     metadata cohort (before intersection), matching datasets.py:193-196.
     """
+    if cfg.dataset_name == "hcp":
+        return build_hcp_index(cfg)
     meta_csv = cfg.metadata_csv or os.path.join(
         cfg.base_path, "data", "metadata", "ABCD_phenotype_total.csv")
     meta = pd.read_csv(meta_csv)

@@ -118,6 +118,33 @@ def generate_synthetic_cohort(
     return root
 
 
+def generate_synthetic_hcp(root: str, n_subjects: int = 16,
+                           seed: int = 55555555) -> str:
+    """HCP-layout cohort: <id>_cortex.npy (22 ROIs, 900-1200 TRs) +
+    HCP_1200_gender.csv / HCP_1200_precise_age.csv metadata."""
+    rng = np.random.default_rng(seed)
+    hcp_dir = os.path.join(root, "data", "hcp")
+    meta_dir = os.path.join(root, "data", "metadata")
+    os.makedirs(hcp_dir, exist_ok=True)
+    os.makedirs(meta_dir, exist_ok=True)
+    ids = [100000 + i for i in range(n_subjects)]
+    gender = rng.integers(0, 2, n_subjects)
+    age = rng.normal(28.0, 4.0, n_subjects)
+    pd.DataFrame({"Subject": ids,
+                  "Gender": ["M" if g else "F" for g in gender]}).to_csv(
+        os.path.join(meta_dir, "HCP_1200_gender.csv"), index=False)
+    pd.DataFrame({"subject": ids, "age": age}).to_csv(
+        os.path.join(meta_dir, "HCP_1200_precise_age.csv"), index=False)
+    for i, sid in enumerate(ids):
+        srng = np.random.default_rng(seed + 50_000 + i)
+        T = int(srng.integers(900, 1201))
+        sig = srng.normal(0, 1, (22, T)).astype(np.float32)
+        sig[:11] += (0.7 if gender[i] else 0.1) * np.sin(
+            2 * np.pi * 0.01 * np.arange(T) * 0.72)[None, :]
+        np.save(os.path.join(hcp_dir, f"{sid}_cortex.npy"), sig)
+    return root
+
+
 def synthetic_config(root: str, **overrides):
     """A Config pointed at a synthetic cohort directory."""
     from multimodal_neuroimage_tpu.config import Config
