@@ -24,7 +24,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from multimodal_neuroimage_tpu.nn.common import LayerNorm, leaky_relu
+from multimodal_neuroimage_tpu.nn.common import (LayerNorm, leaky_relu,
+                                                 scan_body)
 
 _bert_init = nn.initializers.normal(stddev=0.02)
 LN_EPS = 1e-12
@@ -144,7 +145,9 @@ class BertEncoder(nn.Module):
         x = nn.Dropout(self.hidden_dropout)(x, deterministic=deterministic)
 
         if self.scan_layers:
-            scan = nn.scan(_BertScanBody,
+            # remat each layer: residuals per scan step reduce to the carry,
+            # which is what lets batch size scale on a 16 GB chip
+            scan = nn.scan(scan_body(_BertScanBody, (2,)),
                            variable_axes={"params": 0},
                            split_rngs={"params": True, "dropout": True},
                            in_axes=nn.broadcast, length=self.layers)

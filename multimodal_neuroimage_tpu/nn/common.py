@@ -42,6 +42,27 @@ class TorchConv(nn.Module):
             name="conv")(x)
 
 
+_SCAN_REMAT = False
+
+
+def set_scan_remat(enabled: bool) -> None:
+    """Opt-in rematerialization of scanned block bodies (recompute-in-backward).
+
+    Cuts activation residuals to the scan carry so batch size can scale past
+    HBM limits; measured ~40x slower per step on the axon-tunneled v5e
+    (recompute kernels dominate there), so it is OFF by default and meant for
+    memory-bound multi-chip runs."""
+    global _SCAN_REMAT
+    _SCAN_REMAT = enabled
+
+
+def scan_body(body_cls, static_argnums):
+    """Scan body, optionally remat-wrapped (see set_scan_remat)."""
+    if _SCAN_REMAT:
+        return nn.remat(body_cls, static_argnums=static_argnums)
+    return body_cls
+
+
 def LayerNorm(**kwargs) -> nn.LayerNorm:
     """LayerNorm with the exact two-pass variance.
 

@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multimodal_neuroimage_tpu.nn.common import (LayerNorm, 
+from multimodal_neuroimage_tpu.nn.common import (scan_body,
+    LayerNorm, 
     DropPath, Mlp, trunc_normal_init, window_partition, window_reverse)
 
 
@@ -291,7 +292,7 @@ class SwinStage(nn.Module):
                    else [float(self.drop_path)] * self.depth)
             dp_pairs = jnp.asarray(
                 np.asarray(dpr, np.float32).reshape(self.depth // 2, 2))
-            scan = nn.scan(_SwinPairBody,
+            scan = nn.scan(scan_body(_SwinPairBody, (3,)),
                            variable_axes={"params": 0},
                            split_rngs={"params": True, "dropout": True,
                                        "droppath": True},

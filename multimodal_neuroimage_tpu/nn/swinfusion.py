@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from multimodal_neuroimage_tpu.nn.common import (LayerNorm, DropPath, Mlp,
+                                                 scan_body,
                                                  trunc_normal_init,
                                                  window_partition,
                                                  window_reverse)
@@ -309,7 +310,7 @@ class BasicLayerFusion(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         if self.depth % 2 == 0 and self.depth >= 2:
-            scan = nn.scan(_FusionPairBody,
+            scan = nn.scan(scan_body(_FusionPairBody, (3,)),
                            variable_axes={"params": 0},
                            split_rngs={"params": True, "dropout": True,
                                        "droppath": True},
@@ -350,7 +351,7 @@ class CrossBasicLayer(nn.Module):
     @nn.compact
     def __call__(self, x, y, deterministic: bool = True):
         if self.depth % 2 == 0 and self.depth >= 2:
-            scan = nn.scan(_CrossPairBody,
+            scan = nn.scan(scan_body(_CrossPairBody, (3,)),
                            variable_axes={"params": 0},
                            split_rngs={"params": True, "dropout": True,
                                        "droppath": True},

@@ -46,6 +46,11 @@ class Trainer:
         maybe_initialize_distributed(cfg.distributed)
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
+        if cfg.remat:
+            # remat the scanned block bodies (memory-bound runs; see
+            # nn/common.py set_scan_remat for the perf tradeoff)
+            from multimodal_neuroimage_tpu.nn.common import set_scan_remat
+            set_scan_remat(True)
         # the data axis must divide the per-host batch; shrink the mesh to
         # the largest divisor when they mismatch (e.g. batch 4 on 8 chips)
         import math
@@ -92,8 +97,7 @@ class Trainer:
             perceptual_factor=cfg.perceptual_factor,
             reconstruction_factor=cfg.reconstruction_factor)
         self.train_step = make_train_step(self.model, self.loss_specs,
-                                          cfg.compute_dtype, remat=cfg.remat,
-                                          mesh=self.mesh)
+                                          cfg.compute_dtype, mesh=self.mesh)
         self.eval_step = make_eval_step(self.model, self.loss_specs,
                                         cfg.compute_dtype)
         log_dir = os.path.join(cfg.experiment_folder or cfg.log_dir)
