@@ -99,3 +99,18 @@ def test_schedules_shapes():
     # step decay floors at 1e-7 (learning_rate.py:44-48)
     fn = build_schedule("step", 1e-6, 10_000, lr_step=1, lr_gamma=0.1)
     assert float(fn(100)) == pytest.approx(1e-7)
+
+
+def test_multimodal_prs_pipeline(cohort):
+    """PRS dataset path: 'prs' (B, 3) z-scored vector rides the batch
+    (datasets.py:706-835)."""
+    from multimodal_neuroimage_tpu.data.loader import DataPipeline
+    cfg = synthetic_config(cohort, dataset_name="multimodal_prs",
+                           fmri_type="divided_frequency", target="sex",
+                           batch_size=2, workers=1,
+                           preprocess="host").validate()
+    pipe = DataPipeline(cfg)
+    batch, names = next(pipe.epoch("train", 0, shuffle=False, to_device=False))
+    assert batch["prs"].shape == (2, 3)
+    assert batch["struct"].shape == (2, 84, 84)
+    assert batch["fmri_ultralowfreq_sequence"].shape == (2, 368, 84)
