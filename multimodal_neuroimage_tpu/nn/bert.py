@@ -147,7 +147,7 @@ class BertEncoder(nn.Module):
         if self.scan_layers:
             # remat each layer: residuals per scan step reduce to the carry,
             # which is what lets batch size scale on a 16 GB chip
-            scan = nn.scan(scan_body(_BertScanBody, (2,)),
+            scan = nn.scan(scan_body(_BertScanBody, (2,), tag="bert"),
                            variable_axes={"params": 0},
                            split_rngs={"params": True, "dropout": True},
                            in_axes=nn.broadcast, length=self.layers)

@@ -42,23 +42,25 @@ class TorchConv(nn.Module):
             name="conv")(x)
 
 
-_SCAN_REMAT = False
+_SCAN_REMAT: Any = False
 
 
-def set_scan_remat(enabled: bool) -> None:
+def set_scan_remat(enabled) -> None:
     """Opt-in rematerialization of scanned block bodies (recompute-in-backward).
 
-    Cuts activation residuals to the scan carry so batch size can scale past
-    HBM limits; measured ~40x slower per step on the axon-tunneled v5e
-    (recompute kernels dominate there), so it is OFF by default and meant for
-    memory-bound multi-chip runs."""
+    ``enabled`` may be True (remat every scanned stack), False, or a set of
+    tags (e.g. {"bert"}) to remat only the tagged stacks. Full remat measured
+    ~40x slower per step on the axon-tunneled v5e (recompute kernels dominate
+    there), so it is OFF by default; BERT-only remat frees the dominant
+    (B, T, 3072) FFN residuals at ~MXU-bound recompute cost."""
     global _SCAN_REMAT
     _SCAN_REMAT = enabled
 
 
-def scan_body(body_cls, static_argnums):
+def scan_body(body_cls, static_argnums, tag: str = ""):
     """Scan body, optionally remat-wrapped (see set_scan_remat)."""
-    if _SCAN_REMAT:
+    if _SCAN_REMAT is True or (isinstance(_SCAN_REMAT, (set, frozenset))
+                               and tag in _SCAN_REMAT):
         return nn.remat(body_cls, static_argnums=static_argnums)
     return body_cls
 
