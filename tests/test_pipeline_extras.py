@@ -114,3 +114,21 @@ def test_multimodal_prs_pipeline(cohort):
     assert batch["prs"].shape == (2, 3)
     assert batch["struct"].shape == (2, 84, 84)
     assert batch["fmri_ultralowfreq_sequence"].shape == (2, 368, 84)
+
+
+@pytest.mark.parametrize("fmri_type,key,tlen", [
+    ("frequency", "fmri_sequence", 184),
+    ("time_domain_low", "fmri_sequence", 368),
+    ("timeseries_and_frequency", "fmri_ultralowfreq_sequence", 184),
+])
+def test_fmri_type_modes_through_loader(cohort, fmri_type, key, tlen):
+    """The frequency-domain and mixed fmri_type modes (datasets.py:233-365)
+    produce their contract shapes through the real loader."""
+    from multimodal_neuroimage_tpu.data.loader import DataPipeline
+    cfg = synthetic_config(cohort, dataset_name="fMRI_timeseries",
+                           fmri_type=fmri_type, target="sex", batch_size=2,
+                           workers=1, preprocess="host").validate()
+    pipe = DataPipeline(cfg)
+    batch, _ = next(pipe.epoch("train", 0, shuffle=False, to_device=False))
+    assert batch[key].shape == (2, tlen, 84)
+    assert np.isfinite(batch[key]).all()
