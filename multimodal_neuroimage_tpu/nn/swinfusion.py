@@ -24,15 +24,14 @@ pixel-resolution tokens (84x84, window 6), matching the reference where
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multimodal_neuroimage_tpu.nn.common import (LayerNorm, DropPath, Mlp,
-                                                 scan_body,
+from multimodal_neuroimage_tpu.nn.common import (LayerNorm, scan_body,
                                                  trunc_normal_init,
                                                  window_partition,
                                                  window_reverse)
@@ -40,74 +39,34 @@ from multimodal_neuroimage_tpu.nn.swin2d import (relative_position_index,
                                                  shift_attn_mask)
 
 
-class WindowAttentionV1(nn.Module):
-    """Dot-product window attention with learned relative position bias
-    (swinfusion_module.py:65-161). ``cross=True`` maps q from x and k/v from y
-    (163-262). Input (B, nW, N, C)."""
+def _plain_window_attention(qwin, kvwin, table, rel_idx, mask, heads,
+                            attn_rate, dropout, x_dtype):
+    """Shared plain-jnp window attention over flat params: qwin (B,nW,N,C)
+    queries, kvwin (B,nW,N,2C) keys/values (swinfusion_module.py:65-262)."""
+    B, nW, N, C = qwin.shape
+    hd = C // heads
 
-    dim: int
-    window_size: int
-    num_heads: int
-    cross: bool = False
-    qkv_bias: bool = True
-    attn_drop: float = 0.0
-    proj_drop: float = 0.0
+    def split_heads(t):
+        return t.reshape(B, nW, N, heads, hd).transpose(0, 1, 3, 2, 4)
 
-    @nn.compact
-    def __call__(self, x, y=None, mask: Optional[np.ndarray] = None,
-                 deterministic: bool = True):
-        B, nW, N, C = x.shape
-        heads, hd = self.num_heads, self.dim // self.num_heads
-        scale = hd ** -0.5
-
-        if self.cross:
-            q = nn.Dense(self.dim, use_bias=self.qkv_bias,
-                         name="q")(x)
-            kv = nn.Dense(2 * self.dim, use_bias=self.qkv_bias,
-                          name="kv")(y)
-            k, v = jnp.split(kv, 2, axis=-1)
-        else:
-            qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias,
-                           name="qkv")(x)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def split_heads(t):
-            return t.reshape(B, nW, N, heads, hd).transpose(0, 1, 3, 2, 4)
-
-        q, k, v = split_heads(q) * scale, split_heads(k), split_heads(v)
-
-        ws = self.window_size
-        table = self.param("relative_position_bias_table",
-                           trunc_normal_init,
-                           ((2 * ws - 1) * (2 * ws - 1), heads))
-        idx = jnp.asarray(relative_position_index(ws, ws).reshape(-1))
-        bias = table[idx].reshape(N, N, heads).transpose(2, 0, 1)
-
-        from multimodal_neuroimage_tpu.ops.attention import (
-            fused_attention_active, fused_window_attention)
-        if fused_attention_active():
-            rate = 0.0 if deterministic else self.attn_drop
-            seed = (jax.random.randint(self.make_rng("dropout"), (),
-                                       0, 2 ** 31 - 1)
-                    if rate > 0.0 else jnp.asarray(0, jnp.int32))
-            out = fused_window_attention(q, k, v, bias, mask, seed, rate)
-        else:
-            attn = jnp.einsum("bwhnd,bwhmd->bwhnm", q, k,
-                              preferred_element_type=jnp.float32)
-            attn = attn + bias[None, None]
-            if mask is not None:
-                attn = attn + jnp.asarray(mask)[None, :, None]
-            attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-            attn = nn.Dropout(self.attn_drop)(attn,
-                                              deterministic=deterministic)
-            out = jnp.einsum("bwhnm,bwhmd->bwhnd", attn, v)
-        out = out.transpose(0, 1, 3, 2, 4).reshape(B, nW, N, C)
-        out = nn.Dense(self.dim, name="proj")(out)
-        return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+    q = split_heads(qwin) * (hd ** -0.5)
+    k, v = (split_heads(t) for t in jnp.split(kvwin, 2, axis=-1))
+    bias_t = table[jnp.asarray(rel_idx.reshape(-1))]
+    bias_t = bias_t.reshape(N, N, heads).transpose(2, 0, 1)
+    attn = jnp.einsum("bwhnd,bwhmd->bwhnm", q, k,
+                      preferred_element_type=jnp.float32)
+    attn = attn + bias_t[None, None]
+    if mask is not None:
+        attn = attn + jnp.asarray(mask)[None, :, None]
+    attn = jax.nn.softmax(attn, axis=-1).astype(x_dtype)
+    attn = dropout(attn)
+    o = jnp.einsum("bwhnm,bwhmd->bwhnd", attn, v)
+    return o.transpose(0, 1, 3, 2, 4).reshape(B, nW, N, C)
 
 
 def _windowed(fn, x, resolution: Tuple[int, int], ws: int, shift: int):
-    """shift -> window split -> fn -> merge -> unshift, as pure reshapes."""
+    """shift -> window split -> fn -> merge -> unshift, as pure reshapes.
+    ``fn`` may change the channel count (e.g. fused-qkv in, dim out)."""
     H, W = resolution
     B, L, C = x.shape
     x = x.reshape(B, H, W, C)
@@ -117,11 +76,17 @@ def _windowed(fn, x, resolution: Tuple[int, int], ws: int, shift: int):
     x = window_reverse(xw, ws, H, W)
     if shift > 0:
         x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
-    return x.reshape(B, L, C)
+    return x.reshape(B, L, -1)
 
 
 class FusionBlock(nn.Module):
-    """Pre-norm Swin-V1 block (swinfusion_module.py:265-398)."""
+    """Pre-norm Swin-V1 block (swinfusion_module.py:265-398).
+
+    Owns its parameters directly (flat, not via child Dense/LN modules) so
+    the whole block — LN1 -> window attention -> proj -> DropPath residual ->
+    LN2 -> MLP -> DropPath residual — can run as ONE Pallas megakernel on TPU
+    (ops/fusion_block.py). A pure-jnp path over the same params serves
+    non-TPU backends and parity tests."""
 
     dim: int
     input_resolution: Tuple[int, int]
@@ -142,22 +107,103 @@ class FusionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, dp_rate=None):
+        from multimodal_neuroimage_tpu.ops.attention import (
+            fused_attention_active)
+        from multimodal_neuroimage_tpu.ops import fusion_block as fb
+
         ws, shift = self._effective()
         H, W = self.input_resolution
+        B, L, C = x.shape
+        heads = self.num_heads
+        hidden = int(self.dim * self.mlp_ratio)
         mask = shift_attn_mask(H, W, ws, shift)
-        attn = WindowAttentionV1(self.dim, ws, self.num_heads,
-                                 qkv_bias=self.qkv_bias,
-                                 attn_drop=self.attn_drop,
-                                 proj_drop=self.drop, name="attn")
+        N = ws * ws
+        nW = (H // ws) * (W // ws)
+
+        lecun = nn.initializers.lecun_normal()
+        zeros = nn.initializers.zeros
+        ones = nn.initializers.ones
+        params = (
+            self.param("norm1_scale", ones, (1, C)),
+            self.param("norm1_bias", zeros, (1, C)),
+            self.param("qkv_kernel", lecun, (C, 3 * C)),
+            (self.param("qkv_bias", zeros, (1, 3 * C)) if self.qkv_bias
+             else jnp.zeros((1, 3 * C), jnp.float32)),
+            self.param("proj_kernel", lecun, (C, C)),
+            self.param("proj_bias", zeros, (1, C)),
+            self.param("norm2_scale", ones, (1, C)),
+            self.param("norm2_bias", zeros, (1, C)),
+            self.param("fc1_kernel", trunc_normal_init, (C, hidden)),
+            self.param("fc1_bias", zeros, (1, hidden)),
+            self.param("fc2_kernel", trunc_normal_init, (hidden, C)),
+            self.param("fc2_bias", zeros, (1, C)),
+        )
+        table = self.param("relative_position_bias_table", trunc_normal_init,
+                           ((2 * ws - 1) * (2 * ws - 1), heads))
+        rel_idx = relative_position_index(ws, ws)
+
+        # per-sample DropPath scale factors for the two residual branches
+        if deterministic:
+            dp = jnp.ones((B, 2), jnp.float32)
+        else:
+            r = self.drop_path if dp_rate is None else dp_rate
+            keep = 1.0 - r
+            dp = (jax.random.bernoulli(self.make_rng("droppath"), keep,
+                                       (B, 2)).astype(jnp.float32) / keep)
+        training = not deterministic
+        rates = ((self.attn_drop if training else 0.0),
+                 (self.drop if training else 0.0))
+
+        if fused_attention_active():
+            NP = fb.round_up(N, 8)
+            xi = x.reshape(B, H, W, C)
+            if shift > 0:
+                xi = jnp.roll(xi, shift=(-shift, -shift), axis=(1, 2))
+            xw = window_partition(xi, ws)
+            xw = jnp.pad(xw, ((0, 0), (0, 0), (0, NP - N), (0, 0)))
+            bias = fb.combined_bias(table, ws, heads, NP, rel_idx)
+            maskp = (None if mask is None else
+                     np.pad(mask, ((0, 0), (0, NP - N), (0, NP - N))))
+            seed = (jax.random.randint(self.make_rng("dropout"), (),
+                                       0, 2 ** 31 - 1)
+                    if training and max(rates) > 0.0
+                    else jnp.asarray(0, jnp.int32))
+            out = fb.fused_fusion_block(
+                xw, params, bias, maskp, dp, seed, rates, training,
+                interpret=jax.default_backend() != "tpu")
+            xo = window_reverse(out[:, :, :N, :], ws, H, W)
+            if shift > 0:
+                xo = jnp.roll(xo, shift=(shift, shift), axis=(1, 2))
+            return xo.reshape(B, L, C)
+
+        # ---- plain-jnp path over the same params (non-TPU) ------------------
+        (g1, b1, wqkv, bqkv, wp, bp, g2, b2, w1, b1m, w2, b2m) = params
+        hd = C // heads
         shortcut = x
-        h = LayerNorm(name="norm1")(x)
-        h = _windowed(lambda w: attn(w, mask=mask,
-                                     deterministic=deterministic),
-                      h, self.input_resolution, ws, shift)
-        x = shortcut + DropPath(self.drop_path)(h, deterministic, dp_rate)
-        h = Mlp(int(self.dim * self.mlp_ratio), self.dim, drop=self.drop,
-                name="mlp")(LayerNorm(name="norm2")(x), deterministic)
-        return x + DropPath(self.drop_path)(h, deterministic, dp_rate)
+        h = LayerNorm(name=None, use_scale=False, use_bias=False)(x)
+        h = h * g1[0] + b1[0]
+        qkv = h @ wqkv + bqkv[0]
+
+        attn_dropout = nn.Dropout(self.attn_drop)
+
+        def window_attn(win):                       # (B, nW, N, 3C)
+            return _plain_window_attention(
+                win[..., :C], win[..., C:], table, rel_idx, mask, heads,
+                self.attn_drop,
+                lambda t: attn_dropout(t, deterministic=deterministic),
+                x.dtype)
+
+        o = _windowed(window_attn, qkv, self.input_resolution, ws, shift)
+        a = o @ wp + bp[0]
+        a = nn.Dropout(self.drop)(a, deterministic=deterministic)
+        x = shortcut + dp[:, 0][:, None, None] * a
+        h2 = LayerNorm(name=None, use_scale=False, use_bias=False)(x)
+        h2 = h2 * g2[0] + b2[0]
+        u = fb._gelu(h2 @ w1 + b1m[0])
+        u = nn.Dropout(self.drop)(u, deterministic=deterministic)
+        z = u @ w2 + b2m[0]
+        z = nn.Dropout(self.drop)(z, deterministic=deterministic)
+        return x + dp[:, 1][:, None, None] * z
 
 
 class CrossFusionBlock(nn.Module):
@@ -182,54 +228,142 @@ class CrossFusionBlock(nn.Module):
             ws, shift = min(self.input_resolution), 0
         return ws, shift
 
+    def _stream_params(self, s: str, C: int, hidden: int, heads: int,
+                       ws: int):
+        lecun = nn.initializers.lecun_normal()
+        zeros = nn.initializers.zeros
+        ones = nn.initializers.ones
+        return {
+            "g1": self.param(f"norm1_{s}_scale", ones, (1, C)),
+            "b1": self.param(f"norm1_{s}_bias", zeros, (1, C)),
+            "wq": self.param(f"q_{s}_kernel", lecun, (C, C)),
+            "bq": (self.param(f"q_{s}_bias", zeros, (1, C)) if self.qkv_bias
+                   else jnp.zeros((1, C), jnp.float32)),
+            "wkv": self.param(f"kv_{s}_kernel", lecun, (C, 2 * C)),
+            "bkv": (self.param(f"kv_{s}_bias", zeros, (1, 2 * C))
+                    if self.qkv_bias else jnp.zeros((1, 2 * C), jnp.float32)),
+            "wp": self.param(f"proj_{s}_kernel", lecun, (C, C)),
+            "bp": self.param(f"proj_{s}_bias", zeros, (1, C)),
+            "g2": self.param(f"norm2_{s}_scale", ones, (1, C)),
+            "b2": self.param(f"norm2_{s}_bias", zeros, (1, C)),
+            "w1": self.param(f"fc1_{s}_kernel", trunc_normal_init,
+                             (C, hidden)),
+            "b1m": self.param(f"fc1_{s}_bias", zeros, (1, hidden)),
+            "w2": self.param(f"fc2_{s}_kernel", trunc_normal_init,
+                             (hidden, C)),
+            "b2m": self.param(f"fc2_{s}_bias", zeros, (1, C)),
+            "table": self.param(f"relative_position_bias_table_{s}",
+                                trunc_normal_init,
+                                ((2 * ws - 1) * (2 * ws - 1), heads)),
+        }
+
     @nn.compact
     def __call__(self, x, y, deterministic: bool = True, dp_rate=None):
+        from multimodal_neuroimage_tpu.ops.attention import (
+            fused_attention_active)
+        from multimodal_neuroimage_tpu.ops import fusion_block as fb
+
         ws, shift = self._effective()
         H, W = self.input_resolution
         B, L, C = x.shape
+        heads = self.num_heads
+        hidden = int(self.dim * self.mlp_ratio)
         mask = shift_attn_mask(H, W, ws, shift)
-        attn_A = WindowAttentionV1(self.dim, ws, self.num_heads, cross=True,
-                                   qkv_bias=self.qkv_bias,
-                                   attn_drop=self.attn_drop,
-                                   proj_drop=self.drop, name="attn_A")
-        attn_B = WindowAttentionV1(self.dim, ws, self.num_heads, cross=True,
-                                   qkv_bias=self.qkv_bias,
-                                   attn_drop=self.attn_drop,
-                                   proj_drop=self.drop, name="attn_B")
+        N = ws * ws
+        rel_idx = relative_position_index(ws, ws)
+        pA = self._stream_params("A", C, hidden, heads, ws)
+        pB = self._stream_params("B", C, hidden, heads, ws)
 
-        def to_windows(t):
-            t = t.reshape(B, H, W, C)
-            if shift > 0:
-                t = jnp.roll(t, shift=(-shift, -shift), axis=(1, 2))
-            return window_partition(t, ws)
+        def tuple16(p, q):          # q supplies the kv-source LN (other stream)
+            return (p["g1"], p["b1"], q["g1"], q["b1"], p["wq"], p["bq"],
+                    p["wkv"], p["bkv"], p["wp"], p["bp"], p["g2"], p["b2"],
+                    p["w1"], p["b1m"], p["w2"], p["b2m"])
 
-        def from_windows(t):
-            t = window_reverse(t, ws, H, W)
-            if shift > 0:
-                t = jnp.roll(t, shift=(shift, shift), axis=(1, 2))
-            return t.reshape(B, L, C)
+        training = not deterministic
+        rates = ((self.attn_drop if training else 0.0),
+                 (self.drop if training else 0.0))
 
-        shortcut_A, shortcut_B = x, y
-        xw = to_windows(LayerNorm(name="norm1_A")(x))
-        yw = to_windows(LayerNorm(name="norm1_B")(y))
-        x = from_windows(attn_A(xw, yw, mask=mask,
-                                deterministic=deterministic))
-        y = from_windows(attn_B(yw, xw, mask=mask,
-                                deterministic=deterministic))
+        def dp_scales():
+            if deterministic:
+                return jnp.ones((B, 2), jnp.float32)
+            r = self.drop_path if dp_rate is None else dp_rate
+            keep = 1.0 - r
+            return (jax.random.bernoulli(self.make_rng("droppath"), keep,
+                                         (B, 2)).astype(jnp.float32) / keep)
 
-        dp_A = DropPath(self.drop_path, name="drop_path_A")
-        dp_B = DropPath(self.drop_path, name="drop_path_B")
-        x = shortcut_A + dp_A(x, deterministic, dp_rate)
-        x = x + dp_A(Mlp(int(self.dim * self.mlp_ratio), self.dim,
-                         drop=self.drop, name="mlp_A")(
-            LayerNorm(name="norm2_A")(x), deterministic), deterministic,
-            dp_rate)
-        y = shortcut_B + dp_B(y, deterministic, dp_rate)
-        y = y + dp_B(Mlp(int(self.dim * self.mlp_ratio), self.dim,
-                         drop=self.drop, name="mlp_B")(
-            LayerNorm(name="norm2_B")(y), deterministic), deterministic,
-            dp_rate)
-        return x, y
+        dp_A, dp_B = dp_scales(), dp_scales()
+
+        if fused_attention_active():
+            NP = fb.round_up(N, 8)
+
+            def to_padded_windows(t):
+                t = t.reshape(B, H, W, C)
+                if shift > 0:
+                    t = jnp.roll(t, shift=(-shift, -shift), axis=(1, 2))
+                t = window_partition(t, ws)
+                return jnp.pad(t, ((0, 0), (0, 0), (0, NP - N), (0, 0)))
+
+            def from_padded_windows(t):
+                t = window_reverse(t[:, :, :N, :], ws, H, W)
+                if shift > 0:
+                    t = jnp.roll(t, shift=(shift, shift), axis=(1, 2))
+                return t.reshape(B, L, C)
+
+            xw, yw = to_padded_windows(x), to_padded_windows(y)
+            bias_A = fb.combined_bias(pA["table"], ws, heads, NP, rel_idx)
+            bias_B = fb.combined_bias(pB["table"], ws, heads, NP, rel_idx)
+            maskp = (None if mask is None else
+                     np.pad(mask, ((0, 0), (0, NP - N), (0, NP - N))))
+
+            def seed():
+                return (jax.random.randint(self.make_rng("dropout"), (),
+                                           0, 2 ** 31 - 1)
+                        if training and max(rates) > 0.0
+                        else jnp.asarray(0, jnp.int32))
+
+            interp = jax.default_backend() != "tpu"
+            out_x = fb.fused_cross_fusion_block(
+                xw, yw, tuple16(pA, pB), bias_A, maskp, dp_A, seed(),
+                rates, training, interpret=interp)
+            out_y = fb.fused_cross_fusion_block(
+                yw, xw, tuple16(pB, pA), bias_B, maskp, dp_B, seed(),
+                rates, training, interpret=interp)
+            return from_padded_windows(out_x), from_padded_windows(out_y)
+
+        # ---- plain-jnp path over the same params (non-TPU) ------------------
+        def ln(t, g, b):
+            t = LayerNorm(name=None, use_scale=False, use_bias=False)(t)
+            return t * g[0] + b[0]
+
+        attn_dropout = nn.Dropout(self.attn_drop)
+        h1x = ln(x, pA["g1"], pA["b1"])
+        h1y = ln(y, pB["g1"], pB["b1"])
+
+        def stream(p, hq, hkv, src, dp):
+            q = hq @ p["wq"] + p["bq"][0]
+            kv = hkv @ p["wkv"] + p["bkv"][0]
+            qkv = jnp.concatenate([q, kv], axis=-1)
+
+            def window_attn(win):
+                return _plain_window_attention(
+                    win[..., :C], win[..., C:], p["table"], rel_idx, mask,
+                    heads, self.attn_drop,
+                    lambda t: attn_dropout(t, deterministic=deterministic),
+                    x.dtype)
+
+            o = _windowed(window_attn, qkv, self.input_resolution, ws, shift)
+            a = o @ p["wp"] + p["bp"][0]
+            a = nn.Dropout(self.drop)(a, deterministic=deterministic)
+            s = src + dp[:, 0][:, None, None] * a
+            h2 = ln(s, p["g2"], p["b2"])
+            u = fb._gelu(h2 @ p["w1"] + p["b1m"][0])
+            u = nn.Dropout(self.drop)(u, deterministic=deterministic)
+            z = u @ p["w2"] + p["b2m"][0]
+            z = nn.Dropout(self.drop)(z, deterministic=deterministic)
+            return s + dp[:, 1][:, None, None] * z
+
+        return (stream(pA, h1x, h1y, x, dp_A),
+                stream(pB, h1y, h1x, y, dp_B))
 
 
 def _dp_pairs(drop_path, depth: int) -> jnp.ndarray:
