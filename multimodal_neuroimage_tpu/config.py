@@ -183,7 +183,10 @@ class Config:
     num_trials: int = 10
     opt_num_epochs: int = 3
     use_wandb: bool = False
-    wandb_mode: str = "offline"
+    wandb_mode: str = "offline"              # reference --wandb_mode (main.py:116)
+    wandb_project: str = "multimodal_neuroimage_tpu"
+    wandb_entity: str = ""                   # reference hardcodes a lab entity
+    wandb_key: str = ""                      # reference --wandb_key (main.py:115)
 
     # ---- per-phase overlays (replaces the _phaseN flag suffixes) ----------------------
     phase_overrides: Dict[int, Dict[str, Any]] = field(default_factory=dict)

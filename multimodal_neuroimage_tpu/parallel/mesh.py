@@ -70,13 +70,26 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
-    """Device-put a host batch pytree with dim-0 sharded across the mesh."""
+    """Device-put a host batch pytree with dim-0 sharded across the mesh.
+
+    Single-host: plain ``device_put``. Multi-host: the pytree holds this
+    process's LOCAL batch slice (``DataPipeline`` loads per-host shards,
+    data/loader.py:112), so the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the GSPMD replacement for
+    the reference's DistributedSampler rank slicing (dataloaders.py:74-81).
+    """
     sharding = batch_sharding(mesh, axis)
+    multi = jax.process_count() > 1
 
     def _put(x):
         x = np.asarray(x)
         if x.ndim == 0:
+            if multi:
+                return jax.make_array_from_process_local_data(
+                    replicated_sharding(mesh), x[None])[0]
             return jax.device_put(x, replicated_sharding(mesh))
+        if multi:
+            return jax.make_array_from_process_local_data(sharding, x)
         return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(_put, batch)

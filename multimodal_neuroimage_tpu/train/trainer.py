@@ -101,9 +101,16 @@ class Trainer:
         self.eval_step = make_eval_step(self.model, self.loss_specs,
                                         cfg.compute_dtype)
         log_dir = os.path.join(cfg.experiment_folder or cfg.log_dir)
+        wandb_kwargs = {"project": cfg.wandb_project, "mode": cfg.wandb_mode,
+                        "name": cfg.experiment_title or cfg.exp_name}
+        if cfg.wandb_entity:
+            wandb_kwargs["entity"] = cfg.wandb_entity
+        if cfg.wandb_key:
+            os.environ.setdefault("WANDB_API_KEY", cfg.wandb_key)
         self.writer = Writer(log_dir, self.sets, cfg.running_mean_size,
                              use_tensorboard=bool(cfg.experiment_folder),
-                             use_wandb=cfg.use_wandb)
+                             use_wandb=cfg.use_wandb,
+                             wandb_kwargs=wandb_kwargs)
         self.accumulator = SubjectAccumulator(cfg.fine_tune_task)
         self.ckpt_policy = BestCheckpointPolicy(
             log_dir, cfg.experiment_title or cfg.exp_name, cfg.fine_tune_task)

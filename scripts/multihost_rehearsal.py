@@ -1,0 +1,103 @@
+"""Two-process jax.distributed rehearsal (CPU) for the multi-host path.
+
+Validates what single-process tests cannot: ``jax.distributed.initialize``
+rendezvous, a global mesh spanning two processes, per-host batch slicing
+assembled with ``make_array_from_process_local_data`` (parallel/mesh.py
+shard_batch), one real sharded train step over the global mesh, and
+``process_allgather`` making subject-level metrics global (the reference
+aggregated rank-locally — SURVEY §5.8).
+
+Run: python scripts/multihost_rehearsal.py            (spawns 2 workers)
+     python scripts/multihost_rehearsal.py worker I P (internal)
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_PROC = 2
+DEV_PER_PROC = 2
+
+
+def worker(pid: int, port: int) -> None:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=N_PROC, process_id=pid)
+    assert jax.process_count() == N_PROC
+    assert jax.local_device_count() == DEV_PER_PROC
+
+    import numpy as np
+    from __graft_entry__ import _example_batch, _flagship_cfg
+    from multimodal_neuroimage_tpu.models.registry import create_model
+    from multimodal_neuroimage_tpu.parallel.mesh import (
+        build_mesh, local_batch_slice, process_allgather, replicate,
+        shard_batch)
+    from multimodal_neuroimage_tpu.train.losses import active_losses
+    from multimodal_neuroimage_tpu.train.state import (create_train_state,
+                                                       make_train_step,
+                                                       optimizer_from_config)
+
+    cfg = _flagship_cfg(tiny=True)
+    mesh = build_mesh()          # all 4 global devices on the 'data' axis
+    assert mesh.devices.size == N_PROC * DEV_PER_PROC
+    model = create_model(cfg)
+
+    # global batch of 8; every host loads only its contiguous slice
+    global_batch = _example_batch(8, t=32, r=cfg.intermediate_vec)
+    sl = local_batch_slice(8)
+    local_batch = {k: v[sl] for k, v in global_batch.items()}
+
+    tx, _ = optimizer_from_config(cfg, steps_per_epoch=10)
+    state = create_train_state(model, local_batch, tx, cfg.seed)
+    state = state.replace(params=replicate(state.params, mesh),
+                          opt_state=replicate(state.opt_state, mesh))
+    specs = active_losses(cfg.task, cfg.fine_tune_task)
+    step = make_train_step(model, specs, compute_dtype="float32", mesh=mesh)
+
+    dev_batch = shard_batch(local_batch, mesh)
+    assert dev_batch["struct"].shape[0] == 8    # global shape restored
+    state, losses, preds = step(state, dev_batch)
+    total = float(losses["total"])
+    assert np.isfinite(total), total
+
+    # subject-level metric globalisation: each host contributes its scores
+    local_scores = np.arange(4, dtype=np.float32) + 100 * jax.process_index()
+    gathered = process_allgather(local_scores)
+    assert gathered.reshape(-1).shape[0] == 8, gathered.shape
+    want = {0.0, 1.0, 2.0, 3.0, 100.0, 101.0, 102.0, 103.0}
+    assert set(gathered.reshape(-1).tolist()) == want, gathered
+    print(f"[worker {pid}] ok loss={total:.4f} gathered={sorted(set(gathered.reshape(-1).tolist()))}",
+          flush=True)
+
+
+def main() -> None:
+    port = int(os.environ.get("REHEARSAL_PORT", "12577"))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + f" --xla_force_host_platform_device_count={DEV_PER_PROC}")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "worker", str(i),
+         str(port)], env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for i in range(N_PROC)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        tail = "\n".join(out.strip().splitlines()[-5:])
+        print(f"--- worker {i} (rc={p.returncode}) ---\n{tail}")
+    if any(p.returncode != 0 for p in procs):
+        sys.exit(1)
+    print("multihost rehearsal: OK")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main()
