@@ -31,30 +31,78 @@ _bert_init = nn.initializers.normal(stddev=0.02)
 LN_EPS = 1e-12
 
 
-class BertSelfAttention(nn.Module):
+class BertLayer(nn.Module):
+    """One HF-semantics post-LN BERT layer over FLAT params.
+
+    On TPU the whole layer runs as ONE Pallas megakernel per direction
+    (ops/bert_layer.py) — gated on ``t_valid`` (the static valid token count
+    of a TP=round_up(T,8)-padded input, set by BertEncoder). The plain-jnp
+    path over the same params serves non-TPU backends and parity tests."""
+
     hidden: int
     heads: int
+    intermediate: int = 3072
     attn_dropout: float = 0.1
     hidden_dropout: float = 0.1
+    t_valid: Optional[int] = None      # static; set => input is pad-extended
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from multimodal_neuroimage_tpu.ops import bert_layer as bl
         from multimodal_neuroimage_tpu.ops.attention import (
             fused_attention, fused_attention_active)
+
         B, T, H = x.shape
         hd = self.hidden // self.heads
-        q = nn.Dense(self.hidden, kernel_init=_bert_init, name="query")(x)
-        k = nn.Dense(self.hidden, kernel_init=_bert_init, name="key")(x)
-        v = nn.Dense(self.hidden, kernel_init=_bert_init, name="value")(x)
+        zeros = nn.initializers.zeros
+        ones = nn.initializers.ones
+        params = (
+            self.param("query_kernel", _bert_init, (H, H)),
+            self.param("query_bias", zeros, (1, H)),
+            self.param("key_kernel", _bert_init, (H, H)),
+            self.param("key_bias", zeros, (1, H)),
+            self.param("value_kernel", _bert_init, (H, H)),
+            self.param("value_bias", zeros, (1, H)),
+            self.param("attn_output_kernel", _bert_init, (H, H)),
+            self.param("attn_output_bias", zeros, (1, H)),
+            self.param("attn_ln_scale", ones, (1, H)),
+            self.param("attn_ln_bias", zeros, (1, H)),
+            self.param("intermediate_kernel", _bert_init,
+                       (H, self.intermediate)),
+            self.param("intermediate_bias", zeros, (1, self.intermediate)),
+            self.param("output_kernel", _bert_init, (self.intermediate, H)),
+            self.param("output_bias", zeros, (1, H)),
+            self.param("output_ln_scale", ones, (1, H)),
+            self.param("output_ln_bias", zeros, (1, H)),
+        )
+        training = not deterministic
+        rates = ((self.attn_dropout if training else 0.0),
+                 (self.hidden_dropout if training else 0.0))
+
+        if self.t_valid is not None and fused_attention_active():
+            seed = (jax.random.randint(self.make_rng("dropout"), (),
+                                       0, 2 ** 31 - 1)
+                    if training and max(rates) > 0.0
+                    else jnp.asarray(0, jnp.int32))
+            return bl.bert_layer_call(
+                x, params, seed, self.heads, self.t_valid, rates, training,
+                interpret=jax.default_backend() != "tpu")
+
+        # ---- plain path over the same params --------------------------------
+        (wq, bq, wk, bk, wv, bv, wo, bo, g1, b1,
+         w1, b1m, w2, b2m, g2, b2) = params
+        q = x @ wq + bq[0]
+        k = x @ wk + bk[0]
+        v = x @ wv + bv[0]
 
         def split(t):
             return t.reshape(B, T, self.heads, hd).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
         q = q / jnp.sqrt(jnp.asarray(hd, q.dtype))
-        if fused_attention_active():
-            # Pallas kernel: probabilities (the (B,H,T,T) hot tensor,
-            # SURVEY §3.2 HOT LOOP #1) never leave VMEM; dropout fused.
+        if fused_attention_active() and self.t_valid is None:
+            # Pallas attention-only kernel: probabilities (the (B,H,T,T) hot
+            # tensor, SURVEY §3.2 HOT LOOP #1) never leave VMEM.
             rate = 0.0 if deterministic else self.attn_dropout
             if rate > 0.0:
                 seed = jax.random.randint(self.make_rng("dropout"), (),
@@ -65,35 +113,26 @@ class BertSelfAttention(nn.Module):
         else:
             scores = jnp.einsum("bhtd,bhsd->bhts", q, k,
                                 preferred_element_type=jnp.float32)
+            if self.t_valid is not None:
+                col = jnp.arange(T)
+                scores = jnp.where(col[None, None, None, :] >= self.t_valid,
+                                   -1e9, scores)
             probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
             probs = nn.Dropout(self.attn_dropout)(probs,
                                                   deterministic=deterministic)
             ctx = jnp.einsum("bhts,bhsd->bhtd", probs, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, H)
 
-        out = nn.Dense(self.hidden, kernel_init=_bert_init, name="output_dense")(ctx)
+        out = ctx @ wo + bo[0]
         out = nn.Dropout(self.hidden_dropout)(out, deterministic=deterministic)
-        return LayerNorm(epsilon=LN_EPS, name="output_ln")(out + x)
-
-
-class BertLayer(nn.Module):
-    hidden: int
-    heads: int
-    intermediate: int = 3072
-    attn_dropout: float = 0.1
-    hidden_dropout: float = 0.1
-
-    @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        x = BertSelfAttention(self.hidden, self.heads, self.attn_dropout,
-                              self.hidden_dropout, name="attention")(
-            x, deterministic)
-        h = nn.Dense(self.intermediate, kernel_init=_bert_init,
-                     name="intermediate_dense")(x)
+        x = LayerNorm(epsilon=LN_EPS, use_scale=False, use_bias=False)(
+            out + x) * g1[0] + b1[0]
+        h = x @ w1 + b1m[0]
         h = nn.gelu(h, approximate=False)  # HF 'gelu' is the erf form
-        h = nn.Dense(self.hidden, kernel_init=_bert_init, name="output_dense")(h)
+        h = h @ w2 + b2m[0]
         h = nn.Dropout(self.hidden_dropout)(h, deterministic=deterministic)
-        return LayerNorm(epsilon=LN_EPS, name="output_ln")(h + x)
+        return LayerNorm(epsilon=LN_EPS, use_scale=False, use_bias=False)(
+            h + x) * g2[0] + b2[0]
 
 
 class _BertScanBody(nn.Module):
@@ -104,12 +143,13 @@ class _BertScanBody(nn.Module):
     intermediate: int
     attn_dropout: float
     hidden_dropout: float
+    t_valid: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, deterministic):
         y = BertLayer(self.hidden, self.heads, self.intermediate,
                       self.attn_dropout, self.hidden_dropout,
-                      name="layer")(x, deterministic)
+                      t_valid=self.t_valid, name="layer")(x, deterministic)
         return y, None
 
 
@@ -144,21 +184,35 @@ class BertEncoder(nn.Module):
         x = LayerNorm(epsilon=LN_EPS, name="embeddings_ln")(x)
         x = nn.Dropout(self.hidden_dropout)(x, deterministic=deterministic)
 
+        # On TPU the layers run as megakernels over a sublane-aligned padded
+        # sequence (ops/bert_layer.py): pad ONCE before the stack, slice after.
+        from multimodal_neuroimage_tpu.ops.attention import (
+            fused_attention_active)
+        from multimodal_neuroimage_tpu.ops.bert_layer import round_up
+        # VMEM guard: the in-kernel (TP, TP) score tile must fit comfortably
+        # (HCP's T=1201 stays on the attention-only kernel path)
+        t_valid = None
+        if fused_attention_active() and round_up(T, 8) <= 640:
+            t_valid = T
+            if T % 8 != 0:
+                x = jnp.pad(x, ((0, 0), (0, round_up(T, 8) - T), (0, 0)))
+
         if self.scan_layers:
-            # remat each layer: residuals per scan step reduce to the carry,
-            # which is what lets batch size scale on a 16 GB chip
             scan = nn.scan(scan_body(_BertScanBody, (2,), tag="bert"),
                            variable_axes={"params": 0},
                            split_rngs={"params": True, "dropout": True},
                            in_axes=nn.broadcast, length=self.layers)
             x, _ = scan(self.hidden, self.heads, self.intermediate,
                         self.attn_dropout, self.hidden_dropout,
-                        name="layers")(x, deterministic)
+                        t_valid=t_valid, name="layers")(x, deterministic)
         else:
             for i in range(self.layers):
                 x = BertLayer(self.hidden, self.heads, self.intermediate,
                               self.attn_dropout, self.hidden_dropout,
-                              name=f"layer_{i}")(x, deterministic)
+                              t_valid=t_valid, name=f"layer_{i}")(
+                    x, deterministic)
+        if t_valid is not None and x.shape[1] != T:
+            x = x[:, :T]
 
         pooled = nn.Dense(self.hidden, kernel_init=_bert_init,
                           name="pooler_dense")(x[:, 0])

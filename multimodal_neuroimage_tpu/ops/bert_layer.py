@@ -1,0 +1,448 @@
+"""Pallas fused BERT layer (TPU megakernel).
+
+The temporal-BERT stacks (reference model.py:154-192 feeding HF BertModel;
+ours nn/bert.py) run 2 x 16 post-LN layers at T=369 tokens, hidden 84. Each
+layer is ~15 small XLA kernels; on the tunneled v5e the step is
+dispatch-bound, so the full HF BertLayer —
+
+    q/k/v proj -> per-head softmax(q k^T/sqrt(hd) + keypad) (+attn dropout)
+    -> context -> output dense (+dropout) -> LN(x + out)          [post-LN]
+    -> intermediate dense -> erf-GELU -> output dense (+dropout)
+    -> LN(x + out)
+
+— is fused into ONE Pallas kernel per direction, exactly reproducing the
+HF semantics nn/bert.py is parity-tested against (erf GELU, LN eps 1e-12,
+exact two-pass variance).
+
+Layout: (B, TP, H) with TP = round_up(T, 8); the encoder pads ONCE before
+the scanned stack and slices after. Pad keys get -1e9 scores in-kernel (no
+mask input needed — static T); pad-row values are garbage that never reaches
+real rows and receives zero cotangent.
+
+The FFN (H -> 3072 -> H) is computed in column chunks so the (TP, 3072)
+intermediate never materializes; the backward recomputes each chunk
+(flash-style) and accumulates dW1/dW2 per chunk. Dropout uses the same
+per-draw PRNG scheme as ops/fusion_block.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multimodal_neuroimage_tpu.ops.fusion_block import (_keep_scale,
+                                                        _seed_draw, round_up)
+
+_LN_EPS = 1e-12
+_NEG_INF = -1e9
+N_PARAMS = 16
+# params order (2-D f32):
+#   wq (H,H), bq (1,H), wk, bk, wv, bv, wo, bo, g1 (1,H), b1 (1,H),
+#   w1 (H,F), b1m (1,F), w2 (F,H), b2m (1,H), g2 (1,H), b2 (1,H)
+
+_INV_SQRT2 = 0.7071067811865476
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (|err| < 1.5e-7 — below f32
+    resolution for gelu); Mosaic has no erf primitive."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _gelu_erf(u):
+    return 0.5 * u * (1.0 + _erf(u * _INV_SQRT2))
+
+
+def _gelu_erf_grad(u):
+    return (0.5 * (1.0 + _erf(u * _INV_SQRT2))
+            + u * jnp.exp(-0.5 * u * u) * _INV_SQRT_2PI)
+
+
+def _ln_fwd(x, g, b):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + _LN_EPS)
+    xh = xc * r
+    return xh * g + b, xh, r
+
+
+def _ln_bwd(dh, xh, r, g):
+    dxh = dh * g
+    m1 = jnp.mean(dxh, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxh * xh, axis=-1, keepdims=True)
+    return r * (dxh - m1 - xh * m2)
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_tn(a, b):
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_nt(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def param_shapes(H: int, F: int):
+    return [(H, H), (1, H)] * 4 + [(1, H), (1, H), (H, F), (1, F),
+                                   (F, H), (1, H), (1, H), (1, H)]
+
+
+def _ffn_chunk(F: int, cap: int = 768) -> int:
+    best = F
+    for c in (768, 512, 1024, 384, 256, 128):
+        if F % c == 0 and c <= cap:
+            return c
+    return best
+
+
+def _keypad(TP: int, T: int):
+    col = jax.lax.broadcasted_iota(jnp.int32, (TP, TP), 1)
+    return jnp.where(col >= T, _NEG_INF, 0.0)
+
+
+def _attn_head(q, k, v, h, hd, scale, keypad, attn_rate, seed_ref, training):
+    qh = q[:, h * hd:(h + 1) * hd] * scale
+    kh = k[:, h * hd:(h + 1) * hd]
+    vh = v[:, h * hd:(h + 1) * hd]
+    s = _dot_nt(qh, kh) + keypad                  # (TP, TP)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    if training and attn_rate > 0.0:
+        _seed_draw(seed_ref, 3 + h, 3 + 16)
+        pd = p * _keep_scale(p.shape, attn_rate)
+    else:
+        pd = p
+    return qh, kh, vh, p, pd, _dot(pd, vh)        # ctx_h (TP, hd)
+
+
+def _fwd_parts(seed_ref, x_ref, prefs, dims, rates, training, ctx_scratch):
+    """Shared forward: returns (out, residual values)."""
+    TP, H, F, heads, T = dims
+    attn_rate, drop_rate = rates
+    hd = H // heads
+    scale = hd ** -0.5
+    (wq, bq, wk, bk, wv, bv, wo, bo, g1, b1,
+     w1, b1m, w2, b2m, g2, b2) = prefs
+
+    x = x_ref[0].astype(jnp.float32)              # (TP, H)
+    q = _dot(x, wq[:]) + bq[:]
+    k = _dot(x, wk[:]) + bk[:]
+    v = _dot(x, wv[:]) + bv[:]
+    keypad = _keypad(TP, T)
+    for h in range(heads):
+        *_, ctx_h = _attn_head(q, k, v, h, hd, scale, keypad, attn_rate,
+                               seed_ref, training)
+        ctx_scratch[:, h * hd:(h + 1) * hd] = ctx_h
+    ctx = ctx_scratch[:]
+    a = _dot(ctx, wo[:]) + bo[:]
+    if training and drop_rate > 0.0:
+        _seed_draw(seed_ref, 0, 3 + 16)
+        m0 = _keep_scale(a.shape, drop_rate)
+        a = a * m0
+    else:
+        m0 = None
+    x1, xh1, r1 = _ln_fwd(a + x, g1[:], b1[:])
+
+    Fc = _ffn_chunk(F)
+    z = jnp.zeros((TP, H), jnp.float32) + b2m[:]
+    for c0 in range(0, F, Fc):
+        u_c = _dot(x1, w1[:, c0:c0 + Fc]) + b1m[:, c0:c0 + Fc]
+        z = z + _dot(_gelu_erf(u_c), w2[c0:c0 + Fc, :])
+    if training and drop_rate > 0.0:
+        _seed_draw(seed_ref, 1, 3 + 16)
+        m1 = _keep_scale(z.shape, drop_rate)
+        z = z * m1
+    else:
+        m1 = None
+    out, xh2, r2 = _ln_fwd(z + x1, g2[:], b2[:])
+    return out, (x, q, k, v, ctx, m0, x1, xh1, r1, m1, xh2, r2)
+
+
+def _make_fwd_kernel(dims, rates, training):
+    def kernel(seed_ref, x_ref, *rest):
+        prefs = rest[0:N_PARAMS]
+        o_ref, x1_ref, ctx_scratch = (rest[N_PARAMS], rest[N_PARAMS + 1],
+                                      rest[N_PARAMS + 2])
+        out, res = _fwd_parts(seed_ref, x_ref, prefs, dims, rates, training,
+                              ctx_scratch)
+        o_ref[0] = out.astype(o_ref.dtype)
+        x1_ref[0] = res[6].astype(x1_ref.dtype)   # x1 (post-attention LN)
+    return kernel
+
+
+def _make_ffn_bwd_kernel(dims, rates, training):
+    """Backward of LN2 + FFN given saved x1; grid (B, 1).
+
+    Split from the attention backward so the resident w1/dw1/w2/dw2 pairs
+    (~10.6 MB at F=3072) never share VMEM with the attention buffers."""
+    def kernel(seed_ref, x1_ref, g_ref, w1, b1m, w2, b2m, g2, b2,
+               dx1_ref, dw1_ref, db1m_ref, dw2_ref, db2m_ref, dg2_ref,
+               db2_ref):
+        TP, H, F, heads, T = dims
+        _, drop_rate = rates
+        x1 = x1_ref[0].astype(jnp.float32)
+        g = g_ref[0].astype(jnp.float32)
+
+        is_first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+
+        @pl.when(is_first)
+        def _():
+            for ref in (dw1_ref, db1m_ref, dw2_ref, db2m_ref, dg2_ref,
+                        db2_ref):
+                ref[:] = jnp.zeros_like(ref)
+
+        Fc = _ffn_chunk(F, 256)
+        z = jnp.zeros((TP, H), jnp.float32) + b2m[:]
+        for c0 in range(0, F, Fc):
+            u_c = _dot(x1, w1[:, c0:c0 + Fc]) + b1m[:, c0:c0 + Fc]
+            z = z + _dot(_gelu_erf(u_c), w2[c0:c0 + Fc, :])
+        if training and drop_rate > 0.0:
+            _seed_draw(seed_ref, 1, 3 + 16)
+            m1 = _keep_scale(z.shape, drop_rate)
+            z = z * m1
+        else:
+            m1 = None
+        _, xh2, r2 = _ln_fwd(z + x1, g2[:], b2[:])
+
+        dg2_ref[:] += jnp.sum(g * xh2, axis=0, keepdims=True)
+        db2_ref[:] += jnp.sum(g, axis=0, keepdims=True)
+        dy2 = _ln_bwd(g, xh2, r2, g2[:])
+        dz = dy2 * m1 if m1 is not None else dy2
+        db2m_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
+        dx1 = dy2                                  # residual branch
+        for c0 in range(0, F, Fc):
+            u_c = _dot(x1, w1[:, c0:c0 + Fc]) + b1m[:, c0:c0 + Fc]
+            gu_c = _gelu_erf(u_c)
+            dw2_ref[c0:c0 + Fc, :] += _dot_tn(gu_c, dz)
+            dgu_c = _dot_nt(dz, w2[c0:c0 + Fc, :])
+            du_c = dgu_c * _gelu_erf_grad(u_c)
+            db1m_ref[:, c0:c0 + Fc] += jnp.sum(du_c, axis=0, keepdims=True)
+            dw1_ref[:, c0:c0 + Fc] += _dot_tn(x1, du_c)
+            dx1 = dx1 + _dot_nt(du_c, w1[:, c0:c0 + Fc])
+        dx1_ref[0] = dx1.astype(dx1_ref.dtype)
+    return kernel
+
+
+def _make_attn_bwd_kernel(dims, rates, training):
+    """Backward of the attention half given d(x1); grid (B, 1)."""
+    def kernel(seed_ref, x_ref, dx1_ref, wq, bq, wk, bk, wv, bv, wo, bo,
+               g1, b1, dx_ref, dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref,
+               dbv_ref, dwo_ref, dbo_ref, dg1_ref, db1_ref, ctx_scratch,
+               dqkv_scratch):
+        TP, H, F, heads, T = dims
+        attn_rate, drop_rate = rates
+        hd = H // heads
+        scale = hd ** -0.5
+
+        x = x_ref[0].astype(jnp.float32)
+        dx1 = dx1_ref[0].astype(jnp.float32)
+        q = _dot(x, wq[:]) + bq[:]
+        k = _dot(x, wk[:]) + bk[:]
+        v = _dot(x, wv[:]) + bv[:]
+        keypad = _keypad(TP, T)
+        for h in range(heads):
+            *_, ctx_h = _attn_head(q, k, v, h, hd, scale, keypad, attn_rate,
+                                   seed_ref, training)
+            ctx_scratch[:, h * hd:(h + 1) * hd] = ctx_h
+        ctx = ctx_scratch[:]
+        a = _dot(ctx, wo[:]) + bo[:]
+        if training and drop_rate > 0.0:
+            _seed_draw(seed_ref, 0, 3 + 16)
+            m0 = _keep_scale(a.shape, drop_rate)
+            a = a * m0
+        else:
+            m0 = None
+        _, xh1, r1 = _ln_fwd(a + x, g1[:], b1[:])
+
+        is_first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+
+        @pl.when(is_first)
+        def _():
+            for ref in (dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref,
+                        dbv_ref, dwo_ref, dbo_ref, dg1_ref, db1_ref):
+                ref[:] = jnp.zeros_like(ref)
+
+        dg1_ref[:] += jnp.sum(dx1 * xh1, axis=0, keepdims=True)
+        db1_ref[:] += jnp.sum(dx1, axis=0, keepdims=True)
+        dy1 = _ln_bwd(dx1, xh1, r1, g1[:])
+        da = dy1 * m0 if m0 is not None else dy1
+        dbo_ref[:] += jnp.sum(da, axis=0, keepdims=True)
+        dwo_ref[:] += _dot_tn(ctx, da)
+        dctx = _dot_nt(da, wo[:])
+
+        for h in range(heads):
+            qh, kh, vh, p, pd, _ = _attn_head(q, k, v, h, hd, scale, keypad,
+                                              attn_rate, seed_ref, training)
+            dctx_h = dctx[:, h * hd:(h + 1) * hd]
+            dpd = _dot_nt(dctx_h, vh)              # (TP, TP)
+            dvh = _dot_tn(pd, dctx_h)              # (TP, hd)
+            if training and attn_rate > 0.0:
+                _seed_draw(seed_ref, 3 + h, 3 + 16)
+                dp = dpd * _keep_scale(dpd.shape, attn_rate)
+            else:
+                dp = dpd
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dqkv_scratch[:, h * hd:(h + 1) * hd] = _dot(ds, kh) * scale
+            dqkv_scratch[:, H + h * hd:H + (h + 1) * hd] = _dot_tn(ds, qh)
+            dqkv_scratch[:, 2 * H + h * hd:2 * H + (h + 1) * hd] = dvh
+
+        dq = dqkv_scratch[:, 0:H]
+        dk = dqkv_scratch[:, H:2 * H]
+        dv = dqkv_scratch[:, 2 * H:3 * H]
+        dbq_ref[:] += jnp.sum(dq, axis=0, keepdims=True)
+        dwq_ref[:] += _dot_tn(x, dq)
+        dbk_ref[:] += jnp.sum(dk, axis=0, keepdims=True)
+        dwk_ref[:] += _dot_tn(x, dk)
+        dbv_ref[:] += jnp.sum(dv, axis=0, keepdims=True)
+        dwv_ref[:] += _dot_tn(x, dv)
+        dx = (dy1 + _dot_nt(dq, wq[:]) + _dot_nt(dk, wk[:])
+              + _dot_nt(dv, wv[:]))
+        dx_ref[0] = dx.astype(dx_ref.dtype)
+    return kernel
+
+
+def _resident(shape):
+    return pl.BlockSpec(shape, lambda b, c, *_: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _specs(TP, H, p_shapes):
+    x_spec = pl.BlockSpec((1, TP, H), lambda b, c, *_: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return [x_spec] + [_resident(s) for s in p_shapes], x_spec
+
+
+def bert_layer_call(x, params, seed, heads: int, t_valid: int,
+                    rates: Tuple[float, float], training: bool,
+                    interpret: bool = False):
+    """Entry point: one full HF-semantics post-LN BERT layer as a single TPU
+    kernel (custom VJP). x: (B, TP, H) tokens padded to TP = round_up(T, 8);
+    positions >= t_valid are pads (masked out of attention). params:
+    16-tuple (module docstring). rates: (attn_dropout, hidden_dropout)."""
+    return _fbl(x, params, seed, heads, t_valid, rates, training, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _fbl(x, params, seed, heads, t_valid, rates, training, interpret):
+    return _fbl_fwd(x, params, seed, heads, t_valid, rates, training,
+                    interpret)[0]
+
+
+def _dims(x, params, heads, t_valid):
+    B, TP, H = x.shape
+    F = params[10].shape[1]
+    return B, (TP, H, F, heads, t_valid)
+
+
+def _fbl_fwd(x, params, seed, heads, t_valid, rates, training, interpret):
+    B, dims = _dims(x, params, heads, t_valid)
+    TP, H, F = dims[0], dims[1], dims[2]
+    p_shapes = param_shapes(H, F)
+    in_specs, x_spec = _specs(TP, H, p_shapes)
+    seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    f32 = lambda t: jnp.asarray(t, jnp.float32)
+    out, x1 = pl.pallas_call(
+        _make_fwd_kernel(dims, rates, training),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(B, 1),
+            in_specs=in_specs, out_specs=[x_spec, x_spec],
+            scratch_shapes=[pltpu.VMEM((TP, H), jnp.float32)]),
+        out_shape=[jax.ShapeDtypeStruct(x.shape, jnp.float32)] * 2,
+        interpret=interpret,
+    )(seed_arr, f32(x), *[f32(p) for p in params])
+    return out.astype(x.dtype), (x, x1, params, seed_arr)
+
+
+def _fbl_bwd(heads, t_valid, rates, training, interpret, res, g):
+    x, x1, params, seed_arr = res
+    B, dims = _dims(x, params, heads, t_valid)
+    TP, H, F = dims[0], dims[1], dims[2]
+    f32 = lambda t: jnp.asarray(t, jnp.float32)
+    x_spec = pl.BlockSpec((1, TP, H), lambda b, c, *_: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    ffn_p = params[10:16]
+    ffn_shapes = param_shapes(H, F)[10:16]
+    ffn_outs = pl.pallas_call(
+        _make_ffn_bwd_kernel(dims, rates, training),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(B, 1),
+            in_specs=[x_spec, x_spec] + [_resident(s) for s in ffn_shapes],
+            out_specs=[x_spec] + [_resident(s) for s in ffn_shapes]),
+        out_shape=([jax.ShapeDtypeStruct(x.shape, jnp.float32)]
+                   + [jax.ShapeDtypeStruct(s, jnp.float32)
+                      for s in ffn_shapes]),
+        interpret=interpret,
+    )(seed_arr, f32(x1), f32(g), *[f32(p) for p in ffn_p])
+    dx1, dffn = ffn_outs[0], ffn_outs[1:]
+
+    attn_p = params[0:10]
+    attn_shapes = param_shapes(H, F)[0:10]
+    attn_outs = pl.pallas_call(
+        _make_attn_bwd_kernel(dims, rates, training),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(B, 1),
+            in_specs=[x_spec, x_spec] + [_resident(s) for s in attn_shapes],
+            out_specs=[x_spec] + [_resident(s) for s in attn_shapes],
+            scratch_shapes=[pltpu.VMEM((TP, H), jnp.float32),
+                            pltpu.VMEM((TP, 3 * H), jnp.float32)]),
+        out_shape=([jax.ShapeDtypeStruct(x.shape, jnp.float32)]
+                   + [jax.ShapeDtypeStruct(s, jnp.float32)
+                      for s in attn_shapes]),
+        interpret=interpret,
+    )(seed_arr, f32(x), dx1, *[f32(p) for p in attn_p])
+    dx = attn_outs[0].astype(x.dtype)
+    dparams = tuple(d.astype(jnp.asarray(p).dtype)
+                    for d, p in zip(list(attn_outs[1:]) + list(dffn), params))
+    return dx, dparams, None
+
+
+_fbl.defvjp(_fbl_fwd, _fbl_bwd)
+
+
+def bert_layer_reference(x, params, heads: int, t_valid: int):
+    """Differentiable jnp twin (deterministic) over the same params/layout."""
+    (wq, bq, wk, bk, wv, bv, wo, bo, g1, b1,
+     w1, b1m, w2, b2m, g2, b2) = [jnp.asarray(p, jnp.float32) for p in params]
+    B, TP, H = x.shape
+    hd = H // heads
+    xf = jnp.asarray(x, jnp.float32)
+    q = xf @ wq + bq[0]
+    k = xf @ wk + bk[0]
+    v = xf @ wv + bv[0]
+
+    def split(t):
+        return t.reshape(B, TP, heads, hd).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split(q) * (hd ** -0.5), split(k), split(v)
+    s = jnp.einsum("bhtd,bhsd->bhts", qh, kh)
+    col = jnp.arange(TP)
+    s = jnp.where(col[None, None, None, :] >= t_valid, _NEG_INF, s)
+    p = jax.nn.softmax(s, axis=-1)
+    ctx = jnp.einsum("bhts,bhsd->bhtd", p, vh)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, TP, H)
+    a = ctx @ wo + bo[0]
+    x1, _, _ = _ln_fwd(a + xf, g1, b1)
+    z = _gelu_erf(x1 @ w1 + b1m[0]) @ w2 + b2m[0]
+    out, _, _ = _ln_fwd(z + x1, g2, b2)
+    return out.astype(x.dtype)

@@ -45,19 +45,30 @@ def bert_params_from_hf(state: Mapping[str, Any], num_layers: int,
         "pooler_dense": dense("pooler.dense"),
     }
 
+    def row(x):
+        return x.reshape(1, -1)
+
     def layer_tree(i):
+        # flat per-layer params (nn/bert.py BertLayer owns them directly so
+        # the whole layer can run as one Pallas megakernel)
         base = f"encoder.layer.{i}"
         return {
-            "attention": {
-                "query": dense(f"{base}.attention.self.query"),
-                "key": dense(f"{base}.attention.self.key"),
-                "value": dense(f"{base}.attention.self.value"),
-                "output_dense": dense(f"{base}.attention.output.dense"),
-                "output_ln": ln(f"{base}.attention.output.LayerNorm"),
-            },
-            "intermediate_dense": dense(f"{base}.intermediate.dense"),
-            "output_dense": dense(f"{base}.output.dense"),
-            "output_ln": ln(f"{base}.output.LayerNorm"),
+            "query_kernel": g(f"{base}.attention.self.query.weight").T,
+            "query_bias": row(g(f"{base}.attention.self.query.bias")),
+            "key_kernel": g(f"{base}.attention.self.key.weight").T,
+            "key_bias": row(g(f"{base}.attention.self.key.bias")),
+            "value_kernel": g(f"{base}.attention.self.value.weight").T,
+            "value_bias": row(g(f"{base}.attention.self.value.bias")),
+            "attn_output_kernel": g(f"{base}.attention.output.dense.weight").T,
+            "attn_output_bias": row(g(f"{base}.attention.output.dense.bias")),
+            "attn_ln_scale": row(g(f"{base}.attention.output.LayerNorm.weight")),
+            "attn_ln_bias": row(g(f"{base}.attention.output.LayerNorm.bias")),
+            "intermediate_kernel": g(f"{base}.intermediate.dense.weight").T,
+            "intermediate_bias": row(g(f"{base}.intermediate.dense.bias")),
+            "output_kernel": g(f"{base}.output.dense.weight").T,
+            "output_bias": row(g(f"{base}.output.dense.bias")),
+            "output_ln_scale": row(g(f"{base}.output.LayerNorm.weight")),
+            "output_ln_bias": row(g(f"{base}.output.LayerNorm.bias")),
         }
 
     if scan_layers:

@@ -1,0 +1,107 @@
+"""Parity tests for the fused BERT layer megakernel (ops/bert_layer.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_neuroimage_tpu.ops import bert_layer as bl
+from multimodal_neuroimage_tpu.ops.attention import set_fused_attention
+
+B, T, H, HEADS, F = 2, 37, 24, 4, 256
+TP = bl.round_up(T, 8)
+
+
+def _params(key):
+    ks = jax.random.split(key, 16)
+    shapes = bl.param_shapes(H, F)
+    p = [jax.random.normal(k, s, jnp.float32) * 0.15
+         for k, s in zip(ks, shapes)]
+    p[8] = jnp.abs(p[8]) + 0.5          # LN scales positive
+    p[14] = jnp.abs(p[14]) + 0.5
+    return tuple(p)
+
+
+def _x(seed=0):
+    x = np.random.default_rng(seed).normal(
+        size=(B, TP, H)).astype(np.float32)
+    x[:, T:, :] = 0.0
+    return jnp.asarray(x)
+
+
+def test_bert_layer_forward_parity():
+    x = _x()
+    params = _params(jax.random.PRNGKey(1))
+    got = bl.bert_layer_call(x, params, 0, HEADS, T, (0.0, 0.0), False,
+                             interpret=True)
+    want = bl.bert_layer_reference(x, params, HEADS, T)
+    np.testing.assert_allclose(np.asarray(got)[:, :T], np.asarray(want)[:, :T],
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_bert_layer_grad_parity():
+    x = _x(3)
+    params = _params(jax.random.PRNGKey(2))
+    cot = jnp.asarray(np.random.default_rng(7).normal(
+        size=x.shape).astype(np.float32)).at[:, T:, :].set(0.0)
+
+    def loss_fused(x, params):
+        out = bl.bert_layer_call(x, params, 0, HEADS, T, (0.0, 0.0), False,
+                                 interpret=True)
+        return jnp.sum(out * cot)
+
+    def loss_ref(x, params):
+        return jnp.sum(bl.bert_layer_reference(x, params, HEADS, T) * cot)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(np.asarray(gf[0])[:, :T],
+                               np.asarray(gr[0])[:, :T],
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(gf[1], gr[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_bert_encoder_fused_vs_plain():
+    """Full BertEncoder: megakernel path (padded scan) equals plain path."""
+    from multimodal_neuroimage_tpu.nn.bert import BertEncoder
+    enc = BertEncoder(hidden=H, layers=3, heads=HEADS, max_positions=T,
+                      intermediate=F)
+    x = jnp.asarray(np.random.default_rng(11).normal(
+        size=(B, T, H)).astype(np.float32))
+    v = enc.init({"params": jax.random.PRNGKey(0)}, x, deterministic=True)
+    set_fused_attention(True)
+    try:
+        seq_f, pooled_f = enc.apply(v, x, deterministic=True)
+    finally:
+        set_fused_attention(None)
+    set_fused_attention(False)
+    try:
+        seq_p, pooled_p = enc.apply(v, x, deterministic=True)
+    finally:
+        set_fused_attention(None)
+    np.testing.assert_allclose(np.asarray(seq_f), np.asarray(seq_p),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(pooled_f), np.asarray(pooled_p),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_bert_layer_training_stochastic_smoke():
+    from jax.experimental.pallas import tpu as pltpu
+    x = _x(5)
+    params = _params(jax.random.PRNGKey(4))
+    interp = pltpu.InterpretParams()
+
+    def loss(x):
+        out = bl.bert_layer_call(x, params, 123, HEADS, T, (0.2, 0.15), True,
+                                 interpret=interp)
+        return jnp.sum(out ** 2), out
+
+    (val, out), g = jax.value_and_grad(loss, has_aux=True)(x)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(g)))
+    det = bl.bert_layer_call(x, params, 123, HEADS, T, (0.0, 0.0), False,
+                             interpret=True)
+    ratio = float(jnp.std(out[:, :T]) / jnp.std(det[:, :T]))
+    assert 0.5 < ratio < 2.0

@@ -43,13 +43,13 @@ def test_backward_parity(qkv):
 
 
 def test_bert_layer_uses_fused_path_equivalently(qkv):
-    """BertSelfAttention output identical with the kernel forced on
-    (interpret) vs off, deterministic mode."""
-    from multimodal_neuroimage_tpu.nn.bert import BertSelfAttention
+    """BertLayer (attention-only kernel path, t_valid=None) output identical
+    with the kernel forced on (interpret) vs off, deterministic mode."""
+    from multimodal_neuroimage_tpu.nn.bert import BertLayer
     from multimodal_neuroimage_tpu.ops import attention as A
     x = jnp.asarray(np.random.default_rng(1).normal(
         size=(2, 16, 24)).astype(np.float32))
-    mod = BertSelfAttention(hidden=24, heads=4)
+    mod = BertLayer(hidden=24, heads=4, intermediate=64)
     params = mod.init(jax.random.PRNGKey(0), x)
     base = mod.apply(params, x, deterministic=True)
 
