@@ -80,6 +80,8 @@ def write_nifti(path: str, data: np.ndarray) -> None:
     struct.pack_into("<f", header, 112, 1.0)      # scl_slope
     struct.pack_into("<8f", header, 76, 0, *([1.0] * 7))  # pixdim
     header[344:348] = b"n+1\x00"
-    with open(path, "wb") as f:
+    import gzip
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "wb") as f:
         f.write(bytes(header))
         f.write(np.asfortranarray(data).tobytes(order="F"))

@@ -28,6 +28,7 @@ def generate_synthetic_cohort(
     seed: int = 55555555,
     n_rois: int = 84,
     targets: Optional[List[str]] = None,
+    include_fmri_image: bool = False,
 ) -> str:
     """Create a synthetic cohort under ``root``; returns ``root``.
 
@@ -39,6 +40,7 @@ def generate_synthetic_cohort(
       root/data/smri_cortical_thickness/smri_cortical_thickness_<K>.npy
       root/data/dti+smri_cortical_thickness/dti_count+smri_cortical_thickness_<K>.npy
       root/data/prs/ABCD_EUR_Multibased_PRScsx_PC1-10resid_scaled.csv
+      root/data/fmri_image/masked_image_sub-<K>.nii.gz   (include_fmri_image)
     """
     targets = targets or ["sex", "ADHD_label", "age", "nihtbx_totalcomp_uncorrected", "BMI"]
     rng = np.random.default_rng(seed)
@@ -55,7 +57,9 @@ def generate_synthetic_cohort(
     smri_dir = os.path.join(root, "data", "smri_cortical_thickness")
     dti_smri_dir = os.path.join(root, "data", "dti+smri_cortical_thickness")
     prs_dir = os.path.join(root, "data", "prs")
-    for d in (meta_dir, fmri_dir, dti_dir, smri_dir, dti_smri_dir, prs_dir):
+    img_dir = os.path.join(root, "data", "fmri_image")
+    for d in (meta_dir, fmri_dir, dti_dir, smri_dir, dti_smri_dir, prs_dir,
+              img_dir):
         os.makedirs(d, exist_ok=True)
 
     cols = {"subjectkey": keys}
@@ -90,6 +94,14 @@ def generate_synthetic_cohort(
         os.makedirs(sub_dir, exist_ok=True)
         np.save(os.path.join(sub_dir, f"desikankilliany_sub-{key}.npy"),
                 sig.astype(np.float32))
+
+        if include_fmri_image:
+            # small 4-D volume (reference datasets.py:130-169 loads full-res
+            # NIfTI; the synthetic stand-in keeps the same reader contract)
+            from multimodal_neuroimage_tpu.data.nifti import write_nifti
+            vol = srng.normal(0, 1.0, (12, 14, 12, 24)).astype(np.float32)
+            write_nifti(os.path.join(
+                img_dir, f"masked_image_sub-{key}.nii.gz"), vol)
 
         # DTI: symmetric nonneg counts with target-linked block strength
         base = srng.gamma(2.0, 50.0, (n_rois, n_rois))
@@ -156,6 +168,7 @@ def synthetic_config(root: str, **overrides):
         dti_smri_path=os.path.join(root, "data", "dti+smri_cortical_thickness"),
         prs_path=os.path.join(root, "data", "prs"),
         hcp_path=os.path.join(root, "data", "hcp"),
+        fmri_image_path=os.path.join(root, "data", "fmri_image"),
     )
     base.update(overrides)
     return Config(**base)

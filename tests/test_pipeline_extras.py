@@ -132,3 +132,26 @@ def test_fmri_type_modes_through_loader(cohort, fmri_type, key, tlen):
     batch, _ = next(pipe.epoch("train", 0, shuffle=False, to_device=False))
     assert batch[key].shape == (2, tlen, 84)
     assert np.isfinite(batch[key]).all()
+
+
+def test_fmri_image_loader_path(tmp_path):
+    """4-D NIfTI path (reference datasets.py:130-169): index + batch load
+    through the built-in nibabel-free NIfTI-1 reader."""
+    from multimodal_neuroimage_tpu.data.index import build_subject_index
+    from multimodal_neuroimage_tpu.data.loader import DataPipeline
+    from multimodal_neuroimage_tpu.data.synthetic import (
+        generate_synthetic_cohort, synthetic_config)
+
+    root = generate_synthetic_cohort(str(tmp_path / "c"), n_subjects=10,
+                                     seed=3, include_fmri_image=True)
+    cfg = synthetic_config(root, dataset_name="fMRI_image", target="sex",
+                           batch_size=2, workers=1,
+                           preprocess="host").validate()
+    records = build_subject_index(cfg)
+    assert len(records) == 10
+    pipe = DataPipeline(cfg, mesh=None, records=records)
+    batch, subjects = next(iter(pipe._batches("train", epoch=0,
+                                              shuffle=False)))
+    assert batch["fmri_sequence"].shape == (2, 12, 14, 12, 24)
+    assert np.isfinite(batch["fmri_sequence"]).all()
+    assert len(subjects) == 2
