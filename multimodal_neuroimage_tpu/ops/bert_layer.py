@@ -36,8 +36,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from multimodal_neuroimage_tpu.ops.fusion_block import (_keep_scale,
-                                                        _seed_draw, round_up)
+from multimodal_neuroimage_tpu.ops.fusion_block import (  # shared helpers
+    _dot, _dot_nt, _dot_tn, _keep_scale, _ln_bwd, _seed_draw, round_up)
+from multimodal_neuroimage_tpu.ops import fusion_block as _fb
 
 _LN_EPS = 1e-12
 _NEG_INF = -1e9
@@ -72,34 +73,8 @@ def _gelu_erf_grad(u):
 
 
 def _ln_fwd(x, g, b):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    xc = x - mu
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    r = jax.lax.rsqrt(var + _LN_EPS)
-    xh = xc * r
-    return xh * g + b, xh, r
-
-
-def _ln_bwd(dh, xh, r, g):
-    dxh = dh * g
-    m1 = jnp.mean(dxh, axis=-1, keepdims=True)
-    m2 = jnp.mean(dxh * xh, axis=-1, keepdims=True)
-    return r * (dxh - m1 - xh * m2)
-
-
-def _dot(a, b):
-    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-
-
-def _dot_tn(a, b):
-    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-
-
-def _dot_nt(a, b):
-    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    """fusion_block's exact two-pass LN at HF's eps (1e-12)."""
+    return _fb._ln_fwd(x, g, b, eps=_LN_EPS)
 
 
 def param_shapes(H: int, F: int):
@@ -120,7 +95,8 @@ def _keypad(TP: int, T: int):
     return jnp.where(col >= T, _NEG_INF, 0.0)
 
 
-def _attn_head(q, k, v, h, hd, scale, keypad, attn_rate, seed_ref, training):
+def _attn_head(q, k, v, h, heads, hd, scale, keypad, attn_rate, seed_ref,
+               training):
     qh = q[:, h * hd:(h + 1) * hd] * scale
     kh = k[:, h * hd:(h + 1) * hd]
     vh = v[:, h * hd:(h + 1) * hd]
@@ -129,7 +105,7 @@ def _attn_head(q, k, v, h, hd, scale, keypad, attn_rate, seed_ref, training):
     e = jnp.exp(s)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
     if training and attn_rate > 0.0:
-        _seed_draw(seed_ref, 3 + h, 3 + 16)
+        _seed_draw(seed_ref, 3 + h, 3 + heads)
         pd = p * _keep_scale(p.shape, attn_rate)
     else:
         pd = p
@@ -151,13 +127,13 @@ def _fwd_parts(seed_ref, x_ref, prefs, dims, rates, training, ctx_scratch):
     v = _dot(x, wv[:]) + bv[:]
     keypad = _keypad(TP, T)
     for h in range(heads):
-        *_, ctx_h = _attn_head(q, k, v, h, hd, scale, keypad, attn_rate,
-                               seed_ref, training)
+        *_, ctx_h = _attn_head(q, k, v, h, heads, hd, scale, keypad,
+                               attn_rate, seed_ref, training)
         ctx_scratch[:, h * hd:(h + 1) * hd] = ctx_h
     ctx = ctx_scratch[:]
     a = _dot(ctx, wo[:]) + bo[:]
     if training and drop_rate > 0.0:
-        _seed_draw(seed_ref, 0, 3 + 16)
+        _seed_draw(seed_ref, 0, 3 + heads)
         m0 = _keep_scale(a.shape, drop_rate)
         a = a * m0
     else:
@@ -170,7 +146,7 @@ def _fwd_parts(seed_ref, x_ref, prefs, dims, rates, training, ctx_scratch):
         u_c = _dot(x1, w1[:, c0:c0 + Fc]) + b1m[:, c0:c0 + Fc]
         z = z + _dot(_gelu_erf(u_c), w2[c0:c0 + Fc, :])
     if training and drop_rate > 0.0:
-        _seed_draw(seed_ref, 1, 3 + 16)
+        _seed_draw(seed_ref, 1, 3 + heads)
         m1 = _keep_scale(z.shape, drop_rate)
         z = z * m1
     else:
@@ -218,7 +194,7 @@ def _make_ffn_bwd_kernel(dims, rates, training):
             u_c = _dot(x1, w1[:, c0:c0 + Fc]) + b1m[:, c0:c0 + Fc]
             z = z + _dot(_gelu_erf(u_c), w2[c0:c0 + Fc, :])
         if training and drop_rate > 0.0:
-            _seed_draw(seed_ref, 1, 3 + 16)
+            _seed_draw(seed_ref, 1, 3 + heads)
             m1 = _keep_scale(z.shape, drop_rate)
             z = z * m1
         else:
@@ -262,13 +238,13 @@ def _make_attn_bwd_kernel(dims, rates, training):
         v = _dot(x, wv[:]) + bv[:]
         keypad = _keypad(TP, T)
         for h in range(heads):
-            *_, ctx_h = _attn_head(q, k, v, h, hd, scale, keypad, attn_rate,
-                                   seed_ref, training)
+            *_, ctx_h = _attn_head(q, k, v, h, heads, hd, scale, keypad,
+                                   attn_rate, seed_ref, training)
             ctx_scratch[:, h * hd:(h + 1) * hd] = ctx_h
         ctx = ctx_scratch[:]
         a = _dot(ctx, wo[:]) + bo[:]
         if training and drop_rate > 0.0:
-            _seed_draw(seed_ref, 0, 3 + 16)
+            _seed_draw(seed_ref, 0, 3 + heads)
             m0 = _keep_scale(a.shape, drop_rate)
             a = a * m0
         else:
@@ -292,13 +268,14 @@ def _make_attn_bwd_kernel(dims, rates, training):
         dctx = _dot_nt(da, wo[:])
 
         for h in range(heads):
-            qh, kh, vh, p, pd, _ = _attn_head(q, k, v, h, hd, scale, keypad,
-                                              attn_rate, seed_ref, training)
+            qh, kh, vh, p, pd, _ = _attn_head(q, k, v, h, heads, hd, scale,
+                                              keypad, attn_rate, seed_ref,
+                                              training)
             dctx_h = dctx[:, h * hd:(h + 1) * hd]
             dpd = _dot_nt(dctx_h, vh)              # (TP, TP)
             dvh = _dot_tn(pd, dctx_h)              # (TP, hd)
             if training and attn_rate > 0.0:
-                _seed_draw(seed_ref, 3 + h, 3 + 16)
+                _seed_draw(seed_ref, 3 + h, 3 + heads)
                 dp = dpd * _keep_scale(dpd.shape, attn_rate)
             else:
                 dp = dpd

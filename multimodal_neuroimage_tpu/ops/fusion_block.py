@@ -68,8 +68,7 @@ def round_up(x: int, m: int) -> int:
 def pick_window_chunk(n_windows: int, NP: int,
                       budget: int = 768 * 1024) -> int:
     """Largest divisor of n_windows keeping a (Wc, NP, NP) f32 buffer with
-    lane padding under ``budget`` (VMEM headroom: the backward keeps more
-    live buffers than the forward, so it uses a smaller budget)."""
+    lane padding under ``budget``."""
     per_window = NP * max(NP, 128) * 4
     cap = max(1, budget // per_window)
     best = 1
@@ -106,12 +105,12 @@ def _keep_scale(shape, rate: float):
     return jnp.where(bits >= thr, 1.0 / (1.0 - rate), 0.0)
 
 
-def _ln_fwd(x, g, b):
+def _ln_fwd(x, g, b, eps: float = _LN_EPS):
     """Exact two-pass LayerNorm (nn/common.py LayerNorm semantics)."""
     mu = jnp.mean(x, axis=-1, keepdims=True)
     xc = x - mu
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    r = jax.lax.rsqrt(var + _LN_EPS)
+    r = jax.lax.rsqrt(var + eps)
     xh = xc * r
     return xh * g + b, xh, r
 
@@ -313,8 +312,15 @@ def _make_bwd_kernel(dims, rates, training, with_mask, cross):
         _, res = _forward_compute(seed_ref, x_ref, y_ref, dp_ref, bias_ref,
                                   mask_ref, prefs, dims, rates, training,
                                   o_scratch, cross)
-        (x2, h1, xh1, r1, h1y, xh1y, r1y, q3, k3, v3, o2, mp,
-         dp1, dp2, x2r, h2, xh2, r2, u, gu, m1, m2) = res
+        # VMEM discipline: dropout masks (mp/m1/m2), gu, and every LN
+        # statistic (h1/xh1/r1/h2/xh2/r2) are NOT kept from the recompute.
+        # Per-draw PRNG seeding regenerates each mask at its use site, and
+        # the LN stats are recomputed from x2/x2r (whose buffers are alive
+        # anyway) — together ~5 MB off the live set, the margin that lets
+        # the backward run at the forward's window-chunk size.
+        (x2, _, _, _, _, _, _, q3, k3, v3, o2, _,
+         dp1, dp2, x2r, _, _, _, _, _, _, _) = res
+        n_draws = 3 + H
         if cross:
             (g1, b1, g1y, b1y, wq, bq, wkv, bkv,
              wp, bp, g2, b2, w1, b1m, w2, b2m) = prefs
@@ -331,10 +337,21 @@ def _make_bwd_kernel(dims, rates, training, with_mask, cross):
         g = g_ref[0].astype(jnp.float32).reshape(R, C)
 
         # ---- MLP / LN2 backward ---------------------------------------------
+        with_drop = training and drop_rate > 0.0
         dz = dp2 * g
-        if m2 is not None:
-            dz = dz * m2
+        if with_drop:
+            _seed_draw(seed_ref, _DRAW_MLP2, n_draws)
+            dz = dz * _keep_scale(dz.shape, drop_rate)
         db2m_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
+        h2, xh2, r2 = _ln_fwd(x2r, g2[:], b2[:])
+        u = _dot(h2, w1[:]) + b1m[:]
+        gu = _gelu(u)
+        if with_drop:
+            _seed_draw(seed_ref, _DRAW_MLP1, n_draws)
+            m1 = _keep_scale(gu.shape, drop_rate)
+            gu = gu * m1
+        else:
+            m1 = None
         dw2_ref[:] += _dot_tn(gu, dz)
         dgu = _dot_nt(dz, w2[:])
         if m1 is not None:
@@ -349,8 +366,9 @@ def _make_bwd_kernel(dims, rates, training, with_mask, cross):
 
         # ---- proj backward ----------------------------------------------------
         da = dp1 * dx2r
-        if mp is not None:
-            da = da * mp
+        if with_drop:
+            _seed_draw(seed_ref, _DRAW_PROJ, n_draws)
+            da = da * _keep_scale(da.shape, drop_rate)
         dbp_ref[:] += jnp.sum(da, axis=0, keepdims=True)
         dwp_ref[:] += _dot_tn(o2, da)
         do2 = _dot_nt(da, wp[:])
@@ -379,6 +397,7 @@ def _make_bwd_kernel(dims, rates, training, with_mask, cross):
                 _bdot(ds, qh, 1, 1))
             kv_sc[:, :, kv_off + C + h * hd:kv_off + C + (h + 1) * hd] = dvh
 
+        h1, xh1, r1 = _ln_fwd(x2, g1[:], b1[:])
         if cross:
             dq = dq_scratch[:].reshape(R, C)
             dkv = dkv_scratch[:].reshape(R, 2 * C)
@@ -386,6 +405,8 @@ def _make_bwd_kernel(dims, rates, training, with_mask, cross):
             dwq_ref[:] += _dot_tn(h1, dq)
             dh1 = _dot_nt(dq, wq[:])
             dbkv_ref[:] += jnp.sum(dkv, axis=0, keepdims=True)
+            y2 = y_ref[0].astype(jnp.float32).reshape(R, C)
+            h1y, xh1y, r1y = _ln_fwd(y2, g1y[:], b1y[:])
             dwkv_ref[:] += _dot_tn(h1y, dkv)
             dh1y = _dot_nt(dkv, wkv[:])
             dg1y_ref[:] += jnp.sum(dh1y * xh1y, axis=0, keepdims=True)
@@ -428,12 +449,23 @@ def _in_specs(Wc, NP, C, H, with_mask, p_shapes, cross):
     return specs, x_spec
 
 
+def _chunk_for(nW: int, NP: int, cross: bool) -> int:
+    """ONE chunk size for forward AND backward — the grids must be identical
+    or the per-(grid-cell, draw) PRNG seeding regenerates different dropout
+    masks in the backward. Budget sized for the backward's larger live set
+    (at the flagship geometry the backward peaks ~16.9 MB if given the
+    forward-optimal chunk — 12 KB-to-1 MB over the 16 MB VMEM limit even
+    after regenerating masks and LN stats at their use sites; per-window
+    chunk-invariant mask draws would decouple the two, see ROADMAP)."""
+    return pick_window_chunk(nW, NP, budget=(192 if cross else 320) * 1024)
+
+
 def _fwd_impl(x, y, params, bias, mask, dp, seed, rates, training,
               interpret, cross):
     B, nW, NP, C = x.shape
     H = bias.shape[0]
     Ch = params[-4].shape[1]
-    Wc = pick_window_chunk(nW, NP)
+    Wc = _chunk_for(nW, NP, cross)
     with_mask = mask is not None
     dims = (Wc, NP, C, H, Ch)
     p_shapes = param_shapes(C, Ch, cross)
@@ -461,8 +493,7 @@ def _bwd_impl(x, y, params, bias, mask, dp, seed_arr, g, rates, training,
     B, nW, NP, C = x.shape
     H = bias.shape[0]
     Ch = params[-4].shape[1]
-    Wc = pick_window_chunk(nW, NP,
-                           budget=(192 if cross else 320) * 1024)
+    Wc = _chunk_for(nW, NP, cross)
     with_mask = mask is not None
     dims = (Wc, NP, C, H, Ch)
     p_shapes = param_shapes(C, Ch, cross)

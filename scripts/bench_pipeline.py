@@ -88,8 +88,8 @@ def main():
         except Exception:
             pass
 
-        py_s = bench_python(paths[:max(8, n // 8)])
-        py_s *= n / max(8, n // 8)
+        n_py = min(n, max(8, n // 8))
+        py_s = bench_python(paths[:n_py]) * (n / n_py)
 
         native_gbps = (nbytes / (native_s + d2h_s) / 1e9
                        if native_s is not None else None)

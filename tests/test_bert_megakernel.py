@@ -105,3 +105,24 @@ def test_bert_layer_training_stochastic_smoke():
                              interpret=True)
     ratio = float(jnp.std(out[:, :T]) / jnp.std(det[:, :T]))
     assert 0.5 < ratio < 2.0
+
+
+def test_bert_layer_stochastic_grad_is_true_gradient():
+    """Fixed-seed stochastic forward is deterministic; custom VJP must match
+    its directional numerical derivative (catches fwd/bwd mask divergence)."""
+    from jax.experimental.pallas import tpu as pltpu
+    x = _x(9)
+    params = _params(jax.random.PRNGKey(8))
+    interp = pltpu.InterpretParams()
+
+    def f(x):
+        out = bl.bert_layer_call(x, params, 55, HEADS, T, (0.25, 0.2), True,
+                                 interpret=interp)
+        return jnp.sum(jnp.sin(out[:, :T]))
+
+    v = jnp.asarray(np.random.default_rng(14).normal(
+        size=x.shape).astype(np.float32)).at[:, T:, :].set(0.0)
+    eps = 1e-2
+    fd = (float(f(x + eps * v)) - float(f(x - eps * v))) / (2 * eps)
+    an = float(jnp.vdot(jax.grad(f)(x), v))
+    assert abs(fd - an) < 2e-2 * max(1.0, abs(fd)), (fd, an)

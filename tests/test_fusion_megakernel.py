@@ -262,3 +262,26 @@ def test_cross_module_fused_vs_plain(shift):
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(fy), np.asarray(py),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_block_stochastic_grad_is_true_gradient():
+    """With a FIXED seed the stochastic forward is deterministic, so the
+    custom VJP must match its directional numerical derivative. Catches
+    fwd/bwd dropout-mask divergence (e.g. mismatched grids)."""
+    from jax.experimental.pallas import tpu as pltpu
+    x, _, bias, maskp, dp = _inputs(3, seed=9)
+    params = _params(jax.random.PRNGKey(6))
+    interp = pltpu.InterpretParams()
+
+    def f(x):
+        out = fb.fused_fusion_block(x, params, bias, maskp, dp, 77,
+                                    (0.25, 0.2), True, interpret=interp)
+        return jnp.sum(jnp.sin(out[:, :, :N]))
+
+    v = jnp.asarray(np.random.default_rng(13).normal(
+        size=x.shape).astype(np.float32))
+    v = v.at[:, :, N:, :].set(0.0)
+    eps = 1e-2
+    fd = (float(f(x + eps * v)) - float(f(x - eps * v))) / (2 * eps)
+    an = float(jnp.vdot(jax.grad(f)(x), v))
+    assert abs(fd - an) < 2e-2 * max(1.0, abs(fd)), (fd, an)
