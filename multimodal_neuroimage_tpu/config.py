@@ -203,6 +203,21 @@ class Config:
             "frequency_domain_ultralow", "timeseries_and_frequency",
         }
         assert self.intermediate_vec in (84, 48, 22)
+        if self.dataset_name == "hcp":
+            # HCP series are 22 ROIs (reference datasets.py:114-124); the
+            # reference relies on the user passing --intermediate_vec 22 and
+            # a compatible head count — default them here instead
+            if self.intermediate_vec == 84:
+                object.__setattr__(self, "intermediate_vec", 22)
+            if self.sequence_length == 368:
+                object.__setattr__(self, "sequence_length", 1200)
+            for attr in ("num_heads_2DBert", "num_heads_mult"):
+                if self.intermediate_vec % getattr(self, attr) != 0:
+                    object.__setattr__(self, attr, 2)
+        for attr in ("num_heads_2DBert", "num_heads_mult"):
+            assert self.intermediate_vec % getattr(self, attr) == 0, (
+                f"{attr}={getattr(self, attr)} must divide hidden size "
+                f"{self.intermediate_vec} (HF BertSelfAttention contract)")
         assert self.lr_policy in {"step", "SGDR", "OneCycle", "CosAnn"}, \
             f"unknown lr policy {self.lr_policy}"
         assert self.preprocess in {"device", "host", "native"}, \

@@ -71,3 +71,18 @@ def test_hcp_age_regression_index(cohort):
     targets = np.asarray([r.target for r in recs])
     # z-scored ages: roughly centered
     assert abs(targets.mean()) < 0.5 and 0.5 < targets.std() < 2.0
+
+
+def test_hcp_step1_training(cohort, tmp_path):
+    """Step-1 2DBERT over the HCP cohort (1200 TRs, 22 ROIs): validate()
+    defaults intermediate_vec/sequence_length/heads for hcp (the reference
+    relied on the user passing compatible flags — model.py:53-67)."""
+    from multimodal_neuroimage_tpu.train.trainer import Trainer
+    cfg = synthetic_config(
+        cohort, dataset_name="hcp", target="sex", step=1, task="2DBERT",
+        preprocess="host",
+        experiment_folder=str(tmp_path / "exphcp"), **TINY).validate()
+    assert cfg.intermediate_vec == 22 and cfg.sequence_length == 1200
+    assert cfg.num_heads_2DBert == 2
+    metrics = Trainer(cfg).training()
+    assert "train_AUROC" in metrics
