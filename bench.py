@@ -60,23 +60,26 @@ def main() -> None:
     dev_batch = shard_batch(batch, mesh)
 
     # warmup/compile: the first ~3 calls may trigger layout-driven recompiles
-    # under buffer donation; time only the steady state
+    # under buffer donation; time only the steady state.
+    # IMPORTANT: sync via float() VALUE FETCH — on the axon-tunneled backend
+    # block_until_ready returns optimistically before device completion
+    # (measured 10 ms/step "windows" vs 280 ms/step real), so every window
+    # must end by reading the loss value.
     for _ in range(3):
         state, losses, _ = step(state, dev_batch)
-        jax.block_until_ready(losses["total"])
+        float(losses["total"])
     assert np.isfinite(float(losses["total"])), "non-finite training loss"
 
     # best-of-windows: single windows get polluted by late layout recompiles
-    # and remote-tunnel hiccups (measured 70 ms vs 10 ms for identical
-    # windows); the best window is the reproducible steady state
+    # and tunnel hiccups; the best window is the reproducible steady state
     n_steps = int(os.environ.get("BENCH_STEPS", "25"))
-    n_windows = int(os.environ.get("BENCH_WINDOWS", "6"))
+    n_windows = int(os.environ.get("BENCH_WINDOWS", "4"))
     best = float("inf")
     for _ in range(n_windows):
         t0 = time.perf_counter()
         for _ in range(n_steps):
             state, losses, _ = step(state, dev_batch)
-        jax.block_until_ready(losses["total"])
+        assert np.isfinite(float(losses["total"]))   # value fetch = true sync
         best = min(best, time.perf_counter() - t0)
 
     subjects_per_sec = batch_size * n_steps / best

@@ -47,13 +47,13 @@ def step_time(cfg_overrides, label, n_steps=25, per_chip_batch=8):
     dev_batch = shard_batch(batch, mesh)
     for _ in range(3):
         state, losses, _ = step(state, dev_batch)
-        jax.block_until_ready(losses["total"])
+        float(losses["total"])
     best = float("inf")
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(n_steps):
             state, losses, _ = step(state, dev_batch)
-        jax.block_until_ready(losses["total"])
+        float(losses["total"])     # value fetch = true device sync (axon)
         best = min(best, (time.perf_counter() - t0) / n_steps)
     print(f"{label}: {best*1e3:.1f} ms/step (best of 5 windows)", flush=True)
     return best

@@ -53,16 +53,18 @@ def main():
     t0 = time.perf_counter()
     for _ in range(3):
         state, losses, _ = step(state, dev_batch)
-        jax.block_until_ready(losses["total"])
+        float(losses["total"])
     print(f"warmup done in {time.perf_counter()-t0:.1f}s", flush=True)
 
+    # sync by VALUE FETCH: on the axon backend block_until_ready returns
+    # optimistically before the device work completes
     windows = []
-    for w in range(8):
+    for w in range(4):
         n = 25
         t0 = time.perf_counter()
         for _ in range(n):
             state, losses, _ = step(state, dev_batch)
-        jax.block_until_ready(losses["total"])
+        float(losses["total"])
         dt = (time.perf_counter() - t0) / n
         windows.append(dt)
         print(f"window {w}: {dt*1e3:.1f} ms/step "
