@@ -182,7 +182,8 @@ def _attn_fwd_head(q3, k3, v3, bias_ref, mask_ref, h, hd, scale,
 
 
 def _forward_compute(seed_ref, x_ref, y_ref, dp_ref, bias_ref, mask_ref,
-                     prefs, dims, rates, training, o_scratch, cross):
+                     prefs, dims, rates, training, o_scratch, cross,
+                     p_scratch=None):
     """Shared forward used by both kernels. Returns out plus residuals."""
     Wc, NP, C, H, Ch = dims
     attn_rate, drop_rate = rates
@@ -216,10 +217,12 @@ def _forward_compute(seed_ref, x_ref, y_ref, dp_ref, bias_ref, mask_ref,
                       qkv3[:, :, 2 * C:])
 
     for h in range(H):
-        *_, oh = _attn_fwd_head(
+        _, _, _, p_h, _, oh = _attn_fwd_head(
             q3, k3, v3, bias_ref, mask_ref, h, hd, scale,
             attn_rate, seed_ref, n_draws, training)
         o_scratch[:, :, h * hd:(h + 1) * hd] = oh
+        if p_scratch is not None:
+            p_scratch[h] = p_h      # backward reuses softmax output
     o = o_scratch[:]
     o2 = o.reshape(R, C)
     a = _dot(o2, wp[:]) + bp[:]
@@ -292,14 +295,16 @@ def _make_bwd_kernel(dims, rates, training, with_mask, cross):
         if cross:
             dx_ref, dy_ref, dbias_ref = outs[0], outs[1], outs[2]
             dp_refs = outs[3:3 + np_]
-            o_scratch, dq_scratch, dkv_scratch = outs[-3], outs[-2], outs[-1]
+            (o_scratch, dq_scratch, dkv_scratch,
+             p_scratch) = outs[-4], outs[-3], outs[-2], outs[-1]
             (dg1_ref, db1_ref, dg1y_ref, db1y_ref, dwq_ref, dbq_ref,
              dwkv_ref, dbkv_ref, dwp_ref, dbp_ref, dg2_ref, db2_ref,
              dw1_ref, db1m_ref, dw2_ref, db2m_ref) = dp_refs
         else:
             dx_ref, dbias_ref = outs[0], outs[1]
             dp_refs = outs[2:2 + np_]
-            o_scratch, dqkv_scratch = outs[-2], outs[-1]
+            o_scratch, dqkv_scratch, p_scratch = (outs[-3], outs[-2],
+                                                  outs[-1])
             (dg1_ref, db1_ref, dwqkv_ref, dbqkv_ref, dwp_ref, dbp_ref,
              dg2_ref, db2_ref, dw1_ref, db1m_ref, dw2_ref, db2m_ref) = dp_refs
 
@@ -311,7 +316,7 @@ def _make_bwd_kernel(dims, rates, training, with_mask, cross):
 
         _, res = _forward_compute(seed_ref, x_ref, y_ref, dp_ref, bias_ref,
                                   mask_ref, prefs, dims, rates, training,
-                                  o_scratch, cross)
+                                  o_scratch, cross, p_scratch=p_scratch)
         # VMEM discipline: dropout masks (mp/m1/m2), gu, and every LN
         # statistic (h1/xh1/r1/h2/xh2/r2) are NOT kept from the recompute.
         # Per-draw PRNG seeding regenerates each mask at its use site, and
@@ -379,9 +384,16 @@ def _make_bwd_kernel(dims, rates, training, with_mask, cross):
         kv_sc = dkv_scratch if cross else dqkv_scratch
         kv_off = 0 if cross else C
         for h in range(H):
-            qh, kh, vh, p, pd, _ = _attn_fwd_head(
-                q3, k3, v3, bias_ref, mask_ref, h, hd, scale,
-                attn_rate, seed_ref, 3 + H, training)
+            # p saved from the recompute above — no second scores+softmax
+            qh = q3[:, :, h * hd:(h + 1) * hd] * scale
+            kh = k3[:, :, h * hd:(h + 1) * hd]
+            vh = v3[:, :, h * hd:(h + 1) * hd]
+            p = p_scratch[h]
+            if training and attn_rate > 0.0:
+                _seed_draw(seed_ref, 3 + h, 3 + H)
+                pd = p * _keep_scale(p.shape, attn_rate)
+            else:
+                pd = p
             doh = do3[:, :, h * hd:(h + 1) * hd]
             dpd = _bdot(doh, vh, 2, 2)                         # (Wc,NP,NP)
             dvh = _bdot(pd, doh, 1, 1)                         # (Wc,NP,hd)
@@ -510,7 +522,8 @@ def _bwd_impl(x, y, params, bias, mask, dp, seed_arr, g, rates, training,
     scratch = ([pltpu.VMEM((Wc, NP, C), jnp.float32)]
                + ([pltpu.VMEM((Wc, NP, C), jnp.float32),
                    pltpu.VMEM((Wc, NP, 2 * C), jnp.float32)] if cross
-                  else [pltpu.VMEM((Wc, NP, 3 * C), jnp.float32)]))
+                  else [pltpu.VMEM((Wc, NP, 3 * C), jnp.float32)])
+               + [pltpu.VMEM((H, Wc, NP, NP), jnp.float32)])
     f32 = lambda t: jnp.asarray(t, jnp.float32)
     args = ((seed_arr, f32(x)) + ((f32(y),) if cross else ())
             + (f32(dp), f32(bias))
