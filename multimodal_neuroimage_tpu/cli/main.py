@@ -105,19 +105,44 @@ def args_logger(cfg: Config) -> None:
         pickle.dump(dataclasses.asdict(cfg), f)
 
 
+def _experiment_meta(folder: str) -> Optional[dict]:
+    """Read the arguments.pkl archived by args_logger — identifies which
+    task/target/exp_name an experiment folder belongs to."""
+    try:
+        with open(os.path.join(folder, "arguments.pkl"), "rb") as f:
+            return pickle.load(f)
+    except Exception:
+        return None
+
+
 def weight_loader(cfg: Config) -> Optional[str]:
     """Chain weights from the previous phase's best checkpoint
-    (reference utils.py:95-128): step N loads the newest BEST checkpoint from
-    the most recent experiment folder of step N-1's task (or any earlier
-    experiment of the same title)."""
+    (reference utils.py:95-128): step N maps to the task of the phase it
+    chains from (2<-1 2DBERT, 4<-3, 5<-3, 6<-3 all VIT — reference loads
+    ``model_weights_path_phase3`` for steps 4/5), then picks the newest BEST
+    checkpoint among experiment folders matching that task AND this run's
+    target, preferring the same experiment title (exp_name)."""
     if cfg.model_weights_path:
         return cfg.model_weights_path
-    chain_from = {2: 1, 4: cfg.step - 1, 5: 3, 6: 3}.get(cfg.step)
+    chain_from = {2: 1, 4: 3, 5: 3, 6: 3}.get(cfg.step)
     if chain_from is None:
         return None
-    pattern = os.path.join(cfg.base_path, "experiments", "*", "*BEST*.ckpt")
-    candidates = sorted(glob.glob(pattern), key=os.path.getmtime)
-    return candidates[-1] if candidates else None
+    want_task = PHASE_TASKS[chain_from]
+    candidates = []  # (same_title, mtime, path) — sorted ascending, last wins
+    for folder in glob.glob(os.path.join(cfg.base_path, "experiments", "*")):
+        meta = _experiment_meta(folder)
+        if not meta or meta.get("task") != want_task \
+                or meta.get("target") != cfg.target:
+            continue
+        ckpts = glob.glob(os.path.join(folder, "*BEST*.ckpt"))
+        if not ckpts:
+            continue
+        best = max(ckpts, key=os.path.getmtime)
+        candidates.append((meta.get("exp_name") == cfg.exp_name,
+                           os.path.getmtime(best), best))
+    if not candidates:
+        return None
+    return sorted(candidates)[-1][2]
 
 
 def run_phase(cfg: Config) -> dict:
@@ -132,6 +157,13 @@ def run_phase(cfg: Config) -> dict:
     if cfg.use_optuna:
         from multimodal_neuroimage_tpu.hpo.optuna_harness import run_study
         return run_study(cfg)
+
+    if cfg.use_best_params_from_optuna:
+        # reload the finished study's best params into this full run
+        # (reference main.py:501-522)
+        from multimodal_neuroimage_tpu.hpo.optuna_harness import \
+            apply_best_params
+        cfg = apply_best_params(cfg)
 
     if cfg.task == "test" or cfg.step == 4:
         trainer = Trainer(cfg, sets=["test"])

@@ -156,6 +156,9 @@ class Config:
     perceptual_factor: float = 1.0
     reconstruction_factor: float = 1.0
     which_perceptual: str = "vgg"
+    vgg_weights_npz: str = ""                 # VGG16 stage weights for the
+    # perceptual loss (reference relies on torchvision pretrained VGG16,
+    # losses.py:92); empty -> random-feature smoke mode
 
     # ---- runtime / parallelism ------------------------------------------------------
     distributed: bool = False                 # multi-process (pod) mode
@@ -166,6 +169,9 @@ class Config:
     running_mean_size: int = 5000             # main.py:73
     log_dir: str = "runs"
     debug_nans: bool = False
+    # wandb.watch equivalent (reference trainer.py:94-97, log_freq=10):
+    # log per-module param/grad norms every N train steps; 0 disables
+    log_grad_norms_every: int = 0
     # per-step NaN audit forces a device sync per step (the reference's
     # .item() pattern, trainer.py:560-563); False defers syncs to the epoch
     # summary for full step pipelining

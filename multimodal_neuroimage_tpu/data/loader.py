@@ -114,17 +114,36 @@ class DataPipeline:
         n_steps = len(recs) // global_bs  # drop_last
         use_native = (self.cfg.preprocess == "native"
                       and self._native_supported(split))
-        for step in range(n_steps):
-            start = step * global_bs + pi * bs
-            idxs = order[start:start + bs]
+
+        def load(idxs):
+            nonlocal use_native
             if use_native:
                 batch = self._native_batch([recs[i] for i in idxs])
                 if batch is not None:
-                    yield batch
-                    continue
+                    return batch
                 use_native = False  # lib unavailable: fall back permanently
             items = list(self.pool.map(lambda i: loader(recs[i]), idxs))
-            yield collate(items, self.cfg.target)
+            return collate(items, self.cfg.target)
+
+        for step in range(n_steps):
+            start = step * global_bs + pi * bs
+            yield load(order[start:start + bs])
+
+        # pad-and-mask final partial batch for eval splits — the reference
+        # only drops the last batch for TRAIN (dataloaders.py:139); without
+        # this a val split smaller than one global batch would produce no
+        # metrics and no BEST checkpoint at all
+        tail = len(recs) - n_steps * global_bs
+        if split != "train" and tail > 0:
+            start = n_steps * global_bs + pi * bs
+            idxs, pad = [], []
+            for j in range(bs):
+                k = start + j
+                idxs.append(order[k] if k < len(recs) else order[k % len(recs)])
+                pad.append(k >= len(recs))
+            batch, names = load(np.asarray(idxs))
+            names = [None if p else n for n, p in zip(names, pad)]
+            yield batch, names
 
     # -- native (C++) batch fast path ------------------------------------------
     def _native_supported(self, split: str) -> bool:

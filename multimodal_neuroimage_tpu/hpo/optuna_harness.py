@@ -13,21 +13,80 @@ median-pruning implementation with the same search space and artifacts.
 from __future__ import annotations
 
 import dataclasses
+import glob
 import os
 import pickle
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
+import jax
 import numpy as np
 
 SEARCH_SPACE = {
     # (kind, low, high/choices, log) — reference main.py:399-422
     "lr_init": ("float", 1e-5, 1e-3, True),
+    "lr_gamma": ("float", 0.90, 0.99, False),   # 'gamma' (main.py:514-517)
     "weight_decay": ("float", 1e-5, 1e-2, True),
     "transformer_dropout_rate": ("float", 0.0, 0.5, False),
     "batch_size": ("cat", [4, 8, 16], None, False),
     "transformer_hidden_layers": ("cat", [4, 8, 16], None, False),
     "num_heads_2DBert": ("cat", [4, 6, 12], None, False),
 }
+
+
+# ---------------------------------------------------------------------------
+# Multi-process coordination (reference main.py:440-460: rank 0 owns the
+# study; other ranks run the same trials). Under a multi-host mesh every
+# process MUST train with identical trial params, otherwise the jitted
+# programs differ and the gradient collectives deadlock.
+# ---------------------------------------------------------------------------
+
+_BCAST_BYTES = 4096
+
+
+def broadcast_params(overrides: Optional[Dict[str, Any]]) -> Dict[str, Any]:
+    """Process-0's trial params, on every process. Single-process: identity."""
+    if jax.process_count() == 1:
+        return overrides or {}
+    from jax.experimental import multihost_utils
+    buf = np.zeros(_BCAST_BYTES, np.uint8)
+    if jax.process_index() == 0:
+        raw = pickle.dumps(overrides or {})
+        assert len(raw) <= _BCAST_BYTES - 4, "trial params too large"
+        buf[:4] = np.frombuffer(len(raw).to_bytes(4, "little"), np.uint8)
+        buf[4:4 + len(raw)] = np.frombuffer(raw, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    n = int.from_bytes(out[:4].tobytes(), "little")
+    return pickle.loads(out[4:4 + n].tobytes())
+
+
+def broadcast_flag(flag: bool) -> bool:
+    """Process-0's boolean decision (e.g. should_prune), on every process."""
+    if jax.process_count() == 1:
+        return flag
+    from jax.experimental import multihost_utils
+    out = multihost_utils.broadcast_one_to_all(
+        np.asarray([1 if flag else 0], np.int32))
+    return bool(np.asarray(out)[0])
+
+
+class SyncedTrial:
+    """Wraps an optuna/fallback trial so pruning decisions are made on
+    process 0 and broadcast — every process stops a pruned trial after the
+    SAME epoch (the reference lets non-rank-0 workers run to completion,
+    main.py:455-460, which would deadlock a GSPMD mesh)."""
+
+    def __init__(self, inner=None):
+        self.inner = inner  # None on follower processes
+        self.number = inner.number if inner is not None else -1
+        self.params = getattr(inner, "params", {})
+
+    def report(self, value: float, step: int) -> None:
+        if self.inner is not None:
+            self.inner.report(value, step)
+
+    def should_prune(self) -> bool:
+        local = self.inner.should_prune() if self.inner is not None else False
+        return broadcast_flag(local)
 
 
 def _suggest(trial, cfg) -> Dict[str, Any]:
@@ -59,18 +118,33 @@ def _dump_best(cfg, params: Dict[str, Any], value: float) -> None:
 
 def run_study(cfg) -> Dict[str, Any]:
     from multimodal_neuroimage_tpu.train.trainer import Trainer
+    follower_count = iter(range(10 ** 9))
 
     def train_trial(trial) -> float:
-        overrides = _suggest(trial, cfg)
+        # only process 0 draws params; every process trains the same config
+        overrides = _suggest(trial, cfg) if trial is not None else None
+        overrides = broadcast_params(overrides)
+        number = trial.number if trial is not None else next(follower_count)
         trial_cfg = dataclasses.replace(
             cfg, nEpochs=cfg.opt_num_epochs, use_optuna=False,
             experiment_folder=os.path.join(
-                cfg.experiment_folder or ".", f"trial_{trial.number}"),
+                cfg.experiment_folder or ".", f"trial_{number}"),
             **overrides)
         trainer = Trainer(trial_cfg)
-        trainer.optuna_trial = trial
+        trainer.optuna_trial = SyncedTrial(trial)
         metrics = trainer.training()
         return _objective_value(cfg, metrics, trainer)
+
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # follower loop (reference main.py:455-460): run each broadcast
+        # trial; pruning arrives via the SyncedTrial broadcast
+        for _ in range(cfg.num_trials):
+            try:
+                train_trial(None)
+            except Exception as e:
+                if type(e).__name__ not in ("TrialPruned", "_Pruned"):
+                    print(f"follower trial failed: {e}")
+        return {}
 
     try:
         import optuna
@@ -155,3 +229,41 @@ def _fallback_random_search(cfg, train_trial) -> Dict[str, Any]:
             best_value, best_params = value, dict(trial.params)
     _dump_best(cfg, best_params, best_value)
     return {"best_value": best_value, **best_params}
+
+
+# ---------------------------------------------------------------------------
+# Best-param reload (reference main.py:501-522: --use_best_params_from_optuna
+# re-reads the finished study's best params — lr, gamma, ... — into a full
+# training run)
+# ---------------------------------------------------------------------------
+
+def load_best_params(cfg) -> Dict[str, Any]:
+    """Find the newest ``best_params.pkl`` for this experiment: the run's own
+    folder first, then ``<base>/experiments/*<exp_name>*/``."""
+    candidates = []
+    if cfg.experiment_folder:
+        candidates += glob.glob(os.path.join(cfg.experiment_folder,
+                                             "best_params.pkl"))
+    candidates += glob.glob(os.path.join(cfg.base_path, "experiments",
+                                         f"*{cfg.exp_name}*",
+                                         "best_params.pkl"))
+    if not candidates:
+        return {}
+    path = max(candidates, key=os.path.getmtime)
+    with open(path, "rb") as f:
+        params = pickle.load(f)
+    print(f"[hpo] loaded best params from {path}: {params}")
+    return params
+
+
+def apply_best_params(cfg):
+    """Overlay the tuned params onto the config (reference main.py:501-522;
+    'gamma' there is lr_gamma here — the decay special-cased at 514-517)."""
+    params = load_best_params(cfg)
+    if not params:
+        print("[hpo] use_best_params_from_optuna set but no best_params.pkl "
+              "found — training with the configured defaults")
+        return cfg
+    fields = {f.name for f in dataclasses.fields(type(cfg))}
+    params = {k: v for k, v in params.items() if k in fields}
+    return dataclasses.replace(cfg, **params).validate()

@@ -76,11 +76,27 @@ class PerceptualLoss:
                 jax.random.PRNGKey(seed), jnp.zeros((1, 16, 16, 3)))
         self.seed = seed
 
+    @staticmethod
+    def _as_volume(x: jnp.ndarray) -> jnp.ndarray:
+        """Normalize to the reference's (B, C, W, H, D, T) layout
+        (losses.py:340-344). Also accepts the shapes this framework's models
+        emit: (B, T, E) ROI timeseries (scored as one (T, E) image per item)
+        and (B, H, W, D, T) channelless volumes."""
+        if x.ndim == 3:
+            B, T, E = x.shape
+            return x.reshape(B, 1, T, E, 1, 1)
+        if x.ndim == 5:
+            return x[:, None]
+        return x
+
     def __call__(self, pred: jnp.ndarray, target: jnp.ndarray,
                  rng: Optional[jax.Array] = None) -> jnp.ndarray:
         """pred/target: (B, C, W, H, D, T) volumes (reference layout,
-        losses.py:340-344). Random depth-slices are scored in feature space."""
-        assert pred.shape == target.shape and pred.ndim == 6
+        losses.py:340-344) or the 3-D/5-D shapes handled by ``_as_volume``.
+        Random depth-slices are scored in feature space."""
+        assert pred.shape == target.shape and pred.ndim in (3, 5, 6)
+        pred = self._as_volume(pred)
+        target = self._as_volume(target)
         B, C, W, H, D, T = pred.shape
         n_slices = B * T * D
         keep = max(int(n_slices * self.memory_constraint), 1)

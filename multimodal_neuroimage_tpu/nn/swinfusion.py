@@ -40,7 +40,7 @@ from multimodal_neuroimage_tpu.nn.swin2d import (relative_position_index,
 
 
 def _plain_window_attention(qwin, kvwin, table, rel_idx, mask, heads,
-                            attn_rate, dropout, x_dtype):
+                            dropout, x_dtype):
     """Shared plain-jnp window attention over flat params: qwin (B,nW,N,C)
     queries, kvwin (B,nW,N,2C) keys/values (swinfusion_module.py:65-262)."""
     B, nW, N, C = qwin.shape
@@ -189,7 +189,6 @@ class FusionBlock(nn.Module):
         def window_attn(win):                       # (B, nW, N, 3C)
             return _plain_window_attention(
                 win[..., :C], win[..., C:], table, rel_idx, mask, heads,
-                self.attn_drop,
                 lambda t: attn_dropout(t, deterministic=deterministic),
                 x.dtype)
 
@@ -347,7 +346,7 @@ class CrossFusionBlock(nn.Module):
             def window_attn(win):
                 return _plain_window_attention(
                     win[..., :C], win[..., C:], p["table"], rel_idx, mask,
-                    heads, self.attn_drop,
+                    heads,
                     lambda t: attn_dropout(t, deterministic=deterministic),
                     x.dtype)
 

@@ -86,6 +86,19 @@ class Writer:
                 self.loss_values[key] = []
         return out
 
+    def write_norms(self, norms: Dict[str, float], step: int) -> None:
+        """Per-module parameter/gradient norms — the wandb.watch equivalent
+        (reference trainer.py:94-97). Lands in TB, wandb, and the
+        full_scores.csv history."""
+        payload = {}
+        for name, value in norms.items():
+            v = float(value)
+            payload[f"norm/{name}"] = v
+            self.metric_history[f"norm/{name}"].append(v)
+            self._scalar(f"norms/{name}", v, step)
+        if self.wandb is not None:
+            self.wandb.log({"step": step, **payload})
+
     # -- metrics ----------------------------------------------------------------
     def record_metrics(self, metrics: Dict[str, float]) -> None:
         self.current_metrics = dict(metrics)

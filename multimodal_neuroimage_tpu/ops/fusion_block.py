@@ -90,12 +90,21 @@ def _n_params(cross: bool) -> int:
     return 16 if cross else 12
 
 
-def _seed_draw(seed_ref, draw: int, n_draws: int):
-    """Per-(grid-cell, draw) seed: order-independent mask regeneration."""
+def _seed_draw(seed_ref, draw: int, n_draws: int = 0):
+    """Per-(grid-cell, draw) seed: order-independent mask regeneration.
+
+    Seed, cell, and draw are each mixed with a distinct large odd constant
+    and combined by XOR — multiplication by an odd constant is a bijection
+    mod 2^32, so distinct (seed, cell, draw) tuples stay well-dispersed even
+    under int32 wraparound (the previous linear formula
+    seed*(n_cells*n_draws)+cell*n_draws+draw overflowed for uniform 31-bit
+    seeds and could correlate masks across layers/cells). ``n_draws`` is
+    retained for call-site compatibility but no longer used."""
     cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-    n_cells = pl.num_programs(0) * pl.num_programs(1)
-    pltpu.prng_seed(seed_ref[0] * (n_cells * n_draws)
-                    + cell * n_draws + draw)
+    h = (seed_ref[0] * jnp.int32(-1640531527)        # 0x9E3779B9 (golden)
+         ^ (cell + jnp.int32(1)) * jnp.int32(461845907)
+         ^ jnp.int32(draw + 1) * jnp.int32(-862048943))
+    pltpu.prng_seed(h)
 
 
 def _keep_scale(shape, rate: float):

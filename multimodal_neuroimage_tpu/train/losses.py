@@ -202,7 +202,9 @@ def active_losses(task: str, fine_tune_task: str, *, use_merge_loss=False,
 
 def compute_losses(outputs: Dict[str, jnp.ndarray],
                    batch: Dict[str, jnp.ndarray],
-                   specs: Dict[str, LossSpec]) -> Dict[str, jnp.ndarray]:
+                   specs: Dict[str, LossSpec],
+                   extra_fns: Optional[Dict[str, Callable]] = None,
+                   rng: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
     """Evaluate every active loss from model outputs + batch, mirroring the
     trainer's per-loss ``compute_*`` adapters (trainer.py:693-754).
 
@@ -210,6 +212,12 @@ def compute_losses(outputs: Dict[str, jnp.ndarray],
     'binary_classification'/'regression' logits (B, 1); auxiliary
     'reconstructed_fmri_sequence', 'embedding_per_ROIs', 'processed_raw',
     'fMRI_input'/'fMRI_output'/'struct_input'/'struct_output', 'mask_list'.
+
+    ``extra_fns`` carries stateful criteria that need weights of their own —
+    today only 'perceptual' (nn/perceptual.py, reference losses.py:314-376),
+    built by the Trainer when the registry activates it. ``rng`` feeds its
+    random slice subsampling (the reference draws host-side random.sample
+    per call, losses.py:351-355).
     """
     target = batch.get("target")
     vals: Dict[str, jnp.ndarray] = {}
@@ -236,6 +244,16 @@ def compute_losses(outputs: Dict[str, jnp.ndarray],
         elif name == "intensity":
             v = intensity_loss(outputs["reconstructed_fmri_sequence"],
                                batch["fmri_sequence"])
+        elif name == "perceptual":
+            if not extra_fns or "perceptual" not in extra_fns:
+                raise KeyError(
+                    "perceptual loss is active for this task but no "
+                    "perceptual_fn was supplied — pass "
+                    "extra_fns={'perceptual': PerceptualLoss(...)} "
+                    "(the Trainer wires this automatically)")
+            v = extra_fns["perceptual"](
+                outputs["reconstructed_fmri_sequence"],
+                batch["fmri_sequence"], rng)
         else:
             raise KeyError(f"unknown loss {name}")
         vals[name] = v * spec.factor

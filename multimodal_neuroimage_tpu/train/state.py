@@ -104,17 +104,33 @@ def _cast_tree(tree, dtype):
     return jax.tree_util.tree_map(f, tree)
 
 
+def param_grad_norms(params, grads) -> Dict[str, jnp.ndarray]:
+    """Per-top-level-module parameter/gradient L2 norms plus the global grad
+    norm — the ``wandb.watch(model, log='all', log_freq=10)`` equivalent
+    (reference trainer.py:94-97), as cheap device scalars."""
+    norms = {"grad/global": optax.global_norm(grads)}
+    if isinstance(params, (dict, FrozenDict)):
+        for key in params:
+            norms[f"param/{key}"] = optax.global_norm(params[key])
+            norms[f"grad/{key}"] = optax.global_norm(grads[key])
+    return norms
+
+
 def make_train_step(model, loss_specs: Dict[str, LossSpec],
                     compute_dtype: str = "bfloat16",
                     donate: bool = True, remat: bool = False,
-                    mesh=None) -> Callable:
+                    mesh=None, extra_loss_fns=None,
+                    with_norms: bool = False) -> Callable:
     """Build the single jitted optimizer step.
 
-    Returns fn(state, batch) -> (state, loss_dict, outputs). With the batch
-    committed to a 'data'-sharded NamedSharding and params replicated, XLA
-    compiles the full fwd+bwd+update with gradient collectives over ICI.
+    Returns fn(state, batch) -> (state, loss_dict, outputs) — or a 4-tuple
+    with a norms dict appended when ``with_norms`` (gradient/parameter
+    observability, reference trainer.py:94-97). With the batch committed to a
+    'data'-sharded NamedSharding and params replicated, XLA compiles the full
+    fwd+bwd+update with gradient collectives over ICI.
     ``remat`` checkpoints the forward (recompute in backward) to trade FLOPs
     for HBM (replaces nothing in the reference — a TPU memory lever).
+    ``extra_loss_fns`` feeds stateful criteria (perceptual) to compute_losses.
 
     ``mesh`` pins the output state to the replicated sharding — without the
     constraint, GSPMD may pick a different layout for the returned state than
@@ -142,7 +158,8 @@ def make_train_step(model, loss_specs: Dict[str, LossSpec],
         outputs = apply_fn(p, b, dropout_rng)
         outputs = _cast_tree(outputs, jnp.float32)
         losses = compute_losses(outputs, _cast_tree(batch, jnp.float32),
-                                loss_specs)
+                                loss_specs, extra_fns=extra_loss_fns,
+                                rng=dropout_rng)
         return losses["total"], (losses, outputs)
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
@@ -150,6 +167,7 @@ def make_train_step(model, loss_specs: Dict[str, LossSpec],
         rng = jax.random.fold_in(state.rng, state.step)
         (_, (losses, outputs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch, rng)
+        norms = param_grad_norms(state.params, grads) if with_norms else None
         new_state = state.apply_gradients(grads)
         if repl is not None:
             new_state = jax.tree_util.tree_map(
@@ -157,13 +175,16 @@ def make_train_step(model, loss_specs: Dict[str, LossSpec],
                 new_state)
         preds = {k: outputs[k] for k in ("binary_classification", "regression")
                  if k in outputs}
+        if with_norms:
+            return new_state, losses, preds, norms
         return new_state, losses, preds
 
     return train_step
 
 
 def make_eval_step(model, loss_specs: Dict[str, LossSpec],
-                   compute_dtype: str = "bfloat16") -> Callable:
+                   compute_dtype: str = "bfloat16",
+                   extra_loss_fns=None) -> Callable:
     cdtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
 
     @jax.jit
@@ -173,7 +194,7 @@ def make_eval_step(model, loss_specs: Dict[str, LossSpec],
         outputs = model.apply({"params": p}, b, deterministic=True)
         outputs = _cast_tree(outputs, jnp.float32)
         losses = compute_losses(outputs, _cast_tree(batch, jnp.float32),
-                                loss_specs)
+                                loss_specs, extra_fns=extra_loss_fns)
         preds = {k: outputs[k] for k in ("binary_classification", "regression")
                  if k in outputs}
         return losses, preds

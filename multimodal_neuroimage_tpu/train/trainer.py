@@ -96,10 +96,20 @@ class Trainer:
             intensity_factor=cfg.intensity_factor,
             perceptual_factor=cfg.perceptual_factor,
             reconstruction_factor=cfg.reconstruction_factor)
+        self.extra_loss_fns = None
+        if "perceptual" in self.loss_specs:
+            from multimodal_neuroimage_tpu.nn.perceptual import PerceptualLoss
+            self.extra_loss_fns = {"perceptual": PerceptualLoss(
+                task=cfg.task, weights_npz=cfg.vgg_weights_npz or None,
+                seed=cfg.seed)}
+        self.with_norms = cfg.log_grad_norms_every > 0
         self.train_step = make_train_step(self.model, self.loss_specs,
-                                          cfg.compute_dtype, mesh=self.mesh)
+                                          cfg.compute_dtype, mesh=self.mesh,
+                                          extra_loss_fns=self.extra_loss_fns,
+                                          with_norms=self.with_norms)
         self.eval_step = make_eval_step(self.model, self.loss_specs,
-                                        cfg.compute_dtype)
+                                        cfg.compute_dtype,
+                                        extra_loss_fns=self.extra_loss_fns)
         log_dir = os.path.join(cfg.experiment_folder or cfg.log_dir)
         wandb_kwargs = {"project": cfg.wandb_project, "mode": cfg.wandb_mode,
                         "name": cfg.experiment_title or cfg.exp_name}
@@ -144,6 +154,15 @@ class Trainer:
                   f"{stats}")
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _drop_padded(names: List, scores: np.ndarray, targets: np.ndarray):
+        """Remove pad-and-mask slots (name None) from a final partial eval
+        batch (reference dataloaders.py:139 only drops last for train)."""
+        if all(n is not None for n in names):
+            return names, scores, targets
+        keep = [i for i, n in enumerate(names) if n is not None]
+        return ([names[i] for i in keep], scores[keep], targets[keep])
+
     def _record_batch(self, preds: Dict, batch: Dict, names: List[str],
                       mode: str) -> None:
         if self.pred_key not in preds:
@@ -157,7 +176,9 @@ class Trainer:
             return
         scores = np.asarray(preds[self.pred_key]).reshape(-1)
         targets = np.asarray(batch["target"]).reshape(-1)
-        self.accumulator.append(names, scores, targets, mode)
+        names, scores, targets = self._drop_padded(names, scores, targets)
+        if names:
+            self.accumulator.append(names, scores, targets, mode)
 
     def _flush_pending(self) -> None:
         if not self._pending:
@@ -165,8 +186,11 @@ class Trainer:
         arrays = jax.device_get([(p[1], p[2]) for p in self._pending])
         for (names, _, _, mode), (scores, targets) in zip(self._pending,
                                                           arrays):
-            self.accumulator.append(names, np.asarray(scores).reshape(-1),
-                                    np.asarray(targets).reshape(-1), mode)
+            names, scores, targets = self._drop_padded(
+                names, np.asarray(scores).reshape(-1),
+                np.asarray(targets).reshape(-1))
+            if names:
+                self.accumulator.append(names, scores, targets, mode)
         self._pending = []
 
     def _audit_nans(self, losses: Dict, names: List[str]) -> Dict:
@@ -189,7 +213,14 @@ class Trainer:
         cfg = self.cfg
         for i, (batch, names) in enumerate(
                 self.pipeline.epoch("train", epoch)):
-            self.state, losses, preds = self.train_step(self.state, batch)
+            if self.with_norms:
+                self.state, losses, preds, norms = self.train_step(self.state,
+                                                                   batch)
+                if (i + 1) % cfg.log_grad_norms_every == 0:
+                    self.writer.write_norms(norms,
+                                            self.writer.total_train_steps)
+            else:
+                self.state, losses, preds = self.train_step(self.state, batch)
             self.writer.write_losses(self._audit_nans(losses, names), "train")
             self._record_batch(preds, batch, names, "train")
             # mid-epoch validation every validation_frequency batches

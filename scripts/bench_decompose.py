@@ -55,16 +55,21 @@ def step_time(cfg_overrides, label, n_steps=25, per_chip_batch=8):
             state, losses, _ = step(state, dev_batch)
         float(losses["total"])     # value fetch = true device sync (axon)
         best = min(best, (time.perf_counter() - t0) / n_steps)
-    print(f"{label}: {best*1e3:.1f} ms/step (best of 5 windows)", flush=True)
+    print(f"{label}: {best*1e3:.1f} ms/step (best of 3 windows)", flush=True)
     return best
 
 
 def main():
     full = step_time({}, "full (bert16x2 + fusion 6/2/6)")
     no_bert = step_time({"transformer_hidden_layers": 1}, "bert depth 1")
-    no_fusion = step_time({"fusion_ex_depths": (1,), "fusion_depths": (1,),
-                           "fusion_re_depths": (1,), "fusion_ex_heads": (6,),
-                           "fusion_heads": (6,), "fusion_re_heads": (6,)},
+    # full-length tuples: swinfusion_net zips depths with heads, so a
+    # length-1 tuple would build ONE stage instead of all stages at depth 1
+    no_fusion = step_time({"fusion_ex_depths": (1, 1),
+                           "fusion_depths": (1, 1, 1),
+                           "fusion_re_depths": (1, 1),
+                           "fusion_ex_heads": (6, 6),
+                           "fusion_heads": (6, 6, 6),
+                           "fusion_re_heads": (6, 6)},
                           "fusion depth 1/1/1")
     print(f"BERT stacks   ~{(full-no_bert)*1e3:.1f} ms")
     print(f"fusion stacks ~{(full-no_fusion)*1e3:.1f} ms")

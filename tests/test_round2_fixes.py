@@ -1,0 +1,224 @@
+"""Round-2 wiring fixes: perceptual loss, weight_loader phase keying,
+partial eval batches, grad-norm observability, HPO best-params reload and
+multi-process coordination helpers."""
+
+import dataclasses
+import os
+import pickle
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from multimodal_neuroimage_tpu.config import Config
+from multimodal_neuroimage_tpu.data.synthetic import (generate_synthetic_cohort,
+                                                      synthetic_config)
+
+
+@pytest.fixture(scope="module")
+def cohort(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cohort_r2"))
+    return generate_synthetic_cohort(root, n_subjects=48, seed=11)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual loss wiring (reference loss_writer.py:181-190, losses.py:314-376)
+# ---------------------------------------------------------------------------
+
+def test_reconstruction_task_full_loss_set_no_keyerror():
+    """A 'reconstruction' task's registered loss set (perceptual +
+    reconstruction + intensity) must evaluate without KeyError."""
+    from multimodal_neuroimage_tpu.nn.perceptual import PerceptualLoss
+    from multimodal_neuroimage_tpu.train.losses import (active_losses,
+                                                        compute_losses)
+    specs = active_losses("transformer_reconstruction",
+                          "binary_classification")
+    assert set(specs) == {"perceptual", "reconstruction", "intensity"}
+    rng = np.random.default_rng(0)
+    vol = rng.normal(size=(2, 8, 8, 4, 6)).astype(np.float32)  # (B,H,W,D,T)
+    outputs = {"reconstructed_fmri_sequence": vol + 0.1}
+    batch = {"fmri_sequence": vol, "target": np.zeros(2, np.float32)}
+    ploss = PerceptualLoss(task="transformer_reconstruction")
+    vals = compute_losses(outputs, batch, specs,
+                          extra_fns={"perceptual": ploss},
+                          rng=jax.random.PRNGKey(0))
+    for name in ("perceptual", "reconstruction", "intensity", "total"):
+        assert np.isfinite(float(vals[name])), name
+
+    # without the fn the error is explicit, not a bare KeyError dispatch miss
+    with pytest.raises(KeyError, match="perceptual"):
+        compute_losses(outputs, batch, specs)
+
+
+def test_perceptual_timeseries_shape():
+    """3-D (B, T, E) reconstructions score as one (T, E) image per item."""
+    from multimodal_neuroimage_tpu.nn.perceptual import PerceptualLoss
+    ploss = PerceptualLoss(task="transformer_reconstruction")
+    x = np.random.default_rng(1).normal(size=(2, 16, 12)).astype(np.float32)
+    v = ploss(x + 0.5, x, jax.random.PRNGKey(1))
+    assert np.isfinite(float(v)) and float(v) > 0
+    assert float(ploss(x, x, jax.random.PRNGKey(1))) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# weight_loader phase keying (reference utils.py:95-128)
+# ---------------------------------------------------------------------------
+
+def _fake_experiment(base, name, task, target, exp_name, age):
+    folder = os.path.join(base, "experiments", name)
+    os.makedirs(folder, exist_ok=True)
+    with open(os.path.join(folder, "arguments.pkl"), "wb") as f:
+        pickle.dump({"task": task, "target": target, "exp_name": exp_name}, f)
+    ckpt = os.path.join(folder, f"{exp_name}_{target}_BEST_val_AUROC.ckpt")
+    with open(ckpt, "wb") as f:
+        f.write(b"x")
+    t = time.time() - age
+    os.utime(ckpt, (t, t))
+    return ckpt
+
+
+def test_weight_loader_phase_keying(tmp_path):
+    from multimodal_neuroimage_tpu.cli.main import weight_loader
+    base = str(tmp_path)
+    # decoys: wrong task, wrong target, and a NEWER wrong-everything one
+    _fake_experiment(base, "d1", "2DBERT", "sex", "exp", age=50)
+    _fake_experiment(base, "d2", "VIT", "ADHD_label", "exp", age=10)
+    _fake_experiment(base, "d3", "FuncStruct", "sex", "other", age=5)
+    right_old = _fake_experiment(base, "r1", "VIT", "sex", "other", age=100)
+    right_new = _fake_experiment(base, "r2", "VIT", "sex", "other", age=40)
+    cfg = Config(base_path=base, step=5, task="FuncStruct", target="sex",
+                 exp_name="exp")
+    # newest matching (task=VIT, target=sex) wins over newer wrong ones
+    assert weight_loader(cfg) == right_new
+    # same experiment title beats recency
+    right_mine = _fake_experiment(base, "r3", "VIT", "sex", "exp", age=200)
+    assert weight_loader(cfg) == right_mine
+    # step 1 chains from nothing
+    assert weight_loader(dataclasses.replace(cfg, step=1)) is None
+    # explicit path always wins
+    assert weight_loader(dataclasses.replace(
+        cfg, model_weights_path="/x.ckpt")) == "/x.ckpt"
+
+
+# ---------------------------------------------------------------------------
+# Eval splits smaller than one global batch (reference dataloaders.py:139
+# drops last for train only)
+# ---------------------------------------------------------------------------
+
+def test_small_val_split_produces_metrics_and_checkpoint(cohort, tmp_path):
+    from multimodal_neuroimage_tpu.train.trainer import Trainer
+    # 48 subjects -> val split 7 < batch 8: without pad-and-mask this split
+    # yields zero eval steps, no metrics, and no BEST checkpoint ever
+    cfg = synthetic_config(
+        cohort, dataset_name="sMRI", target="sex", step=3, task="VIT",
+        size_of_model="small", batch_size=8, nEpochs=1, workers=2,
+        experiment_folder=str(tmp_path / "exp"), experiment_title="small_val",
+        compute_dtype="float32").validate()
+    trainer = Trainer(cfg)
+    assert len(trainer.pipeline.splits["val"]) < cfg.batch_size
+    metrics = trainer.training()
+    assert "val_AUROC" in metrics
+    ckpts = os.listdir(cfg.experiment_folder)
+    assert any("BEST" in c for c in ckpts)
+
+
+def test_partial_batch_names_masked(cohort, tmp_path):
+    from multimodal_neuroimage_tpu.data.loader import DataPipeline
+    cfg = synthetic_config(
+        cohort, dataset_name="sMRI", target="sex", step=3, task="VIT",
+        batch_size=8, workers=2).validate()
+    pipe = DataPipeline(cfg)
+    val_batches = list(pipe.epoch("val", 0, to_device=False))
+    n_val = len(pipe.splits["val"])
+    assert n_val == 7
+    assert len(val_batches) == 1  # one padded batch instead of zero
+    batch, names = val_batches[0]
+    assert batch["smri"].shape[0] == 8  # static shape kept for XLA
+    real = [n for n in names if n is not None]
+    assert len(real) == n_val and len(set(real)) == n_val
+    # train keeps drop_last (static compiled shape, no padding)
+    for _, tr_names in pipe.epoch("train", 0, to_device=False):
+        assert all(n is not None for n in tr_names)
+
+
+# ---------------------------------------------------------------------------
+# Grad/param norm observability (reference trainer.py:94-97 wandb.watch)
+# ---------------------------------------------------------------------------
+
+def test_grad_norm_logging(cohort, tmp_path):
+    from multimodal_neuroimage_tpu.train.trainer import Trainer
+    cfg = synthetic_config(
+        cohort, dataset_name="sMRI", target="sex", step=3, task="VIT",
+        size_of_model="small", batch_size=4, nEpochs=1, workers=2,
+        log_grad_norms_every=2,
+        experiment_folder=str(tmp_path / "exp"), experiment_title="norms",
+        compute_dtype="float32").validate()
+    trainer = Trainer(cfg)
+    trainer.training()
+    hist = trainer.writer.metric_history
+    norm_keys = [k for k in hist if k.startswith("norm/")]
+    assert any(k.startswith("norm/grad/") for k in norm_keys)
+    assert any(k.startswith("norm/param/") for k in norm_keys)
+    assert "norm/grad/global" in hist
+    assert all(np.isfinite(v) for k in norm_keys for v in hist[k])
+    # lands in full_scores.csv
+    with open(os.path.join(cfg.experiment_folder, "full_scores.csv")) as f:
+        header = f.readline()
+    assert "norm/grad/global" in header
+
+
+# ---------------------------------------------------------------------------
+# HPO: gamma in space, best-params reload, coordination helpers
+# ---------------------------------------------------------------------------
+
+def test_search_space_covers_gamma():
+    from multimodal_neuroimage_tpu.hpo.optuna_harness import SEARCH_SPACE
+    assert "lr_gamma" in SEARCH_SPACE  # reference main.py:514-517
+
+
+def test_best_params_roundtrip(tmp_path):
+    from multimodal_neuroimage_tpu.hpo.optuna_harness import (_dump_best,
+                                                              apply_best_params)
+    folder = str(tmp_path / "study")
+    os.makedirs(folder)
+    cfg = Config(experiment_folder=folder, lr_init=1e-3, lr_gamma=0.97)
+    _dump_best(cfg, {"lr_init": 4.2e-4, "lr_gamma": 0.93,
+                     "not_a_field": 1}, 0.8)
+    out = apply_best_params(cfg)
+    assert out.lr_init == pytest.approx(4.2e-4)
+    assert out.lr_gamma == pytest.approx(0.93)
+    # missing file -> unchanged config, no crash
+    cfg2 = Config(experiment_folder=str(tmp_path / "empty"),
+                  use_best_params_from_optuna=True)
+    assert apply_best_params(cfg2).lr_init == cfg2.lr_init
+
+
+def test_broadcast_helpers_single_process():
+    from multimodal_neuroimage_tpu.hpo.optuna_harness import (SyncedTrial,
+                                                              broadcast_flag,
+                                                              broadcast_params)
+    assert broadcast_params({"lr_init": 1e-4}) == {"lr_init": 1e-4}
+    assert broadcast_flag(True) is True and broadcast_flag(False) is False
+
+    class FakeTrial:
+        number = 3
+        params = {"lr_init": 1e-4}
+
+        def __init__(self):
+            self.reports = {}
+
+        def report(self, v, s):
+            self.reports[s] = v
+
+        def should_prune(self):
+            return True
+
+    inner = FakeTrial()
+    t = SyncedTrial(inner)
+    t.report(0.5, 1)
+    assert inner.reports == {1: 0.5}
+    assert t.should_prune() is True
+    follower = SyncedTrial(None)
+    follower.report(0.1, 0)  # no-op
+    assert follower.should_prune() is False
