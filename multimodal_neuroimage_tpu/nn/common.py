@@ -73,8 +73,14 @@ def LayerNorm(**kwargs) -> nn.LayerNorm:
     -eps, and sqrt(negative) NaNs the backward. The diagonal-embedded fMRI
     matrices (model.py:1977-1989) produce exactly such constant token
     features after the SwinFusion conv stems, which is where this bit us
-    (patch_norm_A gradient NaN at full size)."""
+    (patch_norm_A gradient NaN at full size).
+
+    Default epsilon is torch's 1e-5 (flax defaults to 1e-6) — the reference
+    Swin/fusion stacks all run torch nn.LayerNorm defaults, and the mismatch
+    shows up at the 1e-3 level on low-variance activations (caught by
+    tests/test_swin_golden.py). BERT paths pass their own HF eps (1e-12)."""
     kwargs.setdefault("use_fast_variance", False)
+    kwargs.setdefault("epsilon", 1e-5)
     return nn.LayerNorm(**kwargs)
 
 
@@ -103,12 +109,19 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0)
 
 
+def gelu_exact(x):
+    """Exact (erf) GELU — torch nn.GELU default (swin_v2_module.py:22).
+    flax nn.gelu defaults to the tanh approximation, which diverges from the
+    reference at the 1e-3 level."""
+    return nn.gelu(x, approximate=False)
+
+
 class Mlp(nn.Module):
     """fc1 -> act -> drop -> fc2 -> drop (swin_v2_module.py:16-32)."""
 
     hidden_features: int
     out_features: Optional[int] = None
-    act: Callable = nn.gelu
+    act: Callable = gelu_exact
     drop: float = 0.0
     kernel_init: Callable = trunc_normal_init
 

@@ -46,7 +46,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_LN_EPS = 1e-6
+_LN_EPS = 1e-5      # torch nn.LayerNorm default (reference Swin stacks)
 _NEG_INF = -1e9
 
 # self params (all 2-D, f32):
@@ -99,7 +99,12 @@ def _seed_draw(seed_ref, draw: int, n_draws: int = 0):
     under int32 wraparound (the previous linear formula
     seed*(n_cells*n_draws)+cell*n_draws+draw overflowed for uniform 31-bit
     seeds and could correlate masks across layers/cells). ``n_draws`` is
-    retained for call-site compatibility but no longer used."""
+    retained for call-site compatibility but no longer used.
+
+    Used by ops/bert_layer.py, whose fwd/bwd grids are identical. The fusion
+    kernels below instead use ``_hash_keep*`` masks keyed by GLOBAL token
+    coordinates, so forward and the two backward kernels may each pick their
+    own window-chunk size (grid) and still regenerate identical masks."""
     cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
     h = (seed_ref[0] * jnp.int32(-1640531527)        # 0x9E3779B9 (golden)
          ^ (cell + jnp.int32(1)) * jnp.int32(461845907)
@@ -112,6 +117,50 @@ def _keep_scale(shape, rate: float):
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     thr = jnp.uint32(min(int(rate * (2 ** 32)), 2 ** 32 - 1))
     return jnp.where(bits >= thr, 1.0 / (1.0 - rate), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Chunk-invariant dropout masks (counter-based hash, no PRNG state).
+#
+# Each mask bit is a pure function of (seed, draw index, global row, column):
+# a murmur3-finalized mix of linearly-combined coordinates. Any grid chunking
+# regenerates the exact same mask, which is what lets the backward split into
+# MLP-side and attention-side kernels running at LARGER window chunks than
+# the forward (the round-1 backward was pinned to the forward's grid by
+# per-grid-cell PRNG seeding — ROADMAP item 5).
+# ---------------------------------------------------------------------------
+
+def _mix_keep(r, c, rate: float, seed, draw: int):
+    """keep/(1-rate) scale from hashed (seed, draw, r, c) int32 coords."""
+    v = (seed * jnp.int32(-1640531527)               # golden-ratio mix
+         ^ jnp.int32(draw + 1) * jnp.int32(-862048943)
+         ^ r * jnp.int32(461845907) ^ c * jnp.int32(668265261))
+    u = pltpu.bitcast(v, jnp.uint32)
+    u = u ^ (u >> jnp.uint32(16))                    # murmur3 fmix32
+    u = pltpu.bitcast(pltpu.bitcast(u, jnp.int32)
+                      * jnp.int32(-2048144789), jnp.uint32)
+    u = u ^ (u >> jnp.uint32(13))
+    u = pltpu.bitcast(pltpu.bitcast(u, jnp.int32)
+                      * jnp.int32(-1028477387), jnp.uint32)
+    u = u ^ (u >> jnp.uint32(16))
+    thr = jnp.uint32(min(int(rate * (2 ** 32)), 2 ** 32 - 1))
+    return jnp.where(u >= thr, 1.0 / (1.0 - rate), 0.0)
+
+
+def _hash_keep2(shape, rate: float, seed, draw: int, row0):
+    """(R, C) mask over rows row0..row0+R of the global token matrix."""
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row0
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return _mix_keep(r, c, rate, seed, draw)
+
+
+def _hash_keep3(shape, rate: float, seed, draw: int, w0):
+    """(Wc, NP, M) attention mask for global windows w0..w0+Wc."""
+    NP = shape[1]
+    w = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + w0
+    n = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    m = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    return _mix_keep(w * NP + n, m, rate, seed, draw)
 
 
 def _ln_fwd(x, g, b, eps: float = _LN_EPS):
@@ -132,18 +181,32 @@ def _ln_bwd(dh, xh, r, g):
     return r * (dxh - m1 - xh * m2)
 
 
-_GELU_A = 0.7978845608028654      # sqrt(2/pi)
-_GELU_B = 0.044715
+_INV_SQRT2 = 0.7071067811865476
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (|err| < 1.5e-7 — below f32
+    resolution for gelu); Mosaic has no erf primitive."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
 
 
 def _gelu(u):
-    return 0.5 * u * (1.0 + jnp.tanh(_GELU_A * (u + _GELU_B * u * u * u)))
+    """Exact (erf) GELU — torch nn.GELU default, which the reference's Swin
+    MLPs use (swin_v2_module.py:22). Round 1 shipped the tanh approximation
+    here, a 1e-3-level deviation from the reference."""
+    return 0.5 * u * (1.0 + _erf(u * _INV_SQRT2))
 
 
 def _gelu_grad(u):
-    t = jnp.tanh(_GELU_A * (u + _GELU_B * u * u * u))
-    return (0.5 * (1.0 + t)
-            + 0.5 * u * (1.0 - t * t) * _GELU_A * (1.0 + 3.0 * _GELU_B * u * u))
+    return (0.5 * (1.0 + _erf(u * _INV_SQRT2))
+            + u * jnp.exp(-0.5 * u * u) * _INV_SQRT_2PI)
 
 
 def _dot(a, b):
@@ -170,8 +233,17 @@ def _bdot(a, b, contract_a, contract_b):
         preferred_element_type=jnp.float32)
 
 
+def _global_keys(Wc: int, NP: int):
+    """(wkey0, row0): global window / token-row offsets of this grid cell,
+    unique across (sample, window) — the hash-mask coordinates that make
+    dropout masks identical under any grid chunking."""
+    nw_total = pl.num_programs(1) * Wc
+    wkey0 = pl.program_id(0) * nw_total + pl.program_id(1) * Wc
+    return wkey0, wkey0 * NP
+
+
 def _attn_fwd_head(q3, k3, v3, bias_ref, mask_ref, h, hd, scale,
-                   attn_rate, seed_ref, n_draws, training):
+                   attn_rate, seed, wkey0, training):
     qh = q3[:, :, h * hd:(h + 1) * hd] * scale
     kh = k3[:, :, h * hd:(h + 1) * hd]
     vh = v3[:, :, h * hd:(h + 1) * hd]
@@ -183,8 +255,7 @@ def _attn_fwd_head(q3, k3, v3, bias_ref, mask_ref, h, hd, scale,
     e = jnp.exp(s)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
     if training and attn_rate > 0.0:
-        _seed_draw(seed_ref, 3 + h, n_draws)
-        pd = p * _keep_scale(p.shape, attn_rate)
+        pd = p * _hash_keep3(p.shape, attn_rate, seed, 3 + h, wkey0)
     else:
         pd = p
     return qh, kh, vh, p, pd, _bdot(pd, vh, 2, 1)  # o_h (Wc, NP, hd)
@@ -193,13 +264,14 @@ def _attn_fwd_head(q3, k3, v3, bias_ref, mask_ref, h, hd, scale,
 def _forward_compute(seed_ref, x_ref, y_ref, dp_ref, bias_ref, mask_ref,
                      prefs, dims, rates, training, o_scratch, cross,
                      p_scratch=None):
-    """Shared forward used by both kernels. Returns out plus residuals."""
+    """Shared forward used by both kernels. Returns (out, x2r, residuals)."""
     Wc, NP, C, H, Ch = dims
     attn_rate, drop_rate = rates
     hd = C // H
     scale = hd ** -0.5
     R = Wc * NP
-    n_draws = 3 + H
+    seed = seed_ref[0]
+    wkey0, row0 = _global_keys(Wc, NP)
 
     if cross:
         (g1, b1, g1y, b1y, wq, bq, wkv, bkv,
@@ -228,7 +300,7 @@ def _forward_compute(seed_ref, x_ref, y_ref, dp_ref, bias_ref, mask_ref,
     for h in range(H):
         _, _, _, p_h, _, oh = _attn_fwd_head(
             q3, k3, v3, bias_ref, mask_ref, h, hd, scale,
-            attn_rate, seed_ref, n_draws, training)
+            attn_rate, seed, wkey0, training)
         o_scratch[:, :, h * hd:(h + 1) * hd] = oh
         if p_scratch is not None:
             p_scratch[h] = p_h      # backward reuses softmax output
@@ -236,11 +308,7 @@ def _forward_compute(seed_ref, x_ref, y_ref, dp_ref, bias_ref, mask_ref,
     o2 = o.reshape(R, C)
     a = _dot(o2, wp[:]) + bp[:]
     if training and drop_rate > 0.0:
-        _seed_draw(seed_ref, _DRAW_PROJ, n_draws)
-        mp = _keep_scale(a.shape, drop_rate)
-        a = a * mp
-    else:
-        mp = None
+        a = a * _hash_keep2(a.shape, drop_rate, seed, _DRAW_PROJ, row0)
     dp1 = dp_ref[pl.program_id(0), 0]
     dp2 = dp_ref[pl.program_id(0), 1]
     x2r = x2 + dp1 * a
@@ -248,22 +316,14 @@ def _forward_compute(seed_ref, x_ref, y_ref, dp_ref, bias_ref, mask_ref,
     u = _dot(h2, w1[:]) + b1m[:]
     gu = _gelu(u)
     if training and drop_rate > 0.0:
-        _seed_draw(seed_ref, _DRAW_MLP1, n_draws)
-        m1 = _keep_scale(gu.shape, drop_rate)
-        gu = gu * m1
-    else:
-        m1 = None
+        gu = gu * _hash_keep2(gu.shape, drop_rate, seed, _DRAW_MLP1, row0)
     z = _dot(gu, w2[:]) + b2m[:]
     if training and drop_rate > 0.0:
-        _seed_draw(seed_ref, _DRAW_MLP2, n_draws)
-        m2 = _keep_scale(z.shape, drop_rate)
-        z = z * m2
-    else:
-        m2 = None
+        z = z * _hash_keep2(z.shape, drop_rate, seed, _DRAW_MLP2, row0)
     out = x2r + dp2 * z
-    residuals = (x2, h1, xh1, r1, h1y, xh1y, r1y, q3, k3, v3, o2, mp,
-                 dp1, dp2, x2r, h2, xh2, r2, u, gu, m1, m2)
-    return out, residuals
+    residuals = (x2, h1, xh1, r1, h1y, xh1y, r1y, q3, k3, v3, o2,
+                 dp1, dp2, x2r)
+    return out, x2r, residuals
 
 
 def _make_fwd_kernel(dims, rates, training, with_mask, cross):
@@ -278,91 +338,58 @@ def _make_fwd_kernel(dims, rates, training, with_mask, cross):
         mask_ref = rest[i] if with_mask else None
         i += 1 if with_mask else 0
         prefs = rest[i:i + np_]
-        o_ref, o_scratch = rest[-2], rest[-1]
-        out, _ = _forward_compute(seed_ref, x_ref, y_ref, dp_ref, bias_ref,
-                                  mask_ref, prefs, dims, rates, training,
-                                  o_scratch, cross)
+        o_ref, x2r_ref, o_scratch = rest[-3], rest[-2], rest[-1]
+        out, x2r, _ = _forward_compute(seed_ref, x_ref, y_ref, dp_ref,
+                                       bias_ref, mask_ref, prefs, dims,
+                                       rates, training, o_scratch, cross)
         Wc, NP, C = dims[0], dims[1], dims[2]
         o_ref[0] = out.reshape(Wc, NP, C).astype(o_ref.dtype)
+        # post-attention residual state, saved for the split MLP-side
+        # backward (the bert_layer.py x1 trick): the MLP backward then never
+        # touches attention and can run at a much larger window chunk
+        x2r_ref[0] = x2r.reshape(Wc, NP, C).astype(x2r_ref.dtype)
     return kernel
 
 
-def _make_bwd_kernel(dims, rates, training, with_mask, cross):
-    np_ = _n_params(cross)
+def _make_mlp_bwd_kernel(dims, rates, training):
+    """Backward of LN2 + MLP + the two residual adds, given saved x2r.
 
-    def kernel(seed_ref, x_ref, *rest):
-        i = 0
-        y_ref = rest[i] if cross else None
-        i += 1 if cross else 0
-        dp_ref, bias_ref = rest[i], rest[i + 1]
-        i += 2
-        mask_ref = rest[i] if with_mask else None
-        i += 1 if with_mask else 0
-        prefs = rest[i:i + np_]
-        g_ref = rest[i + np_]
-        outs = rest[i + np_ + 1:]
-        if cross:
-            dx_ref, dy_ref, dbias_ref = outs[0], outs[1], outs[2]
-            dp_refs = outs[3:3 + np_]
-            (o_scratch, dq_scratch, dkv_scratch,
-             p_scratch) = outs[-4], outs[-3], outs[-2], outs[-1]
-            (dg1_ref, db1_ref, dg1y_ref, db1y_ref, dwq_ref, dbq_ref,
-             dwkv_ref, dbkv_ref, dwp_ref, dbp_ref, dg2_ref, db2_ref,
-             dw1_ref, db1m_ref, dw2_ref, db2m_ref) = dp_refs
-        else:
-            dx_ref, dbias_ref = outs[0], outs[1]
-            dp_refs = outs[2:2 + np_]
-            o_scratch, dqkv_scratch, p_scratch = (outs[-3], outs[-2],
-                                                  outs[-1])
-            (dg1_ref, db1_ref, dwqkv_ref, dbqkv_ref, dwp_ref, dbp_ref,
-             dg2_ref, db2_ref, dw1_ref, db1m_ref, dw2_ref, db2m_ref) = dp_refs
-
+    Grid (B, nW/Wc) at the MLP-side chunk — no (NP, NP) attention buffers
+    live here, so Wc can be several times the forward's. Outputs dx2r (the
+    full cotangent of the post-attention residual state, including the
+    pass-through g term) plus the 6 MLP/LN2 parameter grads."""
+    def kernel(seed_ref, x2r_ref, g_ref, dp_ref, g2, b2, w1, b1m, w2, b2m,
+               dx2r_ref, dg2_ref, db2_ref, dw1_ref, db1m_ref, dw2_ref,
+               db2m_ref):
         Wc, NP, C, H, Ch = dims
-        attn_rate, drop_rate = rates
-        hd = C // H
-        scale = hd ** -0.5
+        _, drop_rate = rates
         R = Wc * NP
-
-        _, res = _forward_compute(seed_ref, x_ref, y_ref, dp_ref, bias_ref,
-                                  mask_ref, prefs, dims, rates, training,
-                                  o_scratch, cross, p_scratch=p_scratch)
-        # VMEM discipline: dropout masks (mp/m1/m2), gu, and every LN
-        # statistic (h1/xh1/r1/h2/xh2/r2) are NOT kept from the recompute.
-        # Per-draw PRNG seeding regenerates each mask at its use site, and
-        # the LN stats are recomputed from x2/x2r (whose buffers are alive
-        # anyway) — together ~5 MB off the live set, the margin that lets
-        # the backward run at the forward's window-chunk size.
-        (x2, _, _, _, _, _, _, q3, k3, v3, o2, _,
-         dp1, dp2, x2r, _, _, _, _, _, _, _) = res
-        n_draws = 3 + H
-        if cross:
-            (g1, b1, g1y, b1y, wq, bq, wkv, bkv,
-             wp, bp, g2, b2, w1, b1m, w2, b2m) = prefs
-        else:
-            (g1, b1, wqkv, bqkv, wp, bp, g2, b2, w1, b1m, w2, b2m) = prefs
+        seed = seed_ref[0]
+        _, row0 = _global_keys(Wc, NP)
+        with_drop = training and drop_rate > 0.0
 
         is_first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
 
         @pl.when(is_first)
         def _():
-            for ref in (dbias_ref,) + tuple(dp_refs):
+            for ref in (dg2_ref, db2_ref, dw1_ref, db1m_ref, dw2_ref,
+                        db2m_ref):
                 ref[:] = jnp.zeros_like(ref)
 
+        x2r = x2r_ref[0].astype(jnp.float32).reshape(R, C)
         g = g_ref[0].astype(jnp.float32).reshape(R, C)
+        dp2 = dp_ref[pl.program_id(0), 1]
 
-        # ---- MLP / LN2 backward ---------------------------------------------
-        with_drop = training and drop_rate > 0.0
         dz = dp2 * g
         if with_drop:
-            _seed_draw(seed_ref, _DRAW_MLP2, n_draws)
-            dz = dz * _keep_scale(dz.shape, drop_rate)
+            dz = dz * _hash_keep2(dz.shape, drop_rate, seed, _DRAW_MLP2,
+                                  row0)
         db2m_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
         h2, xh2, r2 = _ln_fwd(x2r, g2[:], b2[:])
         u = _dot(h2, w1[:]) + b1m[:]
         gu = _gelu(u)
         if with_drop:
-            _seed_draw(seed_ref, _DRAW_MLP1, n_draws)
-            m1 = _keep_scale(gu.shape, drop_rate)
+            m1 = _hash_keep2(gu.shape, drop_rate, seed, _DRAW_MLP1, row0)
             gu = gu * m1
         else:
             m1 = None
@@ -377,48 +404,116 @@ def _make_bwd_kernel(dims, rates, training, with_mask, cross):
         dg2_ref[:] += jnp.sum(dh2 * xh2, axis=0, keepdims=True)
         db2_ref[:] += jnp.sum(dh2, axis=0, keepdims=True)
         dx2r = g + _ln_bwd(dh2, xh2, r2, g2[:])
+        dx2r_ref[0] = dx2r.reshape(Wc, NP, C).astype(dx2r_ref.dtype)
+    return kernel
 
-        # ---- proj backward ----------------------------------------------------
+
+def _make_attn_bwd_kernel(dims, rates, training, with_mask, cross):
+    """Backward of LN1 + window attention + proj, given dx2r from the
+    MLP-side kernel. Grid (B, nW/Wc) at the attention-side chunk."""
+    n_attn = 10 if cross else 6
+
+    def kernel(seed_ref, x_ref, *rest):
+        i = 0
+        y_ref = rest[i] if cross else None
+        i += 1 if cross else 0
+        dx2r_ref = rest[i]
+        dp_ref, bias_ref = rest[i + 1], rest[i + 2]
+        i += 3
+        mask_ref = rest[i] if with_mask else None
+        i += 1 if with_mask else 0
+        prefs = rest[i:i + n_attn]
+        outs = rest[i + n_attn:]
+        if cross:
+            (g1, b1, g1y, b1y, wq, bq, wkv, bkv, wp, bp) = prefs
+            dx_ref, dy_ref, dbias_ref = outs[0], outs[1], outs[2]
+            dp_refs = outs[3:3 + n_attn]
+            (o_scratch, dq_scratch, dkv_scratch) = (outs[-3], outs[-2],
+                                                    outs[-1])
+            (dg1_ref, db1_ref, dg1y_ref, db1y_ref, dwq_ref, dbq_ref,
+             dwkv_ref, dbkv_ref, dwp_ref, dbp_ref) = dp_refs
+        else:
+            (g1, b1, wqkv, bqkv, wp, bp) = prefs
+            dx_ref, dbias_ref = outs[0], outs[1]
+            dp_refs = outs[2:2 + n_attn]
+            o_scratch, dqkv_scratch = outs[-2], outs[-1]
+            (dg1_ref, db1_ref, dwqkv_ref, dbqkv_ref, dwp_ref,
+             dbp_ref) = dp_refs
+
+        Wc, NP, C, H, Ch = dims
+        attn_rate, drop_rate = rates
+        hd = C // H
+        scale = hd ** -0.5
+        R = Wc * NP
+        seed = seed_ref[0]
+        wkey0, row0 = _global_keys(Wc, NP)
+
+        is_first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+
+        @pl.when(is_first)
+        def _():
+            for ref in (dbias_ref,) + tuple(dp_refs):
+                ref[:] = jnp.zeros_like(ref)
+
+        # ---- recompute LN1 + qkv ---------------------------------------------
+        x = x_ref[0].astype(jnp.float32)
+        x2 = x.reshape(R, C)
+        h1, xh1, r1 = _ln_fwd(x2, g1[:], b1[:])
+        if cross:
+            y2 = y_ref[0].astype(jnp.float32).reshape(R, C)
+            h1y, xh1y, r1y = _ln_fwd(y2, g1y[:], b1y[:])
+            q3 = (_dot(h1, wq[:]) + bq[:]).reshape(Wc, NP, C)
+            kv3 = (_dot(h1y, wkv[:]) + bkv[:]).reshape(Wc, NP, 2 * C)
+            k3, v3 = kv3[:, :, 0:C], kv3[:, :, C:2 * C]
+        else:
+            qkv3 = (_dot(h1, wqkv[:]) + bqkv[:]).reshape(Wc, NP, 3 * C)
+            q3, k3, v3 = (qkv3[:, :, 0:C], qkv3[:, :, C:2 * C],
+                          qkv3[:, :, 2 * C:])
+
+        # do2 depends only on dx2r (not on the attention output), so ONE
+        # merged head loop both recomputes head h's softmax and immediately
+        # consumes it for the backward — p is never materialized across
+        # heads (no p_scratch, no second scores+softmax), which is the VMEM
+        # margin that buys the larger window chunk.
+        dx2r = dx2r_ref[0].astype(jnp.float32).reshape(R, C)
+        dp1 = dp_ref[pl.program_id(0), 0]
         da = dp1 * dx2r
-        if with_drop:
-            _seed_draw(seed_ref, _DRAW_PROJ, n_draws)
-            da = da * _keep_scale(da.shape, drop_rate)
-        dbp_ref[:] += jnp.sum(da, axis=0, keepdims=True)
-        dwp_ref[:] += _dot_tn(o2, da)
+        if training and drop_rate > 0.0:
+            da = da * _hash_keep2(da.shape, drop_rate, seed, _DRAW_PROJ,
+                                  row0)
         do2 = _dot_nt(da, wp[:])
         do3 = do2.reshape(Wc, NP, C)
 
-        # ---- attention backward (recompute each head) --------------------------
         dq_sc = dq_scratch if cross else dqkv_scratch
         kv_sc = dkv_scratch if cross else dqkv_scratch
         kv_off = 0 if cross else C
         for h in range(H):
-            # p saved from the recompute above — no second scores+softmax
-            qh = q3[:, :, h * hd:(h + 1) * hd] * scale
-            kh = k3[:, :, h * hd:(h + 1) * hd]
-            vh = v3[:, :, h * hd:(h + 1) * hd]
-            p = p_scratch[h]
-            if training and attn_rate > 0.0:
-                _seed_draw(seed_ref, 3 + h, 3 + H)
-                pd = p * _keep_scale(p.shape, attn_rate)
-            else:
-                pd = p
+            qh, kh, vh, p, pd, oh = _attn_fwd_head(
+                q3, k3, v3, bias_ref, mask_ref, h, hd, scale,
+                attn_rate, seed, wkey0, training)
+            o_scratch[:, :, h * hd:(h + 1) * hd] = oh
             doh = do3[:, :, h * hd:(h + 1) * hd]
             dpd = _bdot(doh, vh, 2, 2)                         # (Wc,NP,NP)
             dvh = _bdot(pd, doh, 1, 1)                         # (Wc,NP,hd)
             if training and attn_rate > 0.0:
-                _seed_draw(seed_ref, 3 + h, 3 + H)
-                dp_ = dpd * _keep_scale(dpd.shape, attn_rate)
+                dp_ = dpd * _hash_keep3(dpd.shape, attn_rate, seed, 3 + h,
+                                        wkey0)
             else:
                 dp_ = dpd
             ds = p * (dp_ - jnp.sum(dp_ * p, axis=-1, keepdims=True))
             dbias_ref[h] += jnp.sum(ds, axis=0)
+            # qh from _attn_fwd_head is pre-scaled, so ds @ qh needs no
+            # extra factor on the k side and dq gets the remaining scale
             dq_sc[:, :, h * hd:(h + 1) * hd] = _bdot(ds, kh, 2, 1) * scale
             kv_sc[:, :, kv_off + h * hd:kv_off + (h + 1) * hd] = (
                 _bdot(ds, qh, 1, 1))
             kv_sc[:, :, kv_off + C + h * hd:kv_off + C + (h + 1) * hd] = dvh
 
-        h1, xh1, r1 = _ln_fwd(x2, g1[:], b1[:])
+        # ---- proj param grads (need the full recomputed o) -------------------
+        o2 = o_scratch[:].reshape(R, C)
+        dbp_ref[:] += jnp.sum(da, axis=0, keepdims=True)
+        dwp_ref[:] += _dot_tn(o2, da)
+
         if cross:
             dq = dq_scratch[:].reshape(R, C)
             dkv = dkv_scratch[:].reshape(R, 2 * C)
@@ -426,8 +521,6 @@ def _make_bwd_kernel(dims, rates, training, with_mask, cross):
             dwq_ref[:] += _dot_tn(h1, dq)
             dh1 = _dot_nt(dq, wq[:])
             dbkv_ref[:] += jnp.sum(dkv, axis=0, keepdims=True)
-            y2 = y_ref[0].astype(jnp.float32).reshape(R, C)
-            h1y, xh1y, r1y = _ln_fwd(y2, g1y[:], b1y[:])
             dwkv_ref[:] += _dot_tn(h1y, dkv)
             dh1y = _dot_nt(dkv, wkv[:])
             dg1y_ref[:] += jnp.sum(dh1y * xh1y, axis=0, keepdims=True)
@@ -470,23 +563,34 @@ def _in_specs(Wc, NP, C, H, with_mask, p_shapes, cross):
     return specs, x_spec
 
 
-def _chunk_for(nW: int, NP: int, cross: bool) -> int:
-    """ONE chunk size for forward AND backward — the grids must be identical
-    or the per-(grid-cell, draw) PRNG seeding regenerates different dropout
-    masks in the backward. Budget sized for the backward's larger live set
-    (at the flagship geometry the backward peaks ~16.9 MB if given the
-    forward-optimal chunk — 12 KB-to-1 MB over the 16 MB VMEM limit even
-    after regenerating masks and LN stats at their use sites; per-window
-    chunk-invariant mask draws would decouple the two, see ROADMAP)."""
-    return pick_window_chunk(nW, NP, budget=(192 if cross else 320) * 1024)
+# Per-kernel window-chunk budgets (bytes of the 20.5 KB/window proxy unit in
+# pick_window_chunk). The hash-keyed dropout masks are chunk-invariant, so
+# forward, MLP-backward, and attention-backward each pick the largest chunk
+# their own live set allows — the grid shell cost scales 1/Wc (measured
+# ~0.6 ms/block at the round-1 Wc=14).
+_CHUNK_BUDGETS = {
+    "fwd": 580 * 1024,          # fwd live set ~12 tiles/window
+    "fwd_cross": 580 * 1024,
+    "mlp": 1024 * 1024,         # no (NP, NP) buffers -> largest chunks
+    # merged-head-loop backward (no p_scratch): Wc=28 attempt; the previous
+    # two-loop version measured 22.4 MB live at 28 (6.4 MB over the 16 MB
+    # scoped-vmem limit), of which p_scratch alone was ~3.4 MB
+    "attn": 580 * 1024,
+    "attn_cross": 580 * 1024,
+}
+
+
+def _chunk_for(nW: int, NP: int, kind: str) -> int:
+    return pick_window_chunk(nW, NP, budget=_CHUNK_BUDGETS[kind])
 
 
 def _fwd_impl(x, y, params, bias, mask, dp, seed, rates, training,
               interpret, cross):
+    """Forward kernel; returns (out, x2r) — x2r feeds the split backward."""
     B, nW, NP, C = x.shape
     H = bias.shape[0]
     Ch = params[-4].shape[1]
-    Wc = _chunk_for(nW, NP, cross)
+    Wc = _chunk_for(nW, NP, "fwd_cross" if cross else "fwd")
     with_mask = mask is not None
     dims = (Wc, NP, C, H, Ch)
     p_shapes = param_shapes(C, Ch, cross)
@@ -497,49 +601,85 @@ def _fwd_impl(x, y, params, bias, mask, dp, seed, rates, training,
             + (f32(dp), f32(bias))
             + ((f32(mask),) if with_mask else ())
             + tuple(f32(p) for p in params))
-    out = pl.pallas_call(
+    out, x2r = pl.pallas_call(
         _make_fwd_kernel(dims, rates, training, with_mask, cross),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(B, nW // Wc),
-            in_specs=in_specs, out_specs=x_spec,
+            in_specs=in_specs, out_specs=[x_spec, x_spec],
             scratch_shapes=[pltpu.VMEM((Wc, NP, C), jnp.float32)]),
-        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct(x.shape, jnp.float32)] * 2,
         interpret=interpret,
     )(*args)
-    return out.astype(x.dtype)
+    return out.astype(x.dtype), x2r
 
 
-def _bwd_impl(x, y, params, bias, mask, dp, seed_arr, g, rates, training,
-              interpret, cross):
+def _bwd_impl(x, y, params, bias, mask, dp, seed_arr, x2r, g, rates,
+              training, interpret, cross):
+    """Split backward: MLP-side kernel (large chunk, no attention buffers)
+    then attention-side kernel. Returns grads in the forward's param order."""
     B, nW, NP, C = x.shape
     H = bias.shape[0]
     Ch = params[-4].shape[1]
-    Wc = _chunk_for(nW, NP, cross)
     with_mask = mask is not None
-    dims = (Wc, NP, C, H, Ch)
     p_shapes = param_shapes(C, Ch, cross)
-    in_specs, x_spec = _in_specs(Wc, NP, C, H, with_mask, p_shapes, cross)
-    in_specs.append(x_spec)                       # cotangent g
+    n_attn = 10 if cross else 6
+    f32 = lambda t: jnp.asarray(t, jnp.float32)
+
+    # ---- stage 1: MLP/LN2 backward over saved x2r -------------------------
+    Wc_m = _chunk_for(nW, NP, "mlp")
+    dims_m = (Wc_m, NP, C, H, Ch)
+    x_spec_m = _x_spec(Wc_m, NP, C)
+    mlp_shapes = p_shapes[n_attn:]
+    mlp_params = params[n_attn:]
+    mlp_outs = pl.pallas_call(
+        _make_mlp_bwd_kernel(dims_m, rates, training),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(B, nW // Wc_m),
+            in_specs=([x_spec_m, x_spec_m,
+                       pl.BlockSpec(memory_space=pltpu.SMEM)]
+                      + [_resident(s) for s in mlp_shapes]),
+            out_specs=[x_spec_m] + [_resident(s) for s in mlp_shapes]),
+        out_shape=([jax.ShapeDtypeStruct(x.shape, jnp.float32)]
+                   + [jax.ShapeDtypeStruct(s, jnp.float32)
+                      for s in mlp_shapes]),
+        interpret=interpret,
+    )(seed_arr, f32(x2r), f32(g), f32(dp), *[f32(p) for p in mlp_params])
+    dx2r, d_mlp = mlp_outs[0], mlp_outs[1:]
+
+    # ---- stage 2: attention-side backward --------------------------------
+    Wc = _chunk_for(nW, NP, "attn_cross" if cross else "attn")
+    dims = (Wc, NP, C, H, Ch)
+    attn_shapes = p_shapes[:n_attn]
+    attn_params = params[:n_attn]
+    x_spec = _x_spec(Wc, NP, C)
+    in_specs = [x_spec]
+    if cross:
+        in_specs.append(x_spec)
+    in_specs += [x_spec,                              # dx2r
+                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                 _resident((H, NP, NP))]
+    if with_mask:
+        in_specs.append(pl.BlockSpec((Wc, NP, NP), lambda b, c, *_: (c, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs += [_resident(s) for s in attn_shapes]
     out_specs = ([x_spec] + ([x_spec] if cross else [])
                  + [_resident((H, NP, NP))]
-                 + [_resident(s) for s in p_shapes])
+                 + [_resident(s) for s in attn_shapes])
     out_shapes = ([jax.ShapeDtypeStruct(x.shape, jnp.float32)]
                   * (2 if cross else 1)
                   + [jax.ShapeDtypeStruct((H, NP, NP), jnp.float32)]
                   + [jax.ShapeDtypeStruct(s, jnp.float32)
-                     for s in p_shapes])
+                     for s in attn_shapes])
     scratch = ([pltpu.VMEM((Wc, NP, C), jnp.float32)]
                + ([pltpu.VMEM((Wc, NP, C), jnp.float32),
                    pltpu.VMEM((Wc, NP, 2 * C), jnp.float32)] if cross
-                  else [pltpu.VMEM((Wc, NP, 3 * C), jnp.float32)])
-               + [pltpu.VMEM((H, Wc, NP, NP), jnp.float32)])
-    f32 = lambda t: jnp.asarray(t, jnp.float32)
+                  else [pltpu.VMEM((Wc, NP, 3 * C), jnp.float32)]))
     args = ((seed_arr, f32(x)) + ((f32(y),) if cross else ())
-            + (f32(dp), f32(bias))
+            + (dx2r, f32(dp), f32(bias))
             + ((f32(mask),) if with_mask else ())
-            + tuple(f32(p) for p in params) + (f32(g),))
+            + tuple(f32(p) for p in attn_params))
     outs = pl.pallas_call(
-        _make_bwd_kernel(dims, rates, training, with_mask, cross),
+        _make_attn_bwd_kernel(dims, rates, training, with_mask, cross),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(B, nW // Wc),
             in_specs=in_specs, out_specs=out_specs,
@@ -549,13 +689,14 @@ def _bwd_impl(x, y, params, bias, mask, dp, seed_arr, g, rates, training,
     )(*args)
     if cross:
         dx, dy, dbias = outs[0], outs[1], outs[2]
-        dparams = tuple(d.astype(jnp.asarray(p).dtype)
-                        for d, p in zip(outs[3:], params))
-        return dx, dy, dparams, dbias
-    dx, dbias = outs[0], outs[1]
+        d_attn = outs[3:]
+    else:
+        dx, dbias = outs[0], outs[1]
+        dy = None
+        d_attn = outs[2:]
     dparams = tuple(d.astype(jnp.asarray(p).dtype)
-                    for d, p in zip(outs[2:], params))
-    return dx, None, dparams, dbias
+                    for d, p in zip(list(d_attn) + list(d_mlp), params))
+    return dx, dy, dparams, dbias
 
 
 # ---------------------------------------------------------------------------
@@ -581,15 +722,15 @@ def fused_fusion_block(x, params, bias, mask, dp, seed,
 
 def _ffb_fwd(x, params, bias, mask, dp, seed, rates, training, interpret):
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
-    out = _fwd_impl(x, None, params, bias, mask, dp, seed_arr, rates,
-                    training, interpret, cross=False)
-    return out, (x, params, bias, mask, dp, seed_arr)
+    out, x2r = _fwd_impl(x, None, params, bias, mask, dp, seed_arr, rates,
+                         training, interpret, cross=False)
+    return out, (x, params, bias, mask, dp, seed_arr, x2r)
 
 
 def _ffb_bwd(rates, training, interpret, res, g):
-    x, params, bias, mask, dp, seed_arr = res
+    x, params, bias, mask, dp, seed_arr, x2r = res
     dx, _, dparams, dbias = _bwd_impl(x, None, params, bias, mask, dp,
-                                      seed_arr, g, rates, training,
+                                      seed_arr, x2r, g, rates, training,
                                       interpret, cross=False)
     return (dx.astype(x.dtype), dparams, dbias.astype(bias.dtype),
             None, None, None)
@@ -611,15 +752,15 @@ def fused_cross_fusion_block(x, y, params, bias, mask, dp, seed,
 
 def _fcb_fwd(x, y, params, bias, mask, dp, seed, rates, training, interpret):
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
-    out = _fwd_impl(x, y, params, bias, mask, dp, seed_arr, rates,
-                    training, interpret, cross=True)
-    return out, (x, y, params, bias, mask, dp, seed_arr)
+    out, x2r = _fwd_impl(x, y, params, bias, mask, dp, seed_arr, rates,
+                         training, interpret, cross=True)
+    return out, (x, y, params, bias, mask, dp, seed_arr, x2r)
 
 
 def _fcb_bwd(rates, training, interpret, res, g):
-    x, y, params, bias, mask, dp, seed_arr = res
+    x, y, params, bias, mask, dp, seed_arr, x2r = res
     dx, dy, dparams, dbias = _bwd_impl(x, y, params, bias, mask, dp,
-                                       seed_arr, g, rates, training,
+                                       seed_arr, x2r, g, rates, training,
                                        interpret, cross=True)
     return (dx.astype(x.dtype), dy.astype(y.dtype), dparams,
             dbias.astype(bias.dtype), None, None, None)

@@ -285,3 +285,58 @@ def test_fused_block_stochastic_grad_is_true_gradient():
     fd = (float(f(x + eps * v)) - float(f(x - eps * v))) / (2 * eps)
     an = float(jnp.vdot(jax.grad(f)(x), v))
     assert abs(fd - an) < 2e-2 * max(1.0, abs(fd)), (fd, an)
+
+
+@pytest.mark.parametrize("cross", [False, True])
+def test_chunk_invariant_dropout(cross, monkeypatch):
+    """Hash-keyed dropout masks must be identical under ANY window-chunk
+    choice — the property that lets forward and the two backward kernels
+    each pick their own grid (ops/fusion_block.py _hash_keep*)."""
+    x, _, bias, maskp, dp = _inputs(shift=0, seed=5)
+    y = jnp.asarray(
+        np.random.default_rng(9).normal(size=x.shape).astype(np.float32))
+    params = _params_cross(jax.random.PRNGKey(4)) if cross else \
+        _params(jax.random.PRNGKey(4))
+    rates = (0.3, 0.25)
+    cot = jnp.asarray(
+        np.random.default_rng(11).normal(size=x.shape).astype(np.float32))
+
+    def run():
+        if cross:
+            def loss(x, y, params):
+                out = fb.fused_cross_fusion_block(
+                    x, y, params, bias, maskp, dp, 123, rates, True,
+                    interpret=True)
+                return jnp.sum(out * cot)
+            v, g = jax.value_and_grad(loss, argnums=(0, 1, 2))(x, y, params)
+        else:
+            def loss(x, params):
+                out = fb.fused_fusion_block(
+                    x, params, bias, maskp, dp, 123, rates, True,
+                    interpret=True)
+                return jnp.sum(out * cot)
+            v, g = jax.value_and_grad(loss, argnums=(0, 1))(x, params)
+        return v, g
+
+    v1, g1 = run()
+    # force every kernel to chunk differently (NW=4 -> chunks 1 vs 2/4)
+    small = {k: 21 * 1024 for k in fb._CHUNK_BUDGETS}   # -> Wc = 1
+    monkeypatch.setattr(fb, "_CHUNK_BUDGETS", small)
+    v2, g2 = run()
+    # different chunk shapes reorder fp accumulation; a wrong mask would
+    # differ at O(1), so 1e-3 tolerances still catch mask divergence
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-3)
+
+
+def _params_cross(key):
+    ks = jax.random.split(key, 16)
+    shapes = fb.param_shapes(C, HID, cross=True)
+    p = [jax.random.normal(k, s, jnp.float32) * 0.3
+         for k, s in zip(ks, shapes)]
+    for i in (0, 2, 10):                 # LN scales positive
+        p[i] = jnp.abs(p[i]) + 0.5
+    return tuple(p)
