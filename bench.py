@@ -85,6 +85,22 @@ def main() -> None:
     subjects_per_sec = batch_size * n_steps / best
     per_chip = subjects_per_sec / n_chips
 
+    # analytic FLOPs for one flagship TRAIN step per subject (fwd+bwd ~ 3x
+    # fwd): dual 16-layer BERTs (T=369, H=84, I=3072) + ~60 fusion blocks
+    # (7056 tokens, C=12) + SwinV2 head. Dense matmul = 2mkn.
+    T, Hd, I, L = 369, 84, 3072, int(getattr(cfg, "transformer_hidden_layers",
+                                             16))
+    bert = L * 2 * (2 * T * Hd * (4 * Hd + 2 * I) + 4 * T * T * Hd)
+    R, C = 84 * 84, 12
+    # Ex per modality (x2), CRSTB = 2 self per modality + 2 directed cross
+    # per depth (x4), Re on the single merged stream (x1)
+    n_blocks = (2 * sum(cfg.fusion_ex_depths) + 4 * sum(cfg.fusion_depths)
+                + sum(cfg.fusion_re_depths))
+    fusion = n_blocks * (2 * R * C * 12 * C + 4 * 196 * 6 * 1296 * (C // 6))
+    train_flops_per_subject = 3 * (bert + fusion) * 1.05   # +5% head/glue
+    tflops = per_chip * train_flops_per_subject / 1e12
+    mfu_pct = 100.0 * tflops / 197.0     # v5e bf16 peak 197 TFLOP/s
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BENCH_BASELINE.json")
     key = f"{platform}_x{n_chips}"
@@ -107,6 +123,8 @@ def main() -> None:
         "unit": f"subjects/sec/chip ({platform}, bs={per_chip_batch}/chip, "
                 f"fwd+bwd+update, Func_Struct_Cross)",
         "vs_baseline": round(vs_baseline, 3),
+        "tflops_per_sec": round(tflops, 3),
+        "mfu_pct_of_bf16_peak": round(mfu_pct, 3),
     }))
 
 

@@ -572,11 +572,11 @@ _CHUNK_BUDGETS = {
     "fwd": 580 * 1024,          # fwd live set ~12 tiles/window
     "fwd_cross": 580 * 1024,
     "mlp": 1024 * 1024,         # no (NP, NP) buffers -> largest chunks
-    # merged-head-loop backward (no p_scratch): Wc=28 attempt; the previous
-    # two-loop version measured 22.4 MB live at 28 (6.4 MB over the 16 MB
-    # scoped-vmem limit), of which p_scratch alone was ~3.4 MB
+    # merged-head-loop backward (no p_scratch): self fits Wc=28; cross (two
+    # extra stream blocks: y in, dy out) measured 17.07 MB at 28 in the full
+    # model — 1.07 MB over the 16 MB scoped-vmem limit — so it runs at 14
     "attn": 580 * 1024,
-    "attn_cross": 580 * 1024,
+    "attn_cross": 320 * 1024,
 }
 
 

@@ -22,3 +22,12 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(55555555)  # reference seed (main.py:53)
+
+
+# Persistent compilation cache: the suite is dominated by XLA:CPU compiles of
+# the same programs every run (round-1 wall time 18m48s). Cache hits bring
+# repeat runs to interpreter speed. Keyed by backend+flags, so the forced
+# 8-device CPU platform above gets its own entries.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -113,6 +113,7 @@ def test_small_val_split_produces_metrics_and_checkpoint(cohort, tmp_path):
     cfg = synthetic_config(
         cohort, dataset_name="sMRI", target="sex", step=3, task="VIT",
         size_of_model="small", batch_size=8, nEpochs=1, workers=2,
+        log_grad_norms_every=2,
         experiment_folder=str(tmp_path / "exp"), experiment_title="small_val",
         compute_dtype="float32").validate()
     trainer = Trainer(cfg)
@@ -121,6 +122,17 @@ def test_small_val_split_produces_metrics_and_checkpoint(cohort, tmp_path):
     assert "val_AUROC" in metrics
     ckpts = os.listdir(cfg.experiment_folder)
     assert any("BEST" in c for c in ckpts)
+    # wandb.watch equivalent (reference trainer.py:94-97) — same run, same
+    # compile: per-module grad/param norms land in history + CSV
+    hist = trainer.writer.metric_history
+    norm_keys = [k for k in hist if k.startswith("norm/")]
+    assert any(k.startswith("norm/grad/") for k in norm_keys)
+    assert any(k.startswith("norm/param/") for k in norm_keys)
+    assert "norm/grad/global" in hist
+    assert all(np.isfinite(v) for k in norm_keys for v in hist[k])
+    with open(os.path.join(cfg.experiment_folder, "full_scores.csv")) as f:
+        header = f.readline()
+    assert "norm/grad/global" in header
 
 
 def test_partial_batch_names_masked(cohort, tmp_path):
@@ -140,32 +152,6 @@ def test_partial_batch_names_masked(cohort, tmp_path):
     # train keeps drop_last (static compiled shape, no padding)
     for _, tr_names in pipe.epoch("train", 0, to_device=False):
         assert all(n is not None for n in tr_names)
-
-
-# ---------------------------------------------------------------------------
-# Grad/param norm observability (reference trainer.py:94-97 wandb.watch)
-# ---------------------------------------------------------------------------
-
-def test_grad_norm_logging(cohort, tmp_path):
-    from multimodal_neuroimage_tpu.train.trainer import Trainer
-    cfg = synthetic_config(
-        cohort, dataset_name="sMRI", target="sex", step=3, task="VIT",
-        size_of_model="small", batch_size=4, nEpochs=1, workers=2,
-        log_grad_norms_every=2,
-        experiment_folder=str(tmp_path / "exp"), experiment_title="norms",
-        compute_dtype="float32").validate()
-    trainer = Trainer(cfg)
-    trainer.training()
-    hist = trainer.writer.metric_history
-    norm_keys = [k for k in hist if k.startswith("norm/")]
-    assert any(k.startswith("norm/grad/") for k in norm_keys)
-    assert any(k.startswith("norm/param/") for k in norm_keys)
-    assert "norm/grad/global" in hist
-    assert all(np.isfinite(v) for k in norm_keys for v in hist[k])
-    # lands in full_scores.csv
-    with open(os.path.join(cfg.experiment_folder, "full_scores.csv")) as f:
-        header = f.readline()
-    assert "norm/grad/global" in header
 
 
 # ---------------------------------------------------------------------------

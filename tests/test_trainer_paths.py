@@ -15,6 +15,9 @@ TINY = dict(
     transformer_hidden_layers=2, bert_intermediate_size=128,
     num_heads_2DBert=4, size_of_model="small", batch_size=4, nEpochs=1,
     workers=2, compute_dtype="float32", nan_audit=True,
+    # these tests assert plumbing (metric keys exist), not convergence —
+    # run the --profiling smoke cap (1 epoch / 10 batches, trainer.py:434)
+    profiling=True,
 )
 
 
