@@ -38,6 +38,7 @@ latency- not FLOP-bound).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -242,32 +243,77 @@ def _global_keys(Wc: int, NP: int):
     return wkey0, wkey0 * NP
 
 
-def _attn_fwd_head(q3, k3, v3, bias_ref, mask_ref, h, hd, scale,
-                   attn_rate, seed, wkey0, training):
-    qh = q3[:, :, h * hd:(h + 1) * hd] * scale
-    kh = k3[:, :, h * hd:(h + 1) * hd]
-    vh = v3[:, :, h * hd:(h + 1) * hd]
-    s = _bdot(qh, kh, 2, 2)                       # (Wc, NP, NP)
-    s = s + bias_ref[h]
+# ---------------------------------------------------------------------------
+# Head-PACKED attention: all H heads' score matrices ride side by side on one
+# (Wc, NP, L=H*NP) lane axis. With C=12 / NP=40 the per-head formulation pads
+# every (.., NP) buffer to 128 lanes (31% utilization) and re-runs the
+# softmax/dropout chain H times; packing runs ONE softmax + ONE dropout-mask
+# evaluation at ~94% lane utilization (240/256) and turns the per-head
+# output/grad contractions into single K=L MXU dots. Measured VPU-bound
+# (grid shell and DMA are negligible — chunk-size probes & copy-ablation).
+#
+# Per-head channel selection uses masked full-C dots (k masked to head h's
+# channel pair) instead of hd=2 lane slices, avoiding per-head relayouts.
+# Segment (per-head) softmax denominators are two tiny matmuls against the
+# block indicator G (L, H). The max is subtracted per ROW (over all heads)
+# rather than per segment — mathematically identical after normalization and
+# safe for LN-bounded scores (underflow needs a cross-head score spread >87).
+# ---------------------------------------------------------------------------
+
+def _head_masks(C: int, H: int):
+    """H lane masks (1, 1, C) selecting each head's channel block."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
+    hd = C // H
+    return [(lane // hd == h).astype(jnp.float32) for h in range(H)]
+
+
+def _seg_matrix(NP: int, H: int):
+    """(L, H) block indicator: G[l, h] = 1 iff lane l is in head h's block."""
+    L = H * NP
+    return (jax.lax.broadcasted_iota(jnp.int32, (L, H), 0) // NP
+            == jax.lax.broadcasted_iota(jnp.int32, (L, H), 1)
+            ).astype(jnp.float32)
+
+
+def _packed_scores(q3s, k3m, bias_ref, mask_ref, H):
+    """(Wc, NP, L) packed scores: per-head masked-k dots, + bias + mask."""
+    S = jnp.concatenate([_bdot(q3s, km, 2, 2) for km in k3m], axis=2)
+    S = S + bias_ref[:][None]                     # bias_ref is (NP, L)
     if mask_ref is not None:
-        s = s + mask_ref[:]
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    if training and attn_rate > 0.0:
-        pd = p * _hash_keep3(p.shape, attn_rate, seed, 3 + h, wkey0)
-    else:
-        pd = p
-    return qh, kh, vh, p, pd, _bdot(pd, vh, 2, 1)  # o_h (Wc, NP, hd)
+        S = S + jnp.concatenate([mask_ref[:]] * H, axis=2)
+    return S
+
+
+def _packed_softmax(S, G, Wc, NP, L):
+    """Per-head-segment softmax over the packed lane axis."""
+    m = jnp.max(S, axis=-1, keepdims=True)        # row max (all heads)
+    e = jnp.exp(S - m)
+    den = _dot(e.reshape(Wc * NP, L), G)          # (R, H) segment sums
+    rden = 1.0 / jnp.maximum(den, 1e-30)
+    return e * _dot_nt(rden, G).reshape(Wc, NP, L)
+
+
+def _stack_heads(t3m):
+    """concat H masked (Wc, NP, C) tensors along windows-> (Wc, L, C)."""
+    return jnp.concatenate(t3m, axis=1)
+
+
+def _unstack_heads(full, masks, NP: int):
+    """(Wc, L, C) -> (Wc, NP, C): sum of per-head row blocks x lane masks."""
+    H = len(masks)
+    acc = full[:, 0:NP, :] * masks[0]
+    for h in range(1, H):
+        acc = acc + full[:, h * NP:(h + 1) * NP, :] * masks[h]
+    return acc
 
 
 def _forward_compute(seed_ref, x_ref, y_ref, dp_ref, bias_ref, mask_ref,
-                     prefs, dims, rates, training, o_scratch, cross,
-                     p_scratch=None):
+                     prefs, dims, rates, training, cross):
     """Shared forward used by both kernels. Returns (out, x2r, residuals)."""
     Wc, NP, C, H, Ch = dims
     attn_rate, drop_rate = rates
     hd = C // H
+    L = H * NP
     scale = hd ** -0.5
     R = Wc * NP
     seed = seed_ref[0]
@@ -281,6 +327,8 @@ def _forward_compute(seed_ref, x_ref, y_ref, dp_ref, bias_ref, mask_ref,
 
     x = x_ref[0].astype(jnp.float32)              # (Wc, NP, C)
     x2 = x.reshape(R, C)
+    if _ABLATE == "copy":                          # launch + DMA floor
+        return x2, x2, None
     h1, xh1, r1 = _ln_fwd(x2, g1[:], b1[:])
     if cross:
         y2 = y_ref[0].astype(jnp.float32).reshape(R, C)
@@ -297,21 +345,26 @@ def _forward_compute(seed_ref, x_ref, y_ref, dp_ref, bias_ref, mask_ref,
         q3, k3, v3 = (qkv3[:, :, 0:C], qkv3[:, :, C:2 * C],
                       qkv3[:, :, 2 * C:])
 
-    for h in range(H):
-        _, _, _, p_h, _, oh = _attn_fwd_head(
-            q3, k3, v3, bias_ref, mask_ref, h, hd, scale,
-            attn_rate, seed, wkey0, training)
-        o_scratch[:, :, h * hd:(h + 1) * hd] = oh
-        if p_scratch is not None:
-            p_scratch[h] = p_h      # backward reuses softmax output
-    o = o_scratch[:]
-    o2 = o.reshape(R, C)
+    if _ABLATE == "noheads":                       # skip the attention loop
+        o3 = q3
+    else:
+        masks = _head_masks(C, H)
+        k3m = [k3 * km for km in masks]
+        S = _packed_scores(q3 * scale, k3m, bias_ref, mask_ref, H)
+        p = _packed_softmax(S, _seg_matrix(NP, H), Wc, NP, L)
+        if training and attn_rate > 0.0:
+            p = p * _hash_keep3(p.shape, attn_rate, seed, 3, wkey0)
+        vr = _stack_heads([v3 * km for km in masks])   # (Wc, L, C)
+        o3 = _bdot(p, vr, 2, 1)                        # (Wc, NP, C)
+    o2 = o3.reshape(R, C)
     a = _dot(o2, wp[:]) + bp[:]
     if training and drop_rate > 0.0:
         a = a * _hash_keep2(a.shape, drop_rate, seed, _DRAW_PROJ, row0)
     dp1 = dp_ref[pl.program_id(0), 0]
     dp2 = dp_ref[pl.program_id(0), 1]
     x2r = x2 + dp1 * a
+    if _ABLATE == "nomlp":                         # skip LN2 + MLP
+        return x2r, x2r, None
     h2, xh2, r2 = _ln_fwd(x2r, g2[:], b2[:])
     u = _dot(h2, w1[:]) + b1m[:]
     gu = _gelu(u)
@@ -338,10 +391,10 @@ def _make_fwd_kernel(dims, rates, training, with_mask, cross):
         mask_ref = rest[i] if with_mask else None
         i += 1 if with_mask else 0
         prefs = rest[i:i + np_]
-        o_ref, x2r_ref, o_scratch = rest[-3], rest[-2], rest[-1]
+        o_ref, x2r_ref = rest[-2], rest[-1]
         out, x2r, _ = _forward_compute(seed_ref, x_ref, y_ref, dp_ref,
                                        bias_ref, mask_ref, prefs, dims,
-                                       rates, training, o_scratch, cross)
+                                       rates, training, cross)
         Wc, NP, C = dims[0], dims[1], dims[2]
         o_ref[0] = out.reshape(Wc, NP, C).astype(o_ref.dtype)
         # post-attention residual state, saved for the split MLP-side
@@ -428,21 +481,19 @@ def _make_attn_bwd_kernel(dims, rates, training, with_mask, cross):
             (g1, b1, g1y, b1y, wq, bq, wkv, bkv, wp, bp) = prefs
             dx_ref, dy_ref, dbias_ref = outs[0], outs[1], outs[2]
             dp_refs = outs[3:3 + n_attn]
-            (o_scratch, dq_scratch, dkv_scratch) = (outs[-3], outs[-2],
-                                                    outs[-1])
             (dg1_ref, db1_ref, dg1y_ref, db1y_ref, dwq_ref, dbq_ref,
              dwkv_ref, dbkv_ref, dwp_ref, dbp_ref) = dp_refs
         else:
             (g1, b1, wqkv, bqkv, wp, bp) = prefs
             dx_ref, dbias_ref = outs[0], outs[1]
             dp_refs = outs[2:2 + n_attn]
-            o_scratch, dqkv_scratch = outs[-2], outs[-1]
             (dg1_ref, db1_ref, dwqkv_ref, dbqkv_ref, dwp_ref,
              dbp_ref) = dp_refs
 
         Wc, NP, C, H, Ch = dims
         attn_rate, drop_rate = rates
         hd = C // H
+        L = H * NP
         scale = hd ** -0.5
         R = Wc * NP
         seed = seed_ref[0]
@@ -470,11 +521,10 @@ def _make_attn_bwd_kernel(dims, rates, training, with_mask, cross):
             q3, k3, v3 = (qkv3[:, :, 0:C], qkv3[:, :, C:2 * C],
                           qkv3[:, :, 2 * C:])
 
-        # do2 depends only on dx2r (not on the attention output), so ONE
-        # merged head loop both recomputes head h's softmax and immediately
-        # consumes it for the backward — p is never materialized across
-        # heads (no p_scratch, no second scores+softmax), which is the VMEM
-        # margin that buys the larger window chunk.
+        # do2 depends only on dx2r (not on the attention output), so the
+        # packed recompute and its backward run in one pass — p is a single
+        # (Wc, NP, L) tensor, every contraction is one K=L (or K=NP) batched
+        # MXU dot, and the dropout mask is evaluated once and reused.
         dx2r = dx2r_ref[0].astype(jnp.float32).reshape(R, C)
         dp1 = dp_ref[pl.program_id(0), 0]
         da = dp1 * dx2r
@@ -484,39 +534,42 @@ def _make_attn_bwd_kernel(dims, rates, training, with_mask, cross):
         do2 = _dot_nt(da, wp[:])
         do3 = do2.reshape(Wc, NP, C)
 
-        dq_sc = dq_scratch if cross else dqkv_scratch
-        kv_sc = dkv_scratch if cross else dqkv_scratch
-        kv_off = 0 if cross else C
-        for h in range(H):
-            qh, kh, vh, p, pd, oh = _attn_fwd_head(
-                q3, k3, v3, bias_ref, mask_ref, h, hd, scale,
-                attn_rate, seed, wkey0, training)
-            o_scratch[:, :, h * hd:(h + 1) * hd] = oh
-            doh = do3[:, :, h * hd:(h + 1) * hd]
-            dpd = _bdot(doh, vh, 2, 2)                         # (Wc,NP,NP)
-            dvh = _bdot(pd, doh, 1, 1)                         # (Wc,NP,hd)
-            if training and attn_rate > 0.0:
-                dp_ = dpd * _hash_keep3(dpd.shape, attn_rate, seed, 3 + h,
-                                        wkey0)
-            else:
-                dp_ = dpd
-            ds = p * (dp_ - jnp.sum(dp_ * p, axis=-1, keepdims=True))
-            dbias_ref[h] += jnp.sum(ds, axis=0)
-            # qh from _attn_fwd_head is pre-scaled, so ds @ qh needs no
-            # extra factor on the k side and dq gets the remaining scale
-            dq_sc[:, :, h * hd:(h + 1) * hd] = _bdot(ds, kh, 2, 1) * scale
-            kv_sc[:, :, kv_off + h * hd:kv_off + (h + 1) * hd] = (
-                _bdot(ds, qh, 1, 1))
-            kv_sc[:, :, kv_off + C + h * hd:kv_off + C + (h + 1) * hd] = dvh
+        # ---- packed attention recompute + backward ---------------------------
+        masks = _head_masks(C, H)
+        k3m = [k3 * km for km in masks]
+        q3s = q3 * scale
+        G = _seg_matrix(NP, H)
+        S = _packed_scores(q3s, k3m, bias_ref, mask_ref, H)
+        p = _packed_softmax(S, G, Wc, NP, L)
+        if training and attn_rate > 0.0:
+            keep = _hash_keep3((Wc, NP, L), attn_rate, seed, 3, wkey0)
+            pd = p * keep
+        else:
+            keep = None
+            pd = p
+        vr = _stack_heads([v3 * km for km in masks])       # (Wc, L, C)
+        o2 = _bdot(pd, vr, 2, 1).reshape(R, C)
+
+        dpd = _bdot(do3, vr, 2, 2)                         # (Wc, NP, L)
+        dvf = _bdot(pd, do3, 1, 1)                         # (Wc, L, C)
+        dv3 = _unstack_heads(dvf, masks, NP)
+        dp_ = dpd * keep if keep is not None else dpd
+        t = (dp_ * p).reshape(R, L)
+        seg = _dot_nt(_dot(t, G), G).reshape(Wc, NP, L)    # per-head sums
+        ds = p * (dp_ - seg)
+        dbias_ref[:] += jnp.sum(ds, axis=0)                # (NP, L)
+        kr = _stack_heads(k3m)                             # (Wc, L, C)
+        dq3 = _bdot(ds, kr, 2, 1) * scale                  # (Wc, NP, C)
+        dkf = _bdot(ds, q3s, 1, 1)                         # (Wc, L, C)
+        dk3 = _unstack_heads(dkf, masks, NP)
 
         # ---- proj param grads (need the full recomputed o) -------------------
-        o2 = o_scratch[:].reshape(R, C)
         dbp_ref[:] += jnp.sum(da, axis=0, keepdims=True)
         dwp_ref[:] += _dot_tn(o2, da)
 
         if cross:
-            dq = dq_scratch[:].reshape(R, C)
-            dkv = dkv_scratch[:].reshape(R, 2 * C)
+            dq = dq3.reshape(R, C)
+            dkv = jnp.concatenate([dk3, dv3], axis=2).reshape(R, 2 * C)
             dbq_ref[:] += jnp.sum(dq, axis=0, keepdims=True)
             dwq_ref[:] += _dot_tn(h1, dq)
             dh1 = _dot_nt(dq, wq[:])
@@ -528,7 +581,7 @@ def _make_attn_bwd_kernel(dims, rates, training, with_mask, cross):
             dy = _ln_bwd(dh1y, xh1y, r1y, g1y[:])
             dy_ref[0] = dy.reshape(Wc, NP, C).astype(dy_ref.dtype)
         else:
-            dqkv = dqkv_scratch[:].reshape(R, 3 * C)
+            dqkv = jnp.concatenate([dq3, dk3, dv3], axis=2).reshape(R, 3 * C)
             dbqkv_ref[:] += jnp.sum(dqkv, axis=0, keepdims=True)
             dwqkv_ref[:] += _dot_tn(h1, dqkv)
             dh1 = _dot_nt(dqkv, wqkv[:])
@@ -555,7 +608,7 @@ def _in_specs(Wc, NP, C, H, with_mask, p_shapes, cross):
     if cross:
         specs.append(x_spec)
     specs += [pl.BlockSpec(memory_space=pltpu.SMEM),  # dp, full (B, 2)
-              _resident((H, NP, NP))]
+              _resident((NP, H * NP))]                # head-packed bias
     if with_mask:
         specs.append(pl.BlockSpec((Wc, NP, NP), lambda b, c, *_: (c, 0, 0),
                                   memory_space=pltpu.VMEM))
@@ -579,9 +632,35 @@ _CHUNK_BUDGETS = {
     "attn_cross": 320 * 1024,
 }
 
+# Experiment knobs: scale every chunk budget / raise the Mosaic VMEM cap.
+# The 16 MB scoped-vmem default is a compiler flag, not the hardware size —
+# chunk probes ran a 48+ MB live set fine on the v5e — so the head-packed
+# kernels default to a 64 MB cap and keep the chunk sizes VPU-optimal.
+_BUDGET_MULT = float(os.environ.get("FUSION_BUDGET_MULT", "1"))
+_VMEM_LIMIT = int(os.environ.get("FUSION_VMEM_LIMIT", str(64 * 1024 * 1024)))
+_ABLATE = os.environ.get("FUSION_ABLATE", "")   # perf bisection, fwd only
+
+
+def _compiler_params():
+    if _VMEM_LIMIT:
+        return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+    return None
+
+
+def _packed_bias(bias, H, NP):
+    """(H, NP, NP) combined bias -> (NP, L) head-packed layout (XLA side)."""
+    return jnp.transpose(jnp.asarray(bias, jnp.float32),
+                         (1, 0, 2)).reshape(NP, H * NP)
+
+
+def _unpack_dbias(dbias_p, H, NP):
+    """(NP, L) packed bias cotangent -> (H, NP, NP)."""
+    return jnp.transpose(dbias_p.reshape(NP, H, NP), (1, 0, 2))
+
 
 def _chunk_for(nW: int, NP: int, kind: str) -> int:
-    return pick_window_chunk(nW, NP, budget=_CHUNK_BUDGETS[kind])
+    return pick_window_chunk(nW, NP,
+                             budget=int(_CHUNK_BUDGETS[kind] * _BUDGET_MULT))
 
 
 def _fwd_impl(x, y, params, bias, mask, dp, seed, rates, training,
@@ -598,17 +677,17 @@ def _fwd_impl(x, y, params, bias, mask, dp, seed, rates, training,
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
     f32 = lambda t: jnp.asarray(t, jnp.float32)
     args = ((seed_arr, f32(x)) + ((f32(y),) if cross else ())
-            + (f32(dp), f32(bias))
+            + (f32(dp), _packed_bias(bias, H, NP))
             + ((f32(mask),) if with_mask else ())
             + tuple(f32(p) for p in params))
     out, x2r = pl.pallas_call(
         _make_fwd_kernel(dims, rates, training, with_mask, cross),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(B, nW // Wc),
-            in_specs=in_specs, out_specs=[x_spec, x_spec],
-            scratch_shapes=[pltpu.VMEM((Wc, NP, C), jnp.float32)]),
+            in_specs=in_specs, out_specs=[x_spec, x_spec]),
         out_shape=[jax.ShapeDtypeStruct(x.shape, jnp.float32)] * 2,
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(*args)
     return out.astype(x.dtype), x2r
 
@@ -643,6 +722,7 @@ def _bwd_impl(x, y, params, bias, mask, dp, seed_arr, x2r, g, rates,
                    + [jax.ShapeDtypeStruct(s, jnp.float32)
                       for s in mlp_shapes]),
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(seed_arr, f32(x2r), f32(g), f32(dp), *[f32(p) for p in mlp_params])
     dx2r, d_mlp = mlp_outs[0], mlp_outs[1:]
 
@@ -657,35 +737,31 @@ def _bwd_impl(x, y, params, bias, mask, dp, seed_arr, x2r, g, rates,
         in_specs.append(x_spec)
     in_specs += [x_spec,                              # dx2r
                  pl.BlockSpec(memory_space=pltpu.SMEM),
-                 _resident((H, NP, NP))]
+                 _resident((NP, H * NP))]             # head-packed bias
     if with_mask:
         in_specs.append(pl.BlockSpec((Wc, NP, NP), lambda b, c, *_: (c, 0, 0),
                                      memory_space=pltpu.VMEM))
     in_specs += [_resident(s) for s in attn_shapes]
     out_specs = ([x_spec] + ([x_spec] if cross else [])
-                 + [_resident((H, NP, NP))]
+                 + [_resident((NP, H * NP))]
                  + [_resident(s) for s in attn_shapes])
     out_shapes = ([jax.ShapeDtypeStruct(x.shape, jnp.float32)]
                   * (2 if cross else 1)
-                  + [jax.ShapeDtypeStruct((H, NP, NP), jnp.float32)]
+                  + [jax.ShapeDtypeStruct((NP, H * NP), jnp.float32)]
                   + [jax.ShapeDtypeStruct(s, jnp.float32)
                      for s in attn_shapes])
-    scratch = ([pltpu.VMEM((Wc, NP, C), jnp.float32)]
-               + ([pltpu.VMEM((Wc, NP, C), jnp.float32),
-                   pltpu.VMEM((Wc, NP, 2 * C), jnp.float32)] if cross
-                  else [pltpu.VMEM((Wc, NP, 3 * C), jnp.float32)]))
     args = ((seed_arr, f32(x)) + ((f32(y),) if cross else ())
-            + (dx2r, f32(dp), f32(bias))
+            + (dx2r, f32(dp), _packed_bias(bias, H, NP))
             + ((f32(mask),) if with_mask else ())
             + tuple(f32(p) for p in attn_params))
     outs = pl.pallas_call(
         _make_attn_bwd_kernel(dims, rates, training, with_mask, cross),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(B, nW // Wc),
-            in_specs=in_specs, out_specs=out_specs,
-            scratch_shapes=scratch),
+            in_specs=in_specs, out_specs=out_specs),
         out_shape=out_shapes,
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(*args)
     if cross:
         dx, dy, dbias = outs[0], outs[1], outs[2]
@@ -694,6 +770,7 @@ def _bwd_impl(x, y, params, bias, mask, dp, seed_arr, x2r, g, rates,
         dx, dbias = outs[0], outs[1]
         dy = None
         d_attn = outs[2:]
+    dbias = _unpack_dbias(dbias, H, NP)
     dparams = tuple(d.astype(jnp.asarray(p).dtype)
                     for d, p in zip(list(d_attn) + list(d_mlp), params))
     return dx, dy, dparams, dbias

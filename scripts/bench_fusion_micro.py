@@ -111,7 +111,8 @@ def time_depth(depth, cross, train, iters=12):
     return best
 
 
-def slope(cross, train, d1=2, d2=8):
+def slope(cross, train, d1=int(os.environ.get('MICRO_D1', '4')),
+          d2=int(os.environ.get('MICRO_D2', '28'))):
     t1 = time_depth(d1, cross, train)
     t2 = time_depth(d2, cross, train)
     per = (t2 - t1) / (d2 - d1)
