@@ -275,27 +275,51 @@ def _seg_matrix(NP: int, H: int):
             ).astype(jnp.float32)
 
 
-def _packed_scores(q3s, k3m, bias_ref, mask_ref, H):
-    """(Wc, NP, L) packed scores: per-head masked-k dots, + bias + mask."""
-    S = jnp.concatenate([_bdot(q3s, km, 2, 2) for km in k3m], axis=2)
+def _pack_kv(t3, H):
+    """(Wc, NP, C) -> head-packed (Wc, C, L): transpose, then place a copy of
+    each source lane into every head block via ONE matmul against a constant
+    tile-placement matrix E (lane-misaligned 6-piece concats measured ~2x the
+    matmul's cost), and zero channels outside each head's block with a single
+    constant-mask multiply."""
+    Wc, NP, C = t3.shape
+    hd = C // H
+    L = H * NP
+    tT = jnp.swapaxes(t3, 1, 2)                   # (Wc, C, NP)
+    lane_m = jax.lax.broadcasted_iota(jnp.int32, (NP, L), 0)
+    lane_l = jax.lax.broadcasted_iota(jnp.int32, (NP, L), 1)
+    E = (lane_l % NP == lane_m).astype(jnp.float32)      # (NP, L) placement
+    sub_c = jax.lax.broadcasted_iota(jnp.int32, (C, L), 0)
+    sel = (sub_c // hd
+           == jax.lax.broadcasted_iota(jnp.int32, (C, L), 1) // NP)
+    tiled = jax.lax.dot_general(tT, E, (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    return tiled * sel.astype(jnp.float32)[None]
+
+
+def _packed_scores(q3s, K_pack, bias_ref, mask_ref, H):
+    """(Wc, NP, L) packed scores: one masked-K dot, + bias + mask.
+    ``mask_ref`` arrives PRE-TILED to (Wc, NP, L) (static, built host-side)."""
+    S = _bdot(q3s, K_pack, 2, 1)
     S = S + bias_ref[:][None]                     # bias_ref is (NP, L)
     if mask_ref is not None:
-        S = S + jnp.concatenate([mask_ref[:]] * H, axis=2)
+        S = S + mask_ref[:]
     return S
+
+
+# Softmax logit cap replacing the per-row max subtraction: a cross-lane max
+# reduce + subtract costs two full passes; clamping at 80 is one cheap
+# elementwise op, exp(80) is finite in f32, and LN-bounded scores never get
+# near 80 (the -1e9 pad/mask columns still underflow to exactly 0). Identical
+# to max-subtracted softmax whenever all scores < _LOGIT_CAP.
+_LOGIT_CAP = 80.0
 
 
 def _packed_softmax(S, G, Wc, NP, L):
     """Per-head-segment softmax over the packed lane axis."""
-    m = jnp.max(S, axis=-1, keepdims=True)        # row max (all heads)
-    e = jnp.exp(S - m)
+    e = jnp.exp(jnp.minimum(S, _LOGIT_CAP))       # <= 5.5e34, no overflow
     den = _dot(e.reshape(Wc * NP, L), G)          # (R, H) segment sums
-    rden = 1.0 / jnp.maximum(den, 1e-30)
+    rden = 1.0 / jnp.maximum(den, 1e-38)
     return e * _dot_nt(rden, G).reshape(Wc, NP, L)
-
-
-def _stack_heads(t3m):
-    """concat H masked (Wc, NP, C) tensors along windows-> (Wc, L, C)."""
-    return jnp.concatenate(t3m, axis=1)
 
 
 def _unstack_heads(full, masks, NP: int):
@@ -348,14 +372,19 @@ def _forward_compute(seed_ref, x_ref, y_ref, dp_ref, bias_ref, mask_ref,
     if _ABLATE == "noheads":                       # skip the attention loop
         o3 = q3
     else:
-        masks = _head_masks(C, H)
-        k3m = [k3 * km for km in masks]
-        S = _packed_scores(q3 * scale, k3m, bias_ref, mask_ref, H)
-        p = _packed_softmax(S, _seg_matrix(NP, H), Wc, NP, L)
-        if training and attn_rate > 0.0:
-            p = p * _hash_keep3(p.shape, attn_rate, seed, 3, wkey0)
-        vr = _stack_heads([v3 * km for km in masks])   # (Wc, L, C)
-        o3 = _bdot(p, vr, 2, 1)                        # (Wc, NP, C)
+        K_pack = _pack_kv(k3, H)                       # (Wc, C, L)
+        V_pack = _pack_kv(v3, H)
+        if _ABLATE == "dotsonly":                      # dots + packs only
+            o3 = _bdot(_bdot(q3 * scale, K_pack, 2, 1), V_pack, 2, 2)
+        else:
+            S = _packed_scores(q3 * scale, K_pack, bias_ref, mask_ref, H)
+            if _ABLATE == "nosm":                      # skip the softmax
+                p = S * 0.01
+            else:
+                p = _packed_softmax(S, _seg_matrix(NP, H), Wc, NP, L)
+            if training and attn_rate > 0.0:
+                p = p * _hash_keep3(p.shape, attn_rate, seed, 3, wkey0)
+            o3 = _bdot(p, V_pack, 2, 2)                # (Wc, NP, C)
     o2 = o3.reshape(R, C)
     a = _dot(o2, wp[:]) + bp[:]
     if training and drop_rate > 0.0:
@@ -536,10 +565,11 @@ def _make_attn_bwd_kernel(dims, rates, training, with_mask, cross):
 
         # ---- packed attention recompute + backward ---------------------------
         masks = _head_masks(C, H)
-        k3m = [k3 * km for km in masks]
         q3s = q3 * scale
         G = _seg_matrix(NP, H)
-        S = _packed_scores(q3s, k3m, bias_ref, mask_ref, H)
+        K_pack = _pack_kv(k3, H)                           # (Wc, C, L)
+        V_pack = _pack_kv(v3, H)
+        S = _packed_scores(q3s, K_pack, bias_ref, mask_ref, H)
         p = _packed_softmax(S, G, Wc, NP, L)
         if training and attn_rate > 0.0:
             keep = _hash_keep3((Wc, NP, L), attn_rate, seed, 3, wkey0)
@@ -547,10 +577,9 @@ def _make_attn_bwd_kernel(dims, rates, training, with_mask, cross):
         else:
             keep = None
             pd = p
-        vr = _stack_heads([v3 * km for km in masks])       # (Wc, L, C)
-        o2 = _bdot(pd, vr, 2, 1).reshape(R, C)
+        o2 = _bdot(pd, V_pack, 2, 2).reshape(R, C)
 
-        dpd = _bdot(do3, vr, 2, 2)                         # (Wc, NP, L)
+        dpd = _bdot(do3, V_pack, 2, 1)                     # (Wc, NP, L)
         dvf = _bdot(pd, do3, 1, 1)                         # (Wc, L, C)
         dv3 = _unstack_heads(dvf, masks, NP)
         dp_ = dpd * keep if keep is not None else dpd
@@ -558,8 +587,7 @@ def _make_attn_bwd_kernel(dims, rates, training, with_mask, cross):
         seg = _dot_nt(_dot(t, G), G).reshape(Wc, NP, L)    # per-head sums
         ds = p * (dp_ - seg)
         dbias_ref[:] += jnp.sum(ds, axis=0)                # (NP, L)
-        kr = _stack_heads(k3m)                             # (Wc, L, C)
-        dq3 = _bdot(ds, kr, 2, 1) * scale                  # (Wc, NP, C)
+        dq3 = _bdot(ds, K_pack, 2, 2) * scale              # (Wc, NP, C)
         dkf = _bdot(ds, q3s, 1, 1)                         # (Wc, L, C)
         dk3 = _unstack_heads(dkf, masks, NP)
 
@@ -610,10 +638,21 @@ def _in_specs(Wc, NP, C, H, with_mask, p_shapes, cross):
     specs += [pl.BlockSpec(memory_space=pltpu.SMEM),  # dp, full (B, 2)
               _resident((NP, H * NP))]                # head-packed bias
     if with_mask:
-        specs.append(pl.BlockSpec((Wc, NP, NP), lambda b, c, *_: (c, 0, 0),
+        specs.append(pl.BlockSpec((Wc, NP, H * NP),
+                                  lambda b, c, *_: (c, 0, 0),
                                   memory_space=pltpu.VMEM))
     specs += [_resident(s) for s in p_shapes]
     return specs, x_spec
+
+
+def _tiled_mask(mask, H):
+    """(nW, NP, NP) additive shift mask -> (nW, NP, L): tiled across head
+    blocks host/XLA-side (the mask is static, so this constant-folds; the
+    in-kernel 6-piece lane concat it replaces was a measured hot spot)."""
+    if mask is None:
+        return None
+    m = jnp.asarray(mask, jnp.float32)
+    return jnp.concatenate([m] * H, axis=2)
 
 
 # Per-kernel window-chunk budgets (bytes of the 20.5 KB/window proxy unit in
@@ -676,20 +715,23 @@ def _fwd_impl(x, y, params, bias, mask, dp, seed, rates, training,
     in_specs, x_spec = _in_specs(Wc, NP, C, H, with_mask, p_shapes, cross)
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
     f32 = lambda t: jnp.asarray(t, jnp.float32)
-    args = ((seed_arr, f32(x)) + ((f32(y),) if cross else ())
+    # streams ride in the model's compute dtype (bf16 under the flagship
+    # mixed-precision policy): halves stream DMA, inter-block layout-glue
+    # traffic, and saved-residual HBM; kernels still compute in f32
+    args = ((seed_arr, x) + ((jnp.asarray(y, x.dtype),) if cross else ())
             + (f32(dp), _packed_bias(bias, H, NP))
-            + ((f32(mask),) if with_mask else ())
+            + ((_tiled_mask(mask, H),) if with_mask else ())
             + tuple(f32(p) for p in params))
     out, x2r = pl.pallas_call(
         _make_fwd_kernel(dims, rates, training, with_mask, cross),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(B, nW // Wc),
             in_specs=in_specs, out_specs=[x_spec, x_spec]),
-        out_shape=[jax.ShapeDtypeStruct(x.shape, jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype)] * 2,
         interpret=interpret,
         compiler_params=_compiler_params(),
     )(*args)
-    return out.astype(x.dtype), x2r
+    return out, x2r
 
 
 def _bwd_impl(x, y, params, bias, mask, dp, seed_arr, x2r, g, rates,
@@ -718,12 +760,13 @@ def _bwd_impl(x, y, params, bias, mask, dp, seed_arr, x2r, g, rates,
                        pl.BlockSpec(memory_space=pltpu.SMEM)]
                       + [_resident(s) for s in mlp_shapes]),
             out_specs=[x_spec_m] + [_resident(s) for s in mlp_shapes]),
-        out_shape=([jax.ShapeDtypeStruct(x.shape, jnp.float32)]
+        out_shape=([jax.ShapeDtypeStruct(x.shape, x.dtype)]
                    + [jax.ShapeDtypeStruct(s, jnp.float32)
                       for s in mlp_shapes]),
         interpret=interpret,
         compiler_params=_compiler_params(),
-    )(seed_arr, f32(x2r), f32(g), f32(dp), *[f32(p) for p in mlp_params])
+    )(seed_arr, x2r, jnp.asarray(g, x.dtype), f32(dp),
+      *[f32(p) for p in mlp_params])
     dx2r, d_mlp = mlp_outs[0], mlp_outs[1:]
 
     # ---- stage 2: attention-side backward --------------------------------
@@ -739,20 +782,21 @@ def _bwd_impl(x, y, params, bias, mask, dp, seed_arr, x2r, g, rates,
                  pl.BlockSpec(memory_space=pltpu.SMEM),
                  _resident((NP, H * NP))]             # head-packed bias
     if with_mask:
-        in_specs.append(pl.BlockSpec((Wc, NP, NP), lambda b, c, *_: (c, 0, 0),
+        in_specs.append(pl.BlockSpec((Wc, NP, H * NP),
+                                     lambda b, c, *_: (c, 0, 0),
                                      memory_space=pltpu.VMEM))
     in_specs += [_resident(s) for s in attn_shapes]
     out_specs = ([x_spec] + ([x_spec] if cross else [])
                  + [_resident((NP, H * NP))]
                  + [_resident(s) for s in attn_shapes])
-    out_shapes = ([jax.ShapeDtypeStruct(x.shape, jnp.float32)]
+    out_shapes = ([jax.ShapeDtypeStruct(x.shape, x.dtype)]
                   * (2 if cross else 1)
                   + [jax.ShapeDtypeStruct((NP, H * NP), jnp.float32)]
                   + [jax.ShapeDtypeStruct(s, jnp.float32)
                      for s in attn_shapes])
-    args = ((seed_arr, f32(x)) + ((f32(y),) if cross else ())
+    args = ((seed_arr, x) + ((jnp.asarray(y, x.dtype),) if cross else ())
             + (dx2r, f32(dp), _packed_bias(bias, H, NP))
-            + ((f32(mask),) if with_mask else ())
+            + ((_tiled_mask(mask, H),) if with_mask else ())
             + tuple(f32(p) for p in attn_params))
     outs = pl.pallas_call(
         _make_attn_bwd_kernel(dims, rates, training, with_mask, cross),

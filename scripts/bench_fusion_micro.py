@@ -37,13 +37,16 @@ B, WS, GRID, C, H, MLP = 8, 6, 14, 12, 6, 4.0
 NW, N = GRID * GRID, WS * WS
 NP = round_up(N, 8)
 CH = int(C * MLP)
-RATES = (0.1, 0.1)
+RATES = tuple(float(v) for v in
+         os.environ.get("MICRO_RATES", "0.1,0.1").split(","))
 
 
 def make_inputs(seed=0, cross=False):
     rng = np.random.default_rng(seed)
-    x = jnp.asarray(rng.normal(size=(B, NW, NP, C)), jnp.float32)
-    y = jnp.asarray(rng.normal(size=(B, NW, NP, C)), jnp.float32)
+    sdtype = (jnp.bfloat16 if os.environ.get("MICRO_DTYPE") == "bf16"
+              else jnp.float32)
+    x = jnp.asarray(rng.normal(size=(B, NW, NP, C)), sdtype)
+    y = jnp.asarray(rng.normal(size=(B, NW, NP, C)), sdtype)
     params = tuple(jnp.asarray(rng.normal(size=s) * 0.05, jnp.float32)
                    for s in param_shapes(C, CH, cross))
     table = jnp.asarray(rng.normal(size=((2 * WS - 1) ** 2, H)) * 0.02,
