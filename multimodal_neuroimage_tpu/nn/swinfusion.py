@@ -106,7 +106,8 @@ class FusionBlock(nn.Module):
         return ws, shift
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True, dp_rate=None):
+    def __call__(self, x, deterministic: bool = True, dp_rate=None,
+                 dp_draw=None, seed_val=None):
         from multimodal_neuroimage_tpu.ops.attention import (
             fused_attention_active)
         from multimodal_neuroimage_tpu.ops import fusion_block as fb
@@ -142,8 +143,13 @@ class FusionBlock(nn.Module):
                            ((2 * ws - 1) * (2 * ws - 1), heads))
         rel_idx = relative_position_index(ws, ws)
 
-        # per-sample DropPath scale factors for the two residual branches
-        if deterministic:
+        # per-sample DropPath scale factors for the two residual branches —
+        # hoisted to ONE vectorized draw per scanned layer when the parent
+        # supplies dp_draw/seed_val (per-block threefry chains inside the
+        # block scan were a measured part of the non-kernel overhead)
+        if dp_draw is not None:
+            dp = dp_draw
+        elif deterministic:
             dp = jnp.ones((B, 2), jnp.float32)
         else:
             r = self.drop_path if dp_rate is None else dp_rate
@@ -161,13 +167,16 @@ class FusionBlock(nn.Module):
                 xi = jnp.roll(xi, shift=(-shift, -shift), axis=(1, 2))
             xw = window_partition(xi, ws)
             xw = jnp.pad(xw, ((0, 0), (0, 0), (0, NP - N), (0, 0)))
-            bias = fb.combined_bias(table, ws, heads, NP, rel_idx)
+            bias = fb.packed_bias_from_table(table, ws, heads, NP, rel_idx)
             maskp = (None if mask is None else
                      np.pad(mask, ((0, 0), (0, NP - N), (0, NP - N))))
-            seed = (jax.random.randint(self.make_rng("dropout"), (),
-                                       0, 2 ** 31 - 1)
-                    if training and max(rates) > 0.0
-                    else jnp.asarray(0, jnp.int32))
+            if seed_val is not None:
+                seed = seed_val
+            elif training and max(rates) > 0.0:
+                seed = jax.random.randint(self.make_rng("dropout"), (),
+                                          0, 2 ** 31 - 1)
+            else:
+                seed = jnp.asarray(0, jnp.int32)
             out = fb.fused_fusion_block(
                 xw, params, bias, maskp, dp, seed, rates, training,
                 interpret=jax.default_backend() != "tpu")
@@ -257,7 +266,8 @@ class CrossFusionBlock(nn.Module):
         }
 
     @nn.compact
-    def __call__(self, x, y, deterministic: bool = True, dp_rate=None):
+    def __call__(self, x, y, deterministic: bool = True, dp_rate=None,
+                 dp_draw=None, seed_val=None):
         from multimodal_neuroimage_tpu.ops.attention import (
             fused_attention_active)
         from multimodal_neuroimage_tpu.ops import fusion_block as fb
@@ -290,7 +300,10 @@ class CrossFusionBlock(nn.Module):
             return (jax.random.bernoulli(self.make_rng("droppath"), keep,
                                          (B, 2)).astype(jnp.float32) / keep)
 
-        dp_A, dp_B = dp_scales(), dp_scales()
+        if dp_draw is not None:                    # hoisted (2, B, 2) draw
+            dp_A, dp_B = dp_draw[0], dp_draw[1]
+        else:
+            dp_A, dp_B = dp_scales(), dp_scales()
 
         if fused_attention_active():
             NP = fb.round_up(N, 8)
@@ -309,12 +322,16 @@ class CrossFusionBlock(nn.Module):
                 return t.reshape(B, L, C)
 
             xw, yw = to_padded_windows(x), to_padded_windows(y)
-            bias_A = fb.combined_bias(pA["table"], ws, heads, NP, rel_idx)
-            bias_B = fb.combined_bias(pB["table"], ws, heads, NP, rel_idx)
+            bias_A = fb.packed_bias_from_table(pA["table"], ws, heads, NP,
+                                               rel_idx)
+            bias_B = fb.packed_bias_from_table(pB["table"], ws, heads, NP,
+                                               rel_idx)
             maskp = (None if mask is None else
                      np.pad(mask, ((0, 0), (0, NP - N), (0, NP - N))))
 
-            def seed():
+            def seed(i):
+                if seed_val is not None:           # hoisted (2,) draw
+                    return seed_val[i]
                 return (jax.random.randint(self.make_rng("dropout"), (),
                                            0, 2 ** 31 - 1)
                         if training and max(rates) > 0.0
@@ -322,10 +339,10 @@ class CrossFusionBlock(nn.Module):
 
             interp = jax.default_backend() != "tpu"
             out_x = fb.fused_cross_fusion_block(
-                xw, yw, tuple16(pA, pB), bias_A, maskp, dp_A, seed(),
+                xw, yw, tuple16(pA, pB), bias_A, maskp, dp_A, seed(0),
                 rates, training, interpret=interp)
             out_y = fb.fused_cross_fusion_block(
-                yw, xw, tuple16(pB, pA), bias_B, maskp, dp_B, seed(),
+                yw, xw, tuple16(pB, pA), bias_B, maskp, dp_B, seed(1),
                 rates, training, interpret=interp)
             return from_padded_windows(out_x), from_padded_windows(out_y)
 
@@ -371,6 +388,29 @@ def _dp_pairs(drop_path, depth: int) -> jnp.ndarray:
     return jnp.asarray(np.asarray(dpr, np.float32).reshape(depth // 2, 2))
 
 
+def _hoisted_aux(mod, dp_pairs, B: int, deterministic: bool,
+                 streams: int = 1):
+    """ONE vectorized draw of every scanned block's DropPath scales and
+    dropout seeds: (P, 2[, streams], B, 2) scales + (P, 2[, streams]) seeds,
+    scanned on axis 0. Replaces per-block `make_rng` threefry chains inside
+    the block scan (a measured part of the ~0.9 ms/block non-kernel
+    overhead). uniform(u) < keep is exactly the per-block bernoulli(keep)."""
+    P = int(dp_pairs.shape[0])
+    mid = (streams,) if streams > 1 else ()
+    shape_dp = (P, 2) + mid + (B, 2)
+    shape_sd = (P, 2) + mid
+    if deterministic:
+        return (jnp.ones(shape_dp, jnp.float32),
+                jnp.zeros(shape_sd, jnp.int32))
+    keep = 1.0 - dp_pairs                                        # (P, 2)
+    kb = keep.reshape((P, 2) + (1,) * (len(shape_dp) - 2))
+    u = jax.random.uniform(mod.make_rng("droppath"), shape_dp)
+    dp = (u < kb).astype(jnp.float32) / kb
+    seeds = jax.random.randint(mod.make_rng("dropout"), shape_sd,
+                               0, 2 ** 31 - 1, jnp.int32)
+    return dp, seeds
+
+
 class _FusionPairBody(nn.Module):
     """nn.scan body: one (no-shift, shift) block pair with traced per-depth
     DropPath rates."""
@@ -385,15 +425,17 @@ class _FusionPairBody(nn.Module):
     attn_drop: float
 
     @nn.compact
-    def __call__(self, x, dp_pair, deterministic):
+    def __call__(self, x, aux, deterministic):
+        dp_pair, seeds = aux                 # (2, B, 2) scales / (2,) seeds
         common = dict(dim=self.dim, input_resolution=self.input_resolution,
                       num_heads=self.num_heads, window_size=self.window_size,
                       mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                       drop=self.drop, attn_drop=self.attn_drop, drop_path=1.0)
         x = FusionBlock(shift_size=0, name="block_0", **common)(
-            x, deterministic, dp_pair[0])
+            x, deterministic, dp_draw=dp_pair[0], seed_val=seeds[0])
         x = FusionBlock(shift_size=self.window_size // 2, name="block_1",
-                        **common)(x, deterministic, dp_pair[1])
+                        **common)(x, deterministic, dp_draw=dp_pair[1],
+                                  seed_val=seeds[1])
         return x, None
 
 
@@ -408,17 +450,18 @@ class _CrossPairBody(nn.Module):
     attn_drop: float
 
     @nn.compact
-    def __call__(self, carry, dp_pair, deterministic):
+    def __call__(self, carry, aux, deterministic):
         x, y = carry
+        dp_pair, seeds = aux           # (2, 2, B, 2) scales / (2, 2) seeds
         common = dict(dim=self.dim, input_resolution=self.input_resolution,
                       num_heads=self.num_heads, window_size=self.window_size,
                       mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                       drop=self.drop, attn_drop=self.attn_drop, drop_path=1.0)
         x, y = CrossFusionBlock(shift_size=0, name="block_0", **common)(
-            x, y, deterministic, dp_pair[0])
+            x, y, deterministic, dp_draw=dp_pair[0], seed_val=seeds[0])
         x, y = CrossFusionBlock(shift_size=self.window_size // 2,
                                 name="block_1", **common)(
-            x, y, deterministic, dp_pair[1])
+            x, y, deterministic, dp_draw=dp_pair[1], seed_val=seeds[1])
         return (x, y), None
 
 
@@ -449,10 +492,12 @@ class BasicLayerFusion(nn.Module):
                                        "droppath": True},
                            in_axes=(0, nn.broadcast),
                            length=self.depth // 2)
+            aux = _hoisted_aux(self, _dp_pairs(self.drop_path, self.depth),
+                               x.shape[0], deterministic)
             x, _ = scan(self.dim, self.input_resolution, self.num_heads,
                         self.window_size, self.mlp_ratio, self.qkv_bias,
                         self.drop, self.attn_drop, name="pairs")(
-                x, _dp_pairs(self.drop_path, self.depth), deterministic)
+                x, aux, deterministic)
             return x
         for i in range(self.depth):
             dp = (self.drop_path[i] if isinstance(self.drop_path, (list, tuple))
@@ -490,10 +535,12 @@ class CrossBasicLayer(nn.Module):
                                        "droppath": True},
                            in_axes=(0, nn.broadcast),
                            length=self.depth // 2)
+            aux = _hoisted_aux(self, _dp_pairs(self.drop_path, self.depth),
+                               x.shape[0], deterministic, streams=2)
             (x, y), _ = scan(self.dim, self.input_resolution, self.num_heads,
                              self.window_size, self.mlp_ratio, self.qkv_bias,
                              self.drop, self.attn_drop, name="pairs")(
-                (x, y), _dp_pairs(self.drop_path, self.depth), deterministic)
+                (x, y), aux, deterministic)
             return x, y
         for i in range(self.depth):
             dp = (self.drop_path[i] if isinstance(self.drop_path, (list, tuple))

@@ -433,31 +433,62 @@ def _make_fwd_kernel(dims, rates, training, with_mask, cross):
     return kernel
 
 
-def _make_mlp_bwd_kernel(dims, rates, training):
-    """Backward of LN2 + MLP + the two residual adds, given saved x2r.
+def _make_bwd_kernel(dims, rates, training, with_mask, cross):
+    """ONE backward kernel per block: MLP/LN2 backward over the saved x2r
+    (dx2r never leaves VMEM), then the packed attention recompute + backward.
+    The round-1 split into MLP-side/attention-side kernels existed to fit the
+    16 MB scoped-vmem default; with the 64 MB cap the merge removes a kernel
+    launch and the dx2r + second-x2r HBM round trips per block."""
+    np_ = _n_params(cross)
+    n_attn = 10 if cross else 6
 
-    Grid (B, nW/Wc) at the MLP-side chunk — no (NP, NP) attention buffers
-    live here, so Wc can be several times the forward's. Outputs dx2r (the
-    full cotangent of the post-attention residual state, including the
-    pass-through g term) plus the 6 MLP/LN2 parameter grads."""
-    def kernel(seed_ref, x2r_ref, g_ref, dp_ref, g2, b2, w1, b1m, w2, b2m,
-               dx2r_ref, dg2_ref, db2_ref, dw1_ref, db1m_ref, dw2_ref,
-               db2m_ref):
+    def kernel(seed_ref, x_ref, *rest):
+        i = 0
+        y_ref = rest[i] if cross else None
+        i += 1 if cross else 0
+        x2r_ref, g_ref = rest[i], rest[i + 1]
+        dp_ref, bias_ref = rest[i + 2], rest[i + 3]
+        i += 4
+        mask_ref = rest[i] if with_mask else None
+        i += 1 if with_mask else 0
+        prefs = rest[i:i + np_]
+        outs = rest[i + np_:]
+        if cross:
+            (g1, b1, g1y, b1y, wq, bq, wkv, bkv, wp, bp,
+             g2, b2, w1, b1m, w2, b2m) = prefs
+            dx_ref, dy_ref, dbias_ref = outs[0], outs[1], outs[2]
+            dp_refs = outs[3:3 + np_]
+            (dg1_ref, db1_ref, dg1y_ref, db1y_ref, dwq_ref, dbq_ref,
+             dwkv_ref, dbkv_ref, dwp_ref, dbp_ref,
+             dg2_ref, db2_ref, dw1_ref, db1m_ref, dw2_ref,
+             db2m_ref) = dp_refs
+        else:
+            (g1, b1, wqkv, bqkv, wp, bp,
+             g2, b2, w1, b1m, w2, b2m) = prefs
+            dx_ref, dbias_ref = outs[0], outs[1]
+            dp_refs = outs[2:2 + np_]
+            (dg1_ref, db1_ref, dwqkv_ref, dbqkv_ref, dwp_ref, dbp_ref,
+             dg2_ref, db2_ref, dw1_ref, db1m_ref, dw2_ref,
+             db2m_ref) = dp_refs
+
         Wc, NP, C, H, Ch = dims
-        _, drop_rate = rates
+        attn_rate, drop_rate = rates
+        hd = C // H
+        L = H * NP
+        scale = hd ** -0.5
         R = Wc * NP
         seed = seed_ref[0]
-        _, row0 = _global_keys(Wc, NP)
+        wkey0, row0 = _global_keys(Wc, NP)
         with_drop = training and drop_rate > 0.0
 
         is_first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
 
         @pl.when(is_first)
         def _():
-            for ref in (dg2_ref, db2_ref, dw1_ref, db1m_ref, dw2_ref,
-                        db2m_ref):
+            for ref in (dbias_ref,) + tuple(dp_refs):
                 ref[:] = jnp.zeros_like(ref)
 
+        # ---- MLP/LN2 backward over saved x2r (dx2r stays in VMEM) ------------
         x2r = x2r_ref[0].astype(jnp.float32).reshape(R, C)
         g = g_ref[0].astype(jnp.float32).reshape(R, C)
         dp2 = dp_ref[pl.program_id(0), 1]
@@ -486,54 +517,6 @@ def _make_mlp_bwd_kernel(dims, rates, training):
         dg2_ref[:] += jnp.sum(dh2 * xh2, axis=0, keepdims=True)
         db2_ref[:] += jnp.sum(dh2, axis=0, keepdims=True)
         dx2r = g + _ln_bwd(dh2, xh2, r2, g2[:])
-        dx2r_ref[0] = dx2r.reshape(Wc, NP, C).astype(dx2r_ref.dtype)
-    return kernel
-
-
-def _make_attn_bwd_kernel(dims, rates, training, with_mask, cross):
-    """Backward of LN1 + window attention + proj, given dx2r from the
-    MLP-side kernel. Grid (B, nW/Wc) at the attention-side chunk."""
-    n_attn = 10 if cross else 6
-
-    def kernel(seed_ref, x_ref, *rest):
-        i = 0
-        y_ref = rest[i] if cross else None
-        i += 1 if cross else 0
-        dx2r_ref = rest[i]
-        dp_ref, bias_ref = rest[i + 1], rest[i + 2]
-        i += 3
-        mask_ref = rest[i] if with_mask else None
-        i += 1 if with_mask else 0
-        prefs = rest[i:i + n_attn]
-        outs = rest[i + n_attn:]
-        if cross:
-            (g1, b1, g1y, b1y, wq, bq, wkv, bkv, wp, bp) = prefs
-            dx_ref, dy_ref, dbias_ref = outs[0], outs[1], outs[2]
-            dp_refs = outs[3:3 + n_attn]
-            (dg1_ref, db1_ref, dg1y_ref, db1y_ref, dwq_ref, dbq_ref,
-             dwkv_ref, dbkv_ref, dwp_ref, dbp_ref) = dp_refs
-        else:
-            (g1, b1, wqkv, bqkv, wp, bp) = prefs
-            dx_ref, dbias_ref = outs[0], outs[1]
-            dp_refs = outs[2:2 + n_attn]
-            (dg1_ref, db1_ref, dwqkv_ref, dbqkv_ref, dwp_ref,
-             dbp_ref) = dp_refs
-
-        Wc, NP, C, H, Ch = dims
-        attn_rate, drop_rate = rates
-        hd = C // H
-        L = H * NP
-        scale = hd ** -0.5
-        R = Wc * NP
-        seed = seed_ref[0]
-        wkey0, row0 = _global_keys(Wc, NP)
-
-        is_first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
-
-        @pl.when(is_first)
-        def _():
-            for ref in (dbias_ref,) + tuple(dp_refs):
-                ref[:] = jnp.zeros_like(ref)
 
         # ---- recompute LN1 + qkv ---------------------------------------------
         x = x_ref[0].astype(jnp.float32)
@@ -554,10 +537,9 @@ def _make_attn_bwd_kernel(dims, rates, training, with_mask, cross):
         # packed recompute and its backward run in one pass — p is a single
         # (Wc, NP, L) tensor, every contraction is one K=L (or K=NP) batched
         # MXU dot, and the dropout mask is evaluated once and reused.
-        dx2r = dx2r_ref[0].astype(jnp.float32).reshape(R, C)
         dp1 = dp_ref[pl.program_id(0), 0]
         da = dp1 * dx2r
-        if training and drop_rate > 0.0:
+        if with_drop:
             da = da * _hash_keep2(da.shape, drop_rate, seed, _DRAW_PROJ,
                                   row0)
         do2 = _dot_nt(da, wp[:])
@@ -686,15 +668,30 @@ def _compiler_params():
     return None
 
 
-def _packed_bias(bias, H, NP):
-    """(H, NP, NP) combined bias -> (NP, L) head-packed layout (XLA side)."""
-    return jnp.transpose(jnp.asarray(bias, jnp.float32),
-                         (1, 0, 2)).reshape(NP, H * NP)
+def packed_bias_from_table(table, ws: int, heads: int, NP: int,
+                           rel_idx: np.ndarray) -> jnp.ndarray:
+    """(NP, L) head-packed relative-position bias with -1e9 pad columns, as a
+    SINGLE gather from the flattened table (+1 mask mult, +1 add).
 
-
-def _unpack_dbias(dbias_p, H, NP):
-    """(NP, L) packed bias cotangent -> (H, NP, NP)."""
-    return jnp.transpose(dbias_p.reshape(NP, H, NP), (1, 0, 2))
+    Replaces the combined_bias -> transpose -> reshape chain the model ran
+    per block per step (gather/reshape/transpose/pad/add ~8 XLA oplets inside
+    the block scan — measured as part of the ~0.9 ms/block non-kernel
+    overhead). Differentiable in ``table``: XLA turns the gather's transpose
+    into one scatter-add. The index/mask planes are trace-time numpy."""
+    N = ws * ws
+    L = heads * NP
+    n = np.arange(NP)[:, None]
+    l = np.arange(L)[None, :]
+    h, m = l // NP, l % NP
+    valid = (n < N) & (m < N)
+    rel = np.asarray(rel_idx).reshape(N, N)
+    idx2 = np.where(valid,
+                    rel[np.minimum(n, N - 1), np.minimum(m, N - 1)] * heads
+                    + h, 0).astype(np.int32)
+    colpad = np.where(m >= N, np.float32(_NEG_INF), np.float32(0.0))
+    flat = jnp.asarray(table, jnp.float32).reshape(-1)
+    return (flat[jnp.asarray(idx2)] * jnp.asarray(valid, np.float32)
+            + jnp.asarray(colpad))
 
 
 def _chunk_for(nW: int, NP: int, kind: str) -> int:
@@ -706,7 +703,7 @@ def _fwd_impl(x, y, params, bias, mask, dp, seed, rates, training,
               interpret, cross):
     """Forward kernel; returns (out, x2r) — x2r feeds the split backward."""
     B, nW, NP, C = x.shape
-    H = bias.shape[0]
+    H = bias.shape[1] // NP          # bias arrives head-packed (NP, L)
     Ch = params[-4].shape[1]
     Wc = _chunk_for(nW, NP, "fwd_cross" if cross else "fwd")
     with_mask = mask is not None
@@ -719,7 +716,7 @@ def _fwd_impl(x, y, params, bias, mask, dp, seed, rates, training,
     # mixed-precision policy): halves stream DMA, inter-block layout-glue
     # traffic, and saved-residual HBM; kernels still compute in f32
     args = ((seed_arr, x) + ((jnp.asarray(y, x.dtype),) if cross else ())
-            + (f32(dp), _packed_bias(bias, H, NP))
+            + (f32(dp), f32(bias))
             + ((_tiled_mask(mask, H),) if with_mask else ())
             + tuple(f32(p) for p in params))
     out, x2r = pl.pallas_call(
@@ -736,70 +733,43 @@ def _fwd_impl(x, y, params, bias, mask, dp, seed, rates, training,
 
 def _bwd_impl(x, y, params, bias, mask, dp, seed_arr, x2r, g, rates,
               training, interpret, cross):
-    """Split backward: MLP-side kernel (large chunk, no attention buffers)
-    then attention-side kernel. Returns grads in the forward's param order."""
+    """Single merged backward kernel (MLP side then attention side, dx2r
+    in-VMEM). Returns grads in the forward's param order."""
     B, nW, NP, C = x.shape
-    H = bias.shape[0]
+    H = bias.shape[1] // NP          # bias arrives head-packed (NP, L)
     Ch = params[-4].shape[1]
     with_mask = mask is not None
     p_shapes = param_shapes(C, Ch, cross)
-    n_attn = 10 if cross else 6
     f32 = lambda t: jnp.asarray(t, jnp.float32)
 
-    # ---- stage 1: MLP/LN2 backward over saved x2r -------------------------
-    Wc_m = _chunk_for(nW, NP, "mlp")
-    dims_m = (Wc_m, NP, C, H, Ch)
-    x_spec_m = _x_spec(Wc_m, NP, C)
-    mlp_shapes = p_shapes[n_attn:]
-    mlp_params = params[n_attn:]
-    mlp_outs = pl.pallas_call(
-        _make_mlp_bwd_kernel(dims_m, rates, training),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(B, nW // Wc_m),
-            in_specs=([x_spec_m, x_spec_m,
-                       pl.BlockSpec(memory_space=pltpu.SMEM)]
-                      + [_resident(s) for s in mlp_shapes]),
-            out_specs=[x_spec_m] + [_resident(s) for s in mlp_shapes]),
-        out_shape=([jax.ShapeDtypeStruct(x.shape, x.dtype)]
-                   + [jax.ShapeDtypeStruct(s, jnp.float32)
-                      for s in mlp_shapes]),
-        interpret=interpret,
-        compiler_params=_compiler_params(),
-    )(seed_arr, x2r, jnp.asarray(g, x.dtype), f32(dp),
-      *[f32(p) for p in mlp_params])
-    dx2r, d_mlp = mlp_outs[0], mlp_outs[1:]
-
-    # ---- stage 2: attention-side backward --------------------------------
     Wc = _chunk_for(nW, NP, "attn_cross" if cross else "attn")
     dims = (Wc, NP, C, H, Ch)
-    attn_shapes = p_shapes[:n_attn]
-    attn_params = params[:n_attn]
     x_spec = _x_spec(Wc, NP, C)
     in_specs = [x_spec]
     if cross:
         in_specs.append(x_spec)
-    in_specs += [x_spec,                              # dx2r
+    in_specs += [x_spec, x_spec,                      # x2r, g
                  pl.BlockSpec(memory_space=pltpu.SMEM),
                  _resident((NP, H * NP))]             # head-packed bias
     if with_mask:
         in_specs.append(pl.BlockSpec((Wc, NP, H * NP),
                                      lambda b, c, *_: (c, 0, 0),
                                      memory_space=pltpu.VMEM))
-    in_specs += [_resident(s) for s in attn_shapes]
+    in_specs += [_resident(s) for s in p_shapes]
     out_specs = ([x_spec] + ([x_spec] if cross else [])
                  + [_resident((NP, H * NP))]
-                 + [_resident(s) for s in attn_shapes])
+                 + [_resident(s) for s in p_shapes])
     out_shapes = ([jax.ShapeDtypeStruct(x.shape, x.dtype)]
                   * (2 if cross else 1)
                   + [jax.ShapeDtypeStruct((NP, H * NP), jnp.float32)]
                   + [jax.ShapeDtypeStruct(s, jnp.float32)
-                     for s in attn_shapes])
+                     for s in p_shapes])
     args = ((seed_arr, x) + ((jnp.asarray(y, x.dtype),) if cross else ())
-            + (dx2r, f32(dp), _packed_bias(bias, H, NP))
+            + (x2r, jnp.asarray(g, x.dtype), f32(dp), f32(bias))
             + ((_tiled_mask(mask, H),) if with_mask else ())
-            + tuple(f32(p) for p in attn_params))
+            + tuple(f32(p) for p in params))
     outs = pl.pallas_call(
-        _make_attn_bwd_kernel(dims, rates, training, with_mask, cross),
+        _make_bwd_kernel(dims, rates, training, with_mask, cross),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(B, nW // Wc),
             in_specs=in_specs, out_specs=out_specs),
@@ -809,14 +779,13 @@ def _bwd_impl(x, y, params, bias, mask, dp, seed_arr, x2r, g, rates,
     )(*args)
     if cross:
         dx, dy, dbias = outs[0], outs[1], outs[2]
-        d_attn = outs[3:]
+        d_params = outs[3:]
     else:
         dx, dbias = outs[0], outs[1]
         dy = None
-        d_attn = outs[2:]
-    dbias = _unpack_dbias(dbias, H, NP)
+        d_params = outs[2:]
     dparams = tuple(d.astype(jnp.asarray(p).dtype)
-                    for d, p in zip(list(d_attn) + list(d_mlp), params))
+                    for d, p in zip(d_params, params))
     return dx, dy, dparams, dbias
 
 

@@ -27,7 +27,7 @@ jax.config.update("jax_compilation_cache_dir",
                       os.path.abspath(__file__))), ".jax_cache"))
 
 from multimodal_neuroimage_tpu.ops.fusion_block import (  # noqa: E402
-    combined_bias, fused_cross_fusion_block, fused_fusion_block,
+    fused_cross_fusion_block, fused_fusion_block, packed_bias_from_table,
     param_shapes, round_up)
 from multimodal_neuroimage_tpu.nn.swin2d import (  # noqa: E402
     relative_position_index, shift_attn_mask)
@@ -52,7 +52,7 @@ def make_inputs(seed=0, cross=False):
     table = jnp.asarray(rng.normal(size=((2 * WS - 1) ** 2, H)) * 0.02,
                         jnp.float32)
     rel = relative_position_index(WS, WS)
-    bias = combined_bias(table, WS, H, NP, np.asarray(rel))
+    bias = packed_bias_from_table(table, WS, H, NP, np.asarray(rel))
     mask_small = shift_attn_mask(GRID * WS, GRID * WS, WS, WS // 2)
     mask = np.full((NW, NP, NP), 0.0, np.float32)
     mask[:, :N, :N] = np.asarray(mask_small)

@@ -30,6 +30,12 @@ def _params(key):
     return tuple(p)
 
 
+
+def _pk(bias):
+    """(H, NP, NP) -> head-packed (NP, L) kernel bias layout."""
+    return jnp.transpose(jnp.asarray(bias, jnp.float32),
+                         (1, 0, 2)).reshape(NP, H * NP)
+
 def _inputs(shift=0, seed=0):
     rng = np.random.default_rng(seed)
     x = rng.normal(size=(B, NW, NP, C)).astype(np.float32)
@@ -49,7 +55,7 @@ def _inputs(shift=0, seed=0):
 def test_fused_block_forward_parity(shift):
     x, _, bias, maskp, dp = _inputs(shift)
     params = _params(jax.random.PRNGKey(1))
-    got = fb.fused_fusion_block(x, params, bias, maskp, dp, 0, (0.0, 0.0),
+    got = fb.fused_fusion_block(x, params, _pk(bias), maskp, dp, 0, (0.0, 0.0),
                                 False, interpret=True)
     want = fb.fusion_block_reference(x, params, bias, maskp, dp)
     np.testing.assert_allclose(np.asarray(got)[:, :, :N],
@@ -66,7 +72,7 @@ def test_fused_block_grad_parity(shift):
     cot = cot.at[:, :, N:, :].set(0.0)   # real usage: pads get no cotangent
 
     def loss_fused(x, params, bias):
-        out = fb.fused_fusion_block(x, params, bias, maskp, dp, 0,
+        out = fb.fused_fusion_block(x, params, _pk(bias), maskp, dp, 0,
                                     (0.0, 0.0), False, interpret=True)
         return jnp.sum(out * cot)
 
@@ -166,7 +172,7 @@ def test_fused_block_training_stochastic_smoke():
     mosaic_interp = pltpu.InterpretParams()
 
     def loss(x):
-        out = fb.fused_fusion_block(x, params, bias, maskp, dp, 123,
+        out = fb.fused_fusion_block(x, params, _pk(bias), maskp, dp, 123,
                                     (0.3, 0.2), True,
                                     interpret=mosaic_interp)
         return jnp.sum(out ** 2), out
@@ -174,7 +180,7 @@ def test_fused_block_training_stochastic_smoke():
     (val, out), g = jax.value_and_grad(loss, has_aux=True)(x)
     assert np.isfinite(float(val))
     assert np.all(np.isfinite(np.asarray(g)))
-    det = fb.fused_fusion_block(x, params, bias, maskp, dp, 123,
+    det = fb.fused_fusion_block(x, params, _pk(bias), maskp, dp, 123,
                                 (0.0, 0.0), False, interpret=True)
     ratio = float(jnp.std(out[:, :, :N]) / jnp.std(det[:, :, :N]))
     assert 0.5 < ratio < 2.0
@@ -197,7 +203,7 @@ def test_fused_cross_block_parity(shift):
         size=x.shape).astype(np.float32))
     y = y.at[:, :, N:, :].set(0.0)
     params = _cross_params(jax.random.PRNGKey(9))
-    got = fb.fused_cross_fusion_block(x, y, params, bias, maskp, dp, 0,
+    got = fb.fused_cross_fusion_block(x, y, params, _pk(bias), maskp, dp, 0,
                                       (0.0, 0.0), False, interpret=True)
     want = fb.cross_fusion_block_reference(x, y, params, bias, maskp, dp)
     np.testing.assert_allclose(np.asarray(got)[:, :, :N],
@@ -216,7 +222,7 @@ def test_fused_cross_block_grad_parity():
     cot = cot.at[:, :, N:, :].set(0.0)
 
     def loss_fused(x, y, params, bias):
-        out = fb.fused_cross_fusion_block(x, y, params, bias, maskp, dp, 0,
+        out = fb.fused_cross_fusion_block(x, y, params, _pk(bias), maskp, dp, 0,
                                           (0.0, 0.0), False, interpret=True)
         return jnp.sum(out * cot)
 
@@ -274,7 +280,7 @@ def test_fused_block_stochastic_grad_is_true_gradient():
     interp = pltpu.InterpretParams()
 
     def f(x):
-        out = fb.fused_fusion_block(x, params, bias, maskp, dp, 77,
+        out = fb.fused_fusion_block(x, params, _pk(bias), maskp, dp, 77,
                                     (0.25, 0.2), True, interpret=interp)
         return jnp.sum(jnp.sin(out[:, :, :N]))
 
@@ -305,14 +311,14 @@ def test_chunk_invariant_dropout(cross, monkeypatch):
         if cross:
             def loss(x, y, params):
                 out = fb.fused_cross_fusion_block(
-                    x, y, params, bias, maskp, dp, 123, rates, True,
+                    x, y, params, _pk(bias), maskp, dp, 123, rates, True,
                     interpret=True)
                 return jnp.sum(out * cot)
             v, g = jax.value_and_grad(loss, argnums=(0, 1, 2))(x, y, params)
         else:
             def loss(x, params):
                 out = fb.fused_fusion_block(
-                    x, params, bias, maskp, dp, 123, rates, True,
+                    x, params, _pk(bias), maskp, dp, 123, rates, True,
                     interpret=True)
                 return jnp.sum(out * cot)
             v, g = jax.value_and_grad(loss, argnums=(0, 1))(x, params)
