@@ -82,6 +82,19 @@ def param_shapes(H: int, F: int):
                                    (F, H), (1, H), (1, H), (1, H)]
 
 
+def _mm(mm16: bool):
+    """Stream-projection matmul trio: bf16 operands / f32 accumulation when
+    the surrounding model runs bf16 (f32 matmuls run at ~1/4 the MXU rate on
+    v5e — the FFN dots are ~3/4 of a BERT layer's FLOPs). The fp32 path keeps
+    exact HF parity (tests/test_bert_parity.py)."""
+    if not mm16:
+        return _dot, _dot_nt, _dot_tn
+    c = lambda t: t.astype(jnp.bfloat16)
+    return (lambda a, b: _dot(c(a), c(b)),
+            lambda a, b: _dot_nt(c(a), c(b)),
+            lambda a, b: _dot_tn(c(a), c(b)))
+
+
 def _ffn_chunk(F: int, cap: int = 768) -> int:
     best = F
     for c in (768, 512, 1024, 384, 256, 128):
@@ -112,26 +125,28 @@ def _attn_head(q, k, v, h, heads, hd, scale, keypad, attn_rate, seed_ref,
     return qh, kh, vh, p, pd, _dot(pd, vh)        # ctx_h (TP, hd)
 
 
-def _fwd_parts(seed_ref, x_ref, prefs, dims, rates, training, ctx_scratch):
+def _fwd_parts(seed_ref, x_ref, prefs, dims, rates, training, ctx_scratch,
+               mm16=False):
     """Shared forward: returns (out, residual values)."""
     TP, H, F, heads, T = dims
     attn_rate, drop_rate = rates
     hd = H // heads
     scale = hd ** -0.5
+    mdot, mdot_nt, mdot_tn = _mm(mm16)
     (wq, bq, wk, bk, wv, bv, wo, bo, g1, b1,
      w1, b1m, w2, b2m, g2, b2) = prefs
 
     x = x_ref[0].astype(jnp.float32)              # (TP, H)
-    q = _dot(x, wq[:]) + bq[:]
-    k = _dot(x, wk[:]) + bk[:]
-    v = _dot(x, wv[:]) + bv[:]
+    q = mdot(x, wq[:]) + bq[:]
+    k = mdot(x, wk[:]) + bk[:]
+    v = mdot(x, wv[:]) + bv[:]
     keypad = _keypad(TP, T)
     for h in range(heads):
         *_, ctx_h = _attn_head(q, k, v, h, heads, hd, scale, keypad,
                                attn_rate, seed_ref, training)
         ctx_scratch[:, h * hd:(h + 1) * hd] = ctx_h
     ctx = ctx_scratch[:]
-    a = _dot(ctx, wo[:]) + bo[:]
+    a = mdot(ctx, wo[:]) + bo[:]
     if training and drop_rate > 0.0:
         _seed_draw(seed_ref, 0, 3 + heads)
         m0 = _keep_scale(a.shape, drop_rate)
@@ -143,8 +158,8 @@ def _fwd_parts(seed_ref, x_ref, prefs, dims, rates, training, ctx_scratch):
     Fc = _ffn_chunk(F)
     z = jnp.zeros((TP, H), jnp.float32) + b2m[:]
     for c0 in range(0, F, Fc):
-        u_c = _dot(x1, w1[:, c0:c0 + Fc]) + b1m[:, c0:c0 + Fc]
-        z = z + _dot(_gelu_erf(u_c), w2[c0:c0 + Fc, :])
+        u_c = mdot(x1, w1[:, c0:c0 + Fc]) + b1m[:, c0:c0 + Fc]
+        z = z + mdot(_gelu_erf(u_c), w2[c0:c0 + Fc, :])
     if training and drop_rate > 0.0:
         _seed_draw(seed_ref, 1, 3 + heads)
         m1 = _keep_scale(z.shape, drop_rate)
@@ -155,19 +170,19 @@ def _fwd_parts(seed_ref, x_ref, prefs, dims, rates, training, ctx_scratch):
     return out, (x, q, k, v, ctx, m0, x1, xh1, r1, m1, xh2, r2)
 
 
-def _make_fwd_kernel(dims, rates, training):
+def _make_fwd_kernel(dims, rates, training, mm16=False):
     def kernel(seed_ref, x_ref, *rest):
         prefs = rest[0:N_PARAMS]
         o_ref, x1_ref, ctx_scratch = (rest[N_PARAMS], rest[N_PARAMS + 1],
                                       rest[N_PARAMS + 2])
         out, res = _fwd_parts(seed_ref, x_ref, prefs, dims, rates, training,
-                              ctx_scratch)
+                              ctx_scratch, mm16)
         o_ref[0] = out.astype(o_ref.dtype)
         x1_ref[0] = res[6].astype(x1_ref.dtype)   # x1 (post-attention LN)
     return kernel
 
 
-def _make_ffn_bwd_kernel(dims, rates, training):
+def _make_ffn_bwd_kernel(dims, rates, training, mm16=False):
     """Backward of LN2 + FFN given saved x1; grid (B, 1).
 
     Split from the attention backward so the resident w1/dw1/w2/dw2 pairs
@@ -177,6 +192,7 @@ def _make_ffn_bwd_kernel(dims, rates, training):
                db2_ref):
         TP, H, F, heads, T = dims
         _, drop_rate = rates
+        mdot, mdot_nt, mdot_tn = _mm(mm16)
         x1 = x1_ref[0].astype(jnp.float32)
         g = g_ref[0].astype(jnp.float32)
 
@@ -191,8 +207,8 @@ def _make_ffn_bwd_kernel(dims, rates, training):
         Fc = _ffn_chunk(F, 256)
         z = jnp.zeros((TP, H), jnp.float32) + b2m[:]
         for c0 in range(0, F, Fc):
-            u_c = _dot(x1, w1[:, c0:c0 + Fc]) + b1m[:, c0:c0 + Fc]
-            z = z + _dot(_gelu_erf(u_c), w2[c0:c0 + Fc, :])
+            u_c = mdot(x1, w1[:, c0:c0 + Fc]) + b1m[:, c0:c0 + Fc]
+            z = z + mdot(_gelu_erf(u_c), w2[c0:c0 + Fc, :])
         if training and drop_rate > 0.0:
             _seed_draw(seed_ref, 1, 3 + heads)
             m1 = _keep_scale(z.shape, drop_rate)
@@ -208,19 +224,19 @@ def _make_ffn_bwd_kernel(dims, rates, training):
         db2m_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
         dx1 = dy2                                  # residual branch
         for c0 in range(0, F, Fc):
-            u_c = _dot(x1, w1[:, c0:c0 + Fc]) + b1m[:, c0:c0 + Fc]
+            u_c = mdot(x1, w1[:, c0:c0 + Fc]) + b1m[:, c0:c0 + Fc]
             gu_c = _gelu_erf(u_c)
-            dw2_ref[c0:c0 + Fc, :] += _dot_tn(gu_c, dz)
-            dgu_c = _dot_nt(dz, w2[c0:c0 + Fc, :])
+            dw2_ref[c0:c0 + Fc, :] += mdot_tn(gu_c, dz)
+            dgu_c = mdot_nt(dz, w2[c0:c0 + Fc, :])
             du_c = dgu_c * _gelu_erf_grad(u_c)
             db1m_ref[:, c0:c0 + Fc] += jnp.sum(du_c, axis=0, keepdims=True)
-            dw1_ref[:, c0:c0 + Fc] += _dot_tn(x1, du_c)
-            dx1 = dx1 + _dot_nt(du_c, w1[:, c0:c0 + Fc])
+            dw1_ref[:, c0:c0 + Fc] += mdot_tn(x1, du_c)
+            dx1 = dx1 + mdot_nt(du_c, w1[:, c0:c0 + Fc])
         dx1_ref[0] = dx1.astype(dx1_ref.dtype)
     return kernel
 
 
-def _make_attn_bwd_kernel(dims, rates, training):
+def _make_attn_bwd_kernel(dims, rates, training, mm16=False):
     """Backward of the attention half given d(x1); grid (B, 1)."""
     def kernel(seed_ref, x_ref, dx1_ref, wq, bq, wk, bk, wv, bv, wo, bo,
                g1, b1, dx_ref, dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref,
@@ -230,19 +246,20 @@ def _make_attn_bwd_kernel(dims, rates, training):
         attn_rate, drop_rate = rates
         hd = H // heads
         scale = hd ** -0.5
+        mdot, mdot_nt, mdot_tn = _mm(mm16)
 
         x = x_ref[0].astype(jnp.float32)
         dx1 = dx1_ref[0].astype(jnp.float32)
-        q = _dot(x, wq[:]) + bq[:]
-        k = _dot(x, wk[:]) + bk[:]
-        v = _dot(x, wv[:]) + bv[:]
+        q = mdot(x, wq[:]) + bq[:]
+        k = mdot(x, wk[:]) + bk[:]
+        v = mdot(x, wv[:]) + bv[:]
         keypad = _keypad(TP, T)
         for h in range(heads):
             *_, ctx_h = _attn_head(q, k, v, h, heads, hd, scale, keypad,
                                    attn_rate, seed_ref, training)
             ctx_scratch[:, h * hd:(h + 1) * hd] = ctx_h
         ctx = ctx_scratch[:]
-        a = _dot(ctx, wo[:]) + bo[:]
+        a = mdot(ctx, wo[:]) + bo[:]
         if training and drop_rate > 0.0:
             _seed_draw(seed_ref, 0, 3 + heads)
             m0 = _keep_scale(a.shape, drop_rate)
@@ -264,8 +281,8 @@ def _make_attn_bwd_kernel(dims, rates, training):
         dy1 = _ln_bwd(dx1, xh1, r1, g1[:])
         da = dy1 * m0 if m0 is not None else dy1
         dbo_ref[:] += jnp.sum(da, axis=0, keepdims=True)
-        dwo_ref[:] += _dot_tn(ctx, da)
-        dctx = _dot_nt(da, wo[:])
+        dwo_ref[:] += mdot_tn(ctx, da)
+        dctx = mdot_nt(da, wo[:])
 
         for h in range(heads):
             qh, kh, vh, p, pd, _ = _attn_head(q, k, v, h, heads, hd, scale,
@@ -288,13 +305,13 @@ def _make_attn_bwd_kernel(dims, rates, training):
         dk = dqkv_scratch[:, H:2 * H]
         dv = dqkv_scratch[:, 2 * H:3 * H]
         dbq_ref[:] += jnp.sum(dq, axis=0, keepdims=True)
-        dwq_ref[:] += _dot_tn(x, dq)
+        dwq_ref[:] += mdot_tn(x, dq)
         dbk_ref[:] += jnp.sum(dk, axis=0, keepdims=True)
-        dwk_ref[:] += _dot_tn(x, dk)
+        dwk_ref[:] += mdot_tn(x, dk)
         dbv_ref[:] += jnp.sum(dv, axis=0, keepdims=True)
-        dwv_ref[:] += _dot_tn(x, dv)
-        dx = (dy1 + _dot_nt(dq, wq[:]) + _dot_nt(dk, wk[:])
-              + _dot_nt(dv, wv[:]))
+        dwv_ref[:] += mdot_tn(x, dv)
+        dx = (dy1 + mdot_nt(dq, wq[:]) + mdot_nt(dk, wk[:])
+              + mdot_nt(dv, wv[:]))
         dx_ref[0] = dx.astype(dx_ref.dtype)
     return kernel
 
@@ -335,20 +352,21 @@ def _dims(x, params, heads, t_valid):
 def _fbl_fwd(x, params, seed, heads, t_valid, rates, training, interpret):
     B, dims = _dims(x, params, heads, t_valid)
     TP, H, F = dims[0], dims[1], dims[2]
+    mm16 = x.dtype == jnp.bfloat16
     p_shapes = param_shapes(H, F)
     in_specs, x_spec = _specs(TP, H, p_shapes)
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
     f32 = lambda t: jnp.asarray(t, jnp.float32)
     out, x1 = pl.pallas_call(
-        _make_fwd_kernel(dims, rates, training),
+        _make_fwd_kernel(dims, rates, training, mm16),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(B, 1),
             in_specs=in_specs, out_specs=[x_spec, x_spec],
             scratch_shapes=[pltpu.VMEM((TP, H), jnp.float32)]),
-        out_shape=[jax.ShapeDtypeStruct(x.shape, jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype)] * 2,
         interpret=interpret,
-    )(seed_arr, f32(x), *[f32(p) for p in params])
-    return out.astype(x.dtype), (x, x1, params, seed_arr)
+    )(seed_arr, x, *[f32(p) for p in params])
+    return out, (x, x1, params, seed_arr)
 
 
 def _fbl_bwd(heads, t_valid, rates, training, interpret, res, g):
@@ -360,35 +378,36 @@ def _fbl_bwd(heads, t_valid, rates, training, interpret, res, g):
                           memory_space=pltpu.VMEM)
     ffn_p = params[10:16]
     ffn_shapes = param_shapes(H, F)[10:16]
+    mm16 = x.dtype == jnp.bfloat16
     ffn_outs = pl.pallas_call(
-        _make_ffn_bwd_kernel(dims, rates, training),
+        _make_ffn_bwd_kernel(dims, rates, training, mm16),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(B, 1),
             in_specs=[x_spec, x_spec] + [_resident(s) for s in ffn_shapes],
             out_specs=[x_spec] + [_resident(s) for s in ffn_shapes]),
-        out_shape=([jax.ShapeDtypeStruct(x.shape, jnp.float32)]
+        out_shape=([jax.ShapeDtypeStruct(x.shape, x.dtype)]
                    + [jax.ShapeDtypeStruct(s, jnp.float32)
                       for s in ffn_shapes]),
         interpret=interpret,
-    )(seed_arr, f32(x1), f32(g), *[f32(p) for p in ffn_p])
+    )(seed_arr, x1, jnp.asarray(g, x.dtype), *[f32(p) for p in ffn_p])
     dx1, dffn = ffn_outs[0], ffn_outs[1:]
 
     attn_p = params[0:10]
     attn_shapes = param_shapes(H, F)[0:10]
     attn_outs = pl.pallas_call(
-        _make_attn_bwd_kernel(dims, rates, training),
+        _make_attn_bwd_kernel(dims, rates, training, mm16),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(B, 1),
             in_specs=[x_spec, x_spec] + [_resident(s) for s in attn_shapes],
             out_specs=[x_spec] + [_resident(s) for s in attn_shapes],
             scratch_shapes=[pltpu.VMEM((TP, H), jnp.float32),
                             pltpu.VMEM((TP, 3 * H), jnp.float32)]),
-        out_shape=([jax.ShapeDtypeStruct(x.shape, jnp.float32)]
+        out_shape=([jax.ShapeDtypeStruct(x.shape, x.dtype)]
                    + [jax.ShapeDtypeStruct(s, jnp.float32)
                       for s in attn_shapes]),
         interpret=interpret,
-    )(seed_arr, f32(x), dx1, *[f32(p) for p in attn_p])
-    dx = attn_outs[0].astype(x.dtype)
+    )(seed_arr, x, dx1, *[f32(p) for p in attn_p])
+    dx = attn_outs[0]
     dparams = tuple(d.astype(jnp.asarray(p).dtype)
                     for d, p in zip(list(attn_outs[1:]) + list(dffn), params))
     return dx, dparams, None
