@@ -1,0 +1,110 @@
+"""Capture a jax.profiler device trace of the fusion micro-bench (or the
+full flagship step) and print per-kernel time aggregated from the raw
+xplane.pb — the tensorboard converter in this image is broken, so the
+XSpace proto (tensorflow.tsl.profiler.protobuf.xplane_pb2) is parsed
+directly.
+
+Usage:
+    python scripts/profile_step.py micro [self|cross]   # d8 kernel stack
+    python scripts/profile_step.py step                 # full train step
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+import tempfile
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+
+
+def summarize(logdir: str, top: int = 30):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                      recursive=True)
+    if not paths:
+        print("no xplane.pb found under", logdir)
+        return
+    space = xplane_pb2.XSpace()
+    with open(sorted(paths)[-1], "rb") as f:
+        space.ParseFromString(f.read())
+    for plane in space.planes:
+        if "TPU" not in plane.name and "/device" not in plane.name.lower():
+            continue
+        evmeta = {m.id: m.name for m in plane.event_metadata.values()}
+        total = defaultdict(float)
+        count = defaultdict(int)
+        for line in plane.lines:
+            for ev in line.events:
+                name = evmeta.get(ev.metadata_id, str(ev.metadata_id))
+                total[name] += ev.duration_ps / 1e9        # ms
+                count[name] += 1
+        if not total:
+            continue
+        print(f"== plane: {plane.name} "
+              f"(total {sum(total.values()):.2f} ms across lines) ==")
+        for name, ms in sorted(total.items(), key=lambda kv: -kv[1])[:top]:
+            print(f"  {ms:9.3f} ms  x{count[name]:<5d} {name[:100]}")
+
+
+def run_micro(which: str):
+    from scripts.bench_fusion_micro import stack_fn
+    fn, x = stack_fn(8, cross=(which == "cross"), train=True)
+    seed = jnp.asarray(1, jnp.int32)
+    float(fn(x, seed))                     # compile
+    logdir = tempfile.mkdtemp(prefix="prof_")
+    with jax.profiler.trace(logdir):
+        v = fn(x + 1e-6, seed)
+        float(v)
+    summarize(logdir)
+
+
+def run_step():
+    import dataclasses
+    from __graft_entry__ import _example_batch, _flagship_cfg
+    from multimodal_neuroimage_tpu.models.registry import create_model
+    from multimodal_neuroimage_tpu.parallel.mesh import (build_mesh,
+                                                         replicate,
+                                                         shard_batch)
+    from multimodal_neuroimage_tpu.train.losses import active_losses
+    from multimodal_neuroimage_tpu.train.state import (create_train_state,
+                                                       make_train_step,
+                                                       optimizer_from_config)
+    cfg = _flagship_cfg()
+    mesh = build_mesh()
+    model = create_model(cfg)
+    batch = _example_batch(8 * jax.local_device_count())
+    tx, _ = optimizer_from_config(cfg, steps_per_epoch=100)
+    state = create_train_state(model, batch, tx, cfg.seed)
+    state = state.replace(params=replicate(state.params, mesh),
+                          opt_state=replicate(state.opt_state, mesh))
+    specs = active_losses(cfg.task, cfg.fine_tune_task)
+    step = make_train_step(model, specs, compute_dtype=cfg.compute_dtype,
+                           mesh=mesh)
+    dev_batch = shard_batch(batch, mesh)
+    for _ in range(3):
+        state, losses, _ = step(state, dev_batch)
+        float(losses["total"])
+    logdir = tempfile.mkdtemp(prefix="prof_")
+    with jax.profiler.trace(logdir):
+        for _ in range(2):
+            state, losses, _ = step(state, dev_batch)
+        float(losses["total"])
+    summarize(logdir, top=40)
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "micro"
+    if mode == "micro":
+        run_micro(sys.argv[2] if len(sys.argv) > 2 else "self")
+    else:
+        run_step()
