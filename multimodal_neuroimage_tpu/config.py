@@ -150,6 +150,7 @@ class Config:
     clip_max_norm: float = 1.0                # main.py:90
     compute_dtype: str = "bfloat16"           # replaces CUDA AMP (trainer.py:378-409)
     remat: bool = False                       # jax.checkpoint the encoder stacks
+    flatten_optimizer: bool = True            # one flat-vector optax update
 
     # ---- losses ------------------------------------------------------------------
     intensity_factor: float = 1.0

@@ -102,10 +102,11 @@ def _seed_draw(seed_ref, draw: int, n_draws: int = 0):
     seeds and could correlate masks across layers/cells). ``n_draws`` is
     retained for call-site compatibility but no longer used.
 
-    Used by ops/bert_layer.py, whose fwd/bwd grids are identical. The fusion
-    kernels below instead use ``_hash_keep*`` masks keyed by GLOBAL token
-    coordinates, so forward and the two backward kernels may each pick their
-    own window-chunk size (grid) and still regenerate identical masks."""
+    Used by ops/bert_layer.py, whose fwd/bwd grids are identical, and (via
+    ``_prng_keep``) by the fusion kernels' default "prng" mask mode, which
+    pins the backward to the forward's grid. The "hash" mode's
+    ``_hash_keep*`` masks are keyed by GLOBAL token coordinates instead, so
+    fwd/bwd may chunk differently and still regenerate identical masks."""
     cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
     h = (seed_ref[0] * jnp.int32(-1640531527)        # 0x9E3779B9 (golden)
          ^ (cell + jnp.int32(1)) * jnp.int32(461845907)
@@ -121,15 +122,39 @@ def _keep_scale(shape, rate: float):
 
 
 # ---------------------------------------------------------------------------
-# Chunk-invariant dropout masks (counter-based hash, no PRNG state).
+# Dropout masks — two interchangeable generators (env FUSION_MASK):
 #
-# Each mask bit is a pure function of (seed, draw index, global row, column):
-# a murmur3-finalized mix of linearly-combined coordinates. Any grid chunking
-# regenerates the exact same mask, which is what lets the backward split into
-# MLP-side and attention-side kernels running at LARGER window chunks than
-# the forward (the round-1 backward was pinned to the forward's grid by
-# per-grid-cell PRNG seeding — ROADMAP item 5).
+#  * "prng" (default): hardware PRNG, seeded per (grid cell, draw) via
+#    _seed_draw; ONE random-bits op per mask. Requires the forward and the
+#    merged backward kernel to run the SAME grid (enforced below) so both
+#    regenerate identical masks. Since the backward merged into one kernel
+#    (commit 7716ae5) this costs nothing — the per-kind chunk budgets are
+#    shared between fwd and bwd.
+#  * "hash": chunk-invariant counter-based masks. Each mask bit is a pure
+#    function of (seed, draw index, global row, column): a murmur3-finalized
+#    mix of linearly-combined coordinates, ~12 VPU passes over the tensor.
+#    Any grid chunking regenerates the exact same mask — only needed when
+#    fwd/bwd grids intentionally diverge (chunk-size experiments).
+#
+# The attention mask is the hot one: (Wc, NP, H*NP) is the largest tensor in
+# the kernel, and the hash evaluates ~12 elementwise ops over it in BOTH
+# forward and backward — switching to the PRNG saves ~2x12 big-tensor passes
+# per block.
 # ---------------------------------------------------------------------------
+
+_MASK_MODE = os.environ.get("FUSION_MASK", "prng")
+
+
+def _prng_keep(shape, rate: float, seed, draw: int):
+    """Hardware-PRNG dropout mask, reseeded per (grid cell, draw) so fwd and
+    bwd (same grid) regenerate any draw independent of evaluation order."""
+    cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    h = (seed * jnp.int32(-1640531527)
+         ^ (cell + jnp.int32(1)) * jnp.int32(461845907)
+         ^ jnp.int32(draw + 1) * jnp.int32(-862048943))
+    pltpu.prng_seed(h)
+    return _keep_scale(shape, rate)
+
 
 def _mix_keep(r, c, rate: float, seed, draw: int):
     """keep/(1-rate) scale from hashed (seed, draw, r, c) int32 coords."""
@@ -162,6 +187,20 @@ def _hash_keep3(shape, rate: float, seed, draw: int, w0):
     n = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     m = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
     return _mix_keep(w * NP + n, m, rate, seed, draw)
+
+
+def _keep2(shape, rate: float, seed, draw: int, row0):
+    """(R, C) stream dropout mask — dispatch on _MASK_MODE."""
+    if _MASK_MODE == "prng":
+        return _prng_keep(shape, rate, seed, draw)
+    return _hash_keep2(shape, rate, seed, draw, row0)
+
+
+def _keep3(shape, rate: float, seed, draw: int, w0):
+    """(Wc, NP, L) attention dropout mask — dispatch on _MASK_MODE."""
+    if _MASK_MODE == "prng":
+        return _prng_keep(shape, rate, seed, draw)
+    return _hash_keep3(shape, rate, seed, draw, w0)
 
 
 def _ln_fwd(x, g, b, eps: float = _LN_EPS):
@@ -383,12 +422,12 @@ def _forward_compute(seed_ref, x_ref, y_ref, dp_ref, bias_ref, mask_ref,
             else:
                 p = _packed_softmax(S, _seg_matrix(NP, H), Wc, NP, L)
             if training and attn_rate > 0.0:
-                p = p * _hash_keep3(p.shape, attn_rate, seed, 3, wkey0)
+                p = p * _keep3(p.shape, attn_rate, seed, 3, wkey0)
             o3 = _bdot(p, V_pack, 2, 2)                # (Wc, NP, C)
     o2 = o3.reshape(R, C)
     a = _dot(o2, wp[:]) + bp[:]
     if training and drop_rate > 0.0:
-        a = a * _hash_keep2(a.shape, drop_rate, seed, _DRAW_PROJ, row0)
+        a = a * _keep2(a.shape, drop_rate, seed, _DRAW_PROJ, row0)
     dp1 = dp_ref[pl.program_id(0), 0]
     dp2 = dp_ref[pl.program_id(0), 1]
     x2r = x2 + dp1 * a
@@ -398,10 +437,10 @@ def _forward_compute(seed_ref, x_ref, y_ref, dp_ref, bias_ref, mask_ref,
     u = _dot(h2, w1[:]) + b1m[:]
     gu = _gelu(u)
     if training and drop_rate > 0.0:
-        gu = gu * _hash_keep2(gu.shape, drop_rate, seed, _DRAW_MLP1, row0)
+        gu = gu * _keep2(gu.shape, drop_rate, seed, _DRAW_MLP1, row0)
     z = _dot(gu, w2[:]) + b2m[:]
     if training and drop_rate > 0.0:
-        z = z * _hash_keep2(z.shape, drop_rate, seed, _DRAW_MLP2, row0)
+        z = z * _keep2(z.shape, drop_rate, seed, _DRAW_MLP2, row0)
     out = x2r + dp2 * z
     residuals = (x2, h1, xh1, r1, h1y, xh1y, r1y, q3, k3, v3, o2,
                  dp1, dp2, x2r)
@@ -495,14 +534,13 @@ def _make_bwd_kernel(dims, rates, training, with_mask, cross):
 
         dz = dp2 * g
         if with_drop:
-            dz = dz * _hash_keep2(dz.shape, drop_rate, seed, _DRAW_MLP2,
-                                  row0)
+            dz = dz * _keep2(dz.shape, drop_rate, seed, _DRAW_MLP2, row0)
         db2m_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
         h2, xh2, r2 = _ln_fwd(x2r, g2[:], b2[:])
         u = _dot(h2, w1[:]) + b1m[:]
         gu = _gelu(u)
         if with_drop:
-            m1 = _hash_keep2(gu.shape, drop_rate, seed, _DRAW_MLP1, row0)
+            m1 = _keep2(gu.shape, drop_rate, seed, _DRAW_MLP1, row0)
             gu = gu * m1
         else:
             m1 = None
@@ -540,8 +578,7 @@ def _make_bwd_kernel(dims, rates, training, with_mask, cross):
         dp1 = dp_ref[pl.program_id(0), 0]
         da = dp1 * dx2r
         if with_drop:
-            da = da * _hash_keep2(da.shape, drop_rate, seed, _DRAW_PROJ,
-                                  row0)
+            da = da * _keep2(da.shape, drop_rate, seed, _DRAW_PROJ, row0)
         do2 = _dot_nt(da, wp[:])
         do3 = do2.reshape(Wc, NP, C)
 
@@ -554,7 +591,7 @@ def _make_bwd_kernel(dims, rates, training, with_mask, cross):
         S = _packed_scores(q3s, K_pack, bias_ref, mask_ref, H)
         p = _packed_softmax(S, G, Wc, NP, L)
         if training and attn_rate > 0.0:
-            keep = _hash_keep3((Wc, NP, L), attn_rate, seed, 3, wkey0)
+            keep = _keep3((Wc, NP, L), attn_rate, seed, 3, wkey0)
             pd = p * keep
         else:
             keep = None
@@ -645,10 +682,10 @@ def _tiled_mask(mask, H):
 _CHUNK_BUDGETS = {
     "fwd": 580 * 1024,          # fwd live set ~12 tiles/window
     "fwd_cross": 580 * 1024,
-    "mlp": 1024 * 1024,         # no (NP, NP) buffers -> largest chunks
     # merged-head-loop backward (no p_scratch): self fits Wc=28; cross (two
     # extra stream blocks: y in, dy out) measured 17.07 MB at 28 in the full
-    # model — 1.07 MB over the 16 MB scoped-vmem limit — so it runs at 14
+    # model — 1.07 MB over the 16 MB scoped-vmem limit — so it ran at 14
+    # under hash masks; prng mode collapses it onto fwd_cross (_chunk_for)
     "attn": 580 * 1024,
     "attn_cross": 320 * 1024,
 }
@@ -695,6 +732,12 @@ def packed_bias_from_table(table, ws: int, heads: int, NP: int,
 
 
 def _chunk_for(nW: int, NP: int, kind: str) -> int:
+    # PRNG masks require the merged backward to run the forward's grid so
+    # per-(cell, draw) reseeding regenerates identical masks: collapse each
+    # kind pair onto the forward's budget. (The old 320K attn_cross budget
+    # only existed for the 16 MB scoped-vmem era; the 64 MB cap fits Wc=28.)
+    if _MASK_MODE == "prng":
+        kind = {"attn": "fwd", "attn_cross": "fwd_cross"}.get(kind, kind)
     return pick_window_chunk(nW, NP,
                              budget=int(_CHUNK_BUDGETS[kind] * _BUDGET_MULT))
 

@@ -50,9 +50,17 @@ class TrainState(struct.PyTreeNode):
 
 def create_optimizer(optim: str, schedule: Callable, weight_decay: float,
                      gradient_clipping: bool = False, clip_max_norm: float = 1.0,
-                     accumulation_steps: int = 1) -> optax.GradientTransformation:
+                     accumulation_steps: int = 1,
+                     flatten: bool = True) -> optax.GradientTransformation:
     """Optimizer factory (reference trainer.py:166-173): Adam applies L2 into
-    the gradient (torch.optim.Adam semantics), AdamW decouples the decay."""
+    the gradient (torch.optim.Adam semantics), AdamW decouples the decay.
+
+    ``flatten`` wraps the whole chain in ``optax.flatten`` so the update
+    (and any grad-accumulation buffers) runs over ONE ravelled parameter
+    vector instead of per-tensor loops — one fused XLA kernel chain instead
+    of a kernel per parameter tensor, which matters on a launch-overhead-
+    heavy backend. Mathematically identical (global-norm clipping, Adam,
+    and decay are all elementwise or norm-global)."""
     parts = []
     if gradient_clipping:
         parts.append(optax.clip_by_global_norm(clip_max_norm))
@@ -68,6 +76,8 @@ def create_optimizer(optim: str, schedule: Callable, weight_decay: float,
     tx = optax.chain(*parts)
     if accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulation_steps)
+    if flatten:
+        tx = optax.flatten(tx)
     return tx
 
 
@@ -79,7 +89,8 @@ def optimizer_from_config(cfg, steps_per_epoch: int) -> Tuple[
                               lr_warmup=cfg.lr_warmup, lr_T_mult=cfg.lr_T_mult)
     tx = create_optimizer(cfg.optim, schedule, cfg.weight_decay,
                           cfg.gradient_clipping, cfg.clip_max_norm,
-                          cfg.accumulation_steps)
+                          cfg.accumulation_steps,
+                          flatten=getattr(cfg, "flatten_optimizer", True))
     return tx, schedule
 
 

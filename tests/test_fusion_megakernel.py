@@ -296,8 +296,11 @@ def test_fused_block_stochastic_grad_is_true_gradient():
 @pytest.mark.parametrize("cross", [False, True])
 def test_chunk_invariant_dropout(cross, monkeypatch):
     """Hash-keyed dropout masks must be identical under ANY window-chunk
-    choice — the property that lets forward and the two backward kernels
-    each pick their own grid (ops/fusion_block.py _hash_keep*)."""
+    choice — the property that lets forward and backward kernels each pick
+    their own grid (ops/fusion_block.py _hash_keep*). Forced to "hash" mask
+    mode: the default "prng" mode instead pins fwd/bwd to one grid (masks
+    there legitimately change when the chunk size does)."""
+    monkeypatch.setattr(fb, "_MASK_MODE", "hash")
     x, _, bias, maskp, dp = _inputs(shift=0, seed=5)
     y = jnp.asarray(
         np.random.default_rng(9).normal(size=x.shape).astype(np.float32))

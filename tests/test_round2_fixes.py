@@ -208,3 +208,37 @@ def test_broadcast_helpers_single_process():
     follower = SyncedTrial(None)
     follower.report(0.1, 0)  # no-op
     assert follower.should_prune() is False
+
+
+def test_flattened_optimizer_matches_per_tensor_updates():
+    """optax.flatten wrap (config.flatten_optimizer): one flat-vector update
+    must be numerically identical to the per-tensor chain (clip + L2-into-
+    grad Adam + schedule), including under gradient accumulation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from multimodal_neuroimage_tpu.train.state import create_optimizer
+
+    rng = np.random.default_rng(7)
+    params = {"a": jnp.asarray(rng.normal(size=(5, 3)), jnp.float32),
+              "b": {"w": jnp.asarray(rng.normal(size=(4,)), jnp.float32)}}
+    sched = lambda step: 1e-2 / (1.0 + 0.1 * step)
+
+    for accum in (1, 2):
+        txs = [create_optimizer("adam", sched, 1e-4, gradient_clipping=True,
+                                clip_max_norm=0.5, accumulation_steps=accum,
+                                flatten=f) for f in (False, True)]
+        states = [tx.init(params) for tx in txs]
+        ps = [params, params]
+        for step in range(4):
+            grads = jax.tree_util.tree_map(
+                lambda p: jnp.asarray(
+                    rng.normal(size=p.shape) + step, jnp.float32), params)
+            for i, tx in enumerate(txs):
+                upd, states[i] = tx.update(grads, states[i], ps[i])
+                ps[i] = jax.tree_util.tree_map(lambda p, u: p + u, ps[i], upd)
+        flat0 = jax.tree_util.tree_leaves(ps[0])
+        flat1 = jax.tree_util.tree_leaves(ps[1])
+        for x0, x1 in zip(flat0, flat1):
+            np.testing.assert_allclose(np.asarray(x0), np.asarray(x1),
+                                       rtol=0, atol=1e-6)
