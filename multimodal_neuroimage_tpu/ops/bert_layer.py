@@ -28,6 +28,7 @@ per-draw PRNG scheme as ops/fusion_block.py.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -183,19 +184,11 @@ def _make_fwd_kernel(dims, rates, training, mm16=False):
 
 
 def _make_ffn_bwd_kernel(dims, rates, training, mm16=False):
-    """Backward of LN2 + FFN given saved x1; grid (B, 1).
-
-    Split from the attention backward so the resident w1/dw1/w2/dw2 pairs
-    (~10.6 MB at F=3072) never share VMEM with the attention buffers."""
+    """Backward of LN2 + FFN given saved x1; grid (B, 1). Half of the
+    BERT_BWD=split A/B pair (predates the 64 MB vmem_limit)."""
     def kernel(seed_ref, x1_ref, g_ref, w1, b1m, w2, b2m, g2, b2,
                dx1_ref, dw1_ref, db1m_ref, dw2_ref, db2m_ref, dg2_ref,
                db2_ref):
-        TP, H, F, heads, T = dims
-        _, drop_rate = rates
-        mdot, mdot_nt, mdot_tn = _mm(mm16)
-        x1 = x1_ref[0].astype(jnp.float32)
-        g = g_ref[0].astype(jnp.float32)
-
         is_first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
 
         @pl.when(is_first)
@@ -204,70 +197,166 @@ def _make_ffn_bwd_kernel(dims, rates, training, mm16=False):
                         db2_ref):
                 ref[:] = jnp.zeros_like(ref)
 
-        Fc = _ffn_chunk(F, 256)
-        z = jnp.zeros((TP, H), jnp.float32) + b2m[:]
-        for c0 in range(0, F, Fc):
-            u_c = mdot(x1, w1[:, c0:c0 + Fc]) + b1m[:, c0:c0 + Fc]
-            z = z + mdot(_gelu_erf(u_c), w2[c0:c0 + Fc, :])
-        if training and drop_rate > 0.0:
-            _seed_draw(seed_ref, 1, 3 + heads)
-            m1 = _keep_scale(z.shape, drop_rate)
-            z = z * m1
-        else:
-            m1 = None
-        _, xh2, r2 = _ln_fwd(z + x1, g2[:], b2[:])
-
-        dg2_ref[:] += jnp.sum(g * xh2, axis=0, keepdims=True)
-        db2_ref[:] += jnp.sum(g, axis=0, keepdims=True)
-        dy2 = _ln_bwd(g, xh2, r2, g2[:])
-        dz = dy2 * m1 if m1 is not None else dy2
-        db2m_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
-        dx1 = dy2                                  # residual branch
-        for c0 in range(0, F, Fc):
-            u_c = mdot(x1, w1[:, c0:c0 + Fc]) + b1m[:, c0:c0 + Fc]
-            gu_c = _gelu_erf(u_c)
-            dw2_ref[c0:c0 + Fc, :] += mdot_tn(gu_c, dz)
-            dgu_c = mdot_nt(dz, w2[c0:c0 + Fc, :])
-            du_c = dgu_c * _gelu_erf_grad(u_c)
-            db1m_ref[:, c0:c0 + Fc] += jnp.sum(du_c, axis=0, keepdims=True)
-            dw1_ref[:, c0:c0 + Fc] += mdot_tn(x1, du_c)
-            dx1 = dx1 + mdot_nt(du_c, w1[:, c0:c0 + Fc])
+        dx1 = _ffn_bwd_body(seed_ref, x1_ref[0].astype(jnp.float32),
+                            g_ref[0].astype(jnp.float32), w1, b1m, w2, b2m,
+                            g2, b2, dw1_ref, db1m_ref, dw2_ref, db2m_ref,
+                            dg2_ref, db2_ref, dims, rates, training, mm16)
         dx1_ref[0] = dx1.astype(dx1_ref.dtype)
     return kernel
 
 
+def _ffn_bwd_body(seed_ref, x1, g, w1, b1m, w2, b2m, g2, b2,
+                  dw1_ref, db1m_ref, dw2_ref, db2m_ref, dg2_ref, db2_ref,
+                  dims, rates, training, mm16):
+    """LN2+FFN backward math over saved x1; returns dx1 (stays in VMEM when
+    called from the merged kernel)."""
+    TP, H, F, heads, T = dims
+    _, drop_rate = rates
+    mdot, mdot_nt, mdot_tn = _mm(mm16)
+
+    Fc = _ffn_chunk(F, 256)
+    z = jnp.zeros((TP, H), jnp.float32) + b2m[:]
+    for c0 in range(0, F, Fc):
+        u_c = mdot(x1, w1[:, c0:c0 + Fc]) + b1m[:, c0:c0 + Fc]
+        z = z + mdot(_gelu_erf(u_c), w2[c0:c0 + Fc, :])
+    if training and drop_rate > 0.0:
+        _seed_draw(seed_ref, 1, 3 + heads)
+        m1 = _keep_scale(z.shape, drop_rate)
+        z = z * m1
+    else:
+        m1 = None
+    _, xh2, r2 = _ln_fwd(z + x1, g2[:], b2[:])
+
+    dg2_ref[:] += jnp.sum(g * xh2, axis=0, keepdims=True)
+    db2_ref[:] += jnp.sum(g, axis=0, keepdims=True)
+    dy2 = _ln_bwd(g, xh2, r2, g2[:])
+    dz = dy2 * m1 if m1 is not None else dy2
+    db2m_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
+    dx1 = dy2                                  # residual branch
+    for c0 in range(0, F, Fc):
+        u_c = mdot(x1, w1[:, c0:c0 + Fc]) + b1m[:, c0:c0 + Fc]
+        gu_c = _gelu_erf(u_c)
+        dw2_ref[c0:c0 + Fc, :] += mdot_tn(gu_c, dz)
+        dgu_c = mdot_nt(dz, w2[c0:c0 + Fc, :])
+        du_c = dgu_c * _gelu_erf_grad(u_c)
+        db1m_ref[:, c0:c0 + Fc] += jnp.sum(du_c, axis=0, keepdims=True)
+        dw1_ref[:, c0:c0 + Fc] += mdot_tn(x1, du_c)
+        dx1 = dx1 + mdot_nt(du_c, w1[:, c0:c0 + Fc])
+    return dx1
+
+
+def _attn_bwd_body(seed_ref, x, dx1, wq, bq, wk, bk, wv, bv, wo, bo, g1, b1,
+                   dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref,
+                   dwo_ref, dbo_ref, dg1_ref, db1_ref, ctx_scratch,
+                   dqkv_scratch, dims, rates, training, mm16):
+    """Attention-half backward math given d(x1); returns dx."""
+    TP, H, F, heads, T = dims
+    attn_rate, drop_rate = rates
+    hd = H // heads
+    scale = hd ** -0.5
+    mdot, mdot_nt, mdot_tn = _mm(mm16)
+
+    q = mdot(x, wq[:]) + bq[:]
+    k = mdot(x, wk[:]) + bk[:]
+    v = mdot(x, wv[:]) + bv[:]
+    keypad = _keypad(TP, T)
+    for h in range(heads):
+        *_, ctx_h = _attn_head(q, k, v, h, heads, hd, scale, keypad,
+                               attn_rate, seed_ref, training)
+        ctx_scratch[:, h * hd:(h + 1) * hd] = ctx_h
+    ctx = ctx_scratch[:]
+    a = mdot(ctx, wo[:]) + bo[:]
+    if training and drop_rate > 0.0:
+        _seed_draw(seed_ref, 0, 3 + heads)
+        m0 = _keep_scale(a.shape, drop_rate)
+        a = a * m0
+    else:
+        m0 = None
+    _, xh1, r1 = _ln_fwd(a + x, g1[:], b1[:])
+
+    dg1_ref[:] += jnp.sum(dx1 * xh1, axis=0, keepdims=True)
+    db1_ref[:] += jnp.sum(dx1, axis=0, keepdims=True)
+    dy1 = _ln_bwd(dx1, xh1, r1, g1[:])
+    da = dy1 * m0 if m0 is not None else dy1
+    dbo_ref[:] += jnp.sum(da, axis=0, keepdims=True)
+    dwo_ref[:] += mdot_tn(ctx, da)
+    dctx = mdot_nt(da, wo[:])
+
+    for h in range(heads):
+        qh, kh, vh, p, pd, _ = _attn_head(q, k, v, h, heads, hd, scale,
+                                          keypad, attn_rate, seed_ref,
+                                          training)
+        dctx_h = dctx[:, h * hd:(h + 1) * hd]
+        dpd = _dot_nt(dctx_h, vh)              # (TP, TP)
+        dvh = _dot_tn(pd, dctx_h)              # (TP, hd)
+        if training and attn_rate > 0.0:
+            _seed_draw(seed_ref, 3 + h, 3 + heads)
+            dp = dpd * _keep_scale(dpd.shape, attn_rate)
+        else:
+            dp = dpd
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dqkv_scratch[:, h * hd:(h + 1) * hd] = _dot(ds, kh) * scale
+        dqkv_scratch[:, H + h * hd:H + (h + 1) * hd] = _dot_tn(ds, qh)
+        dqkv_scratch[:, 2 * H + h * hd:2 * H + (h + 1) * hd] = dvh
+
+    dq = dqkv_scratch[:, 0:H]
+    dk = dqkv_scratch[:, H:2 * H]
+    dv = dqkv_scratch[:, 2 * H:3 * H]
+    dbq_ref[:] += jnp.sum(dq, axis=0, keepdims=True)
+    dwq_ref[:] += mdot_tn(x, dq)
+    dbk_ref[:] += jnp.sum(dk, axis=0, keepdims=True)
+    dwk_ref[:] += mdot_tn(x, dk)
+    dbv_ref[:] += jnp.sum(dv, axis=0, keepdims=True)
+    dwv_ref[:] += mdot_tn(x, dv)
+    return (dy1 + mdot_nt(dq, wq[:]) + mdot_nt(dk, wk[:])
+            + mdot_nt(dv, wv[:]))
+
+
+def _make_merged_bwd_kernel(dims, rates, training, mm16=False):
+    """ONE backward kernel per layer: FFN/LN2 side over saved x1 (dx1 stays
+    in VMEM), then the attention-side recompute + backward. The split
+    variant below predates the 64 MB vmem_limit and is kept for A/B
+    (BERT_BWD=split)."""
+    def kernel(seed_ref, x_ref, x1_ref, g_ref, *rest):
+        prefs = rest[0:N_PARAMS]
+        (wq, bq, wk, bk, wv, bv, wo, bo, g1, b1,
+         w1, b1m, w2, b2m, g2, b2) = prefs
+        dx_ref = rest[N_PARAMS]
+        dp_refs = rest[N_PARAMS + 1:2 * N_PARAMS + 1]
+        (dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref, dwo_ref,
+         dbo_ref, dg1_ref, db1_ref, dw1_ref, db1m_ref, dw2_ref, db2m_ref,
+         dg2_ref, db2_ref) = dp_refs
+        ctx_scratch, dqkv_scratch = rest[2 * N_PARAMS + 1:]
+
+        is_first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+
+        @pl.when(is_first)
+        def _():
+            for ref in dp_refs:
+                ref[:] = jnp.zeros_like(ref)
+
+        x = x_ref[0].astype(jnp.float32)
+        x1 = x1_ref[0].astype(jnp.float32)
+        g = g_ref[0].astype(jnp.float32)
+        dx1 = _ffn_bwd_body(seed_ref, x1, g, w1, b1m, w2, b2m, g2, b2,
+                            dw1_ref, db1m_ref, dw2_ref, db2m_ref, dg2_ref,
+                            db2_ref, dims, rates, training, mm16)
+        dx = _attn_bwd_body(seed_ref, x, dx1, wq, bq, wk, bk, wv, bv, wo,
+                            bo, g1, b1, dwq_ref, dbq_ref, dwk_ref, dbk_ref,
+                            dwv_ref, dbv_ref, dwo_ref, dbo_ref, dg1_ref,
+                            db1_ref, ctx_scratch, dqkv_scratch, dims, rates,
+                            training, mm16)
+        dx_ref[0] = dx.astype(dx_ref.dtype)
+    return kernel
+
+
 def _make_attn_bwd_kernel(dims, rates, training, mm16=False):
-    """Backward of the attention half given d(x1); grid (B, 1)."""
+    """Backward of the attention half given d(x1); grid (B, 1). Half of the
+    BERT_BWD=split A/B pair."""
     def kernel(seed_ref, x_ref, dx1_ref, wq, bq, wk, bk, wv, bv, wo, bo,
                g1, b1, dx_ref, dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref,
                dbv_ref, dwo_ref, dbo_ref, dg1_ref, db1_ref, ctx_scratch,
                dqkv_scratch):
-        TP, H, F, heads, T = dims
-        attn_rate, drop_rate = rates
-        hd = H // heads
-        scale = hd ** -0.5
-        mdot, mdot_nt, mdot_tn = _mm(mm16)
-
-        x = x_ref[0].astype(jnp.float32)
-        dx1 = dx1_ref[0].astype(jnp.float32)
-        q = mdot(x, wq[:]) + bq[:]
-        k = mdot(x, wk[:]) + bk[:]
-        v = mdot(x, wv[:]) + bv[:]
-        keypad = _keypad(TP, T)
-        for h in range(heads):
-            *_, ctx_h = _attn_head(q, k, v, h, heads, hd, scale, keypad,
-                                   attn_rate, seed_ref, training)
-            ctx_scratch[:, h * hd:(h + 1) * hd] = ctx_h
-        ctx = ctx_scratch[:]
-        a = mdot(ctx, wo[:]) + bo[:]
-        if training and drop_rate > 0.0:
-            _seed_draw(seed_ref, 0, 3 + heads)
-            m0 = _keep_scale(a.shape, drop_rate)
-            a = a * m0
-        else:
-            m0 = None
-        _, xh1, r1 = _ln_fwd(a + x, g1[:], b1[:])
-
         is_first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
 
         @pl.when(is_first)
@@ -276,42 +365,12 @@ def _make_attn_bwd_kernel(dims, rates, training, mm16=False):
                         dbv_ref, dwo_ref, dbo_ref, dg1_ref, db1_ref):
                 ref[:] = jnp.zeros_like(ref)
 
-        dg1_ref[:] += jnp.sum(dx1 * xh1, axis=0, keepdims=True)
-        db1_ref[:] += jnp.sum(dx1, axis=0, keepdims=True)
-        dy1 = _ln_bwd(dx1, xh1, r1, g1[:])
-        da = dy1 * m0 if m0 is not None else dy1
-        dbo_ref[:] += jnp.sum(da, axis=0, keepdims=True)
-        dwo_ref[:] += mdot_tn(ctx, da)
-        dctx = mdot_nt(da, wo[:])
-
-        for h in range(heads):
-            qh, kh, vh, p, pd, _ = _attn_head(q, k, v, h, heads, hd, scale,
-                                              keypad, attn_rate, seed_ref,
-                                              training)
-            dctx_h = dctx[:, h * hd:(h + 1) * hd]
-            dpd = _dot_nt(dctx_h, vh)              # (TP, TP)
-            dvh = _dot_tn(pd, dctx_h)              # (TP, hd)
-            if training and attn_rate > 0.0:
-                _seed_draw(seed_ref, 3 + h, 3 + heads)
-                dp = dpd * _keep_scale(dpd.shape, attn_rate)
-            else:
-                dp = dpd
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-            dqkv_scratch[:, h * hd:(h + 1) * hd] = _dot(ds, kh) * scale
-            dqkv_scratch[:, H + h * hd:H + (h + 1) * hd] = _dot_tn(ds, qh)
-            dqkv_scratch[:, 2 * H + h * hd:2 * H + (h + 1) * hd] = dvh
-
-        dq = dqkv_scratch[:, 0:H]
-        dk = dqkv_scratch[:, H:2 * H]
-        dv = dqkv_scratch[:, 2 * H:3 * H]
-        dbq_ref[:] += jnp.sum(dq, axis=0, keepdims=True)
-        dwq_ref[:] += mdot_tn(x, dq)
-        dbk_ref[:] += jnp.sum(dk, axis=0, keepdims=True)
-        dwk_ref[:] += mdot_tn(x, dk)
-        dbv_ref[:] += jnp.sum(dv, axis=0, keepdims=True)
-        dwv_ref[:] += mdot_tn(x, dv)
-        dx = (dy1 + mdot_nt(dq, wq[:]) + mdot_nt(dk, wk[:])
-              + mdot_nt(dv, wv[:]))
+        dx = _attn_bwd_body(seed_ref, x_ref[0].astype(jnp.float32),
+                            dx1_ref[0].astype(jnp.float32), wq, bq, wk, bk,
+                            wv, bv, wo, bo, g1, b1, dwq_ref, dbq_ref,
+                            dwk_ref, dbk_ref, dwv_ref, dbv_ref, dwo_ref,
+                            dbo_ref, dg1_ref, db1_ref, ctx_scratch,
+                            dqkv_scratch, dims, rates, training, mm16)
         dx_ref[0] = dx.astype(dx_ref.dtype)
     return kernel
 
@@ -369,6 +428,9 @@ def _fbl_fwd(x, params, seed, heads, t_valid, rates, training, interpret):
     return out, (x, x1, params, seed_arr)
 
 
+_BWD_MODE = os.environ.get("BERT_BWD", "merged")
+
+
 def _fbl_bwd(heads, t_valid, rates, training, interpret, res, g):
     x, x1, params, seed_arr = res
     B, dims = _dims(x, params, heads, t_valid)
@@ -376,9 +438,32 @@ def _fbl_bwd(heads, t_valid, rates, training, interpret, res, g):
     f32 = lambda t: jnp.asarray(t, jnp.float32)
     x_spec = pl.BlockSpec((1, TP, H), lambda b, c, *_: (b, 0, 0),
                           memory_space=pltpu.VMEM)
-    ffn_p = params[10:16]
-    ffn_shapes = param_shapes(H, F)[10:16]
     mm16 = x.dtype == jnp.bfloat16
+    p_shapes = param_shapes(H, F)
+    if _BWD_MODE == "merged":
+        outs = pl.pallas_call(
+            _make_merged_bwd_kernel(dims, rates, training, mm16),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(B, 1),
+                in_specs=([x_spec, x_spec, x_spec]
+                          + [_resident(s) for s in p_shapes]),
+                out_specs=[x_spec] + [_resident(s) for s in p_shapes],
+                scratch_shapes=[pltpu.VMEM((TP, H), jnp.float32),
+                                pltpu.VMEM((TP, 3 * H), jnp.float32)]),
+            out_shape=([jax.ShapeDtypeStruct(x.shape, x.dtype)]
+                       + [jax.ShapeDtypeStruct(s, jnp.float32)
+                          for s in p_shapes]),
+            interpret=interpret,
+            compiler_params=_fb._compiler_params(),
+        )(seed_arr, x, x1, jnp.asarray(g, x.dtype),
+          *[f32(p) for p in params])
+        dx = outs[0]
+        dparams = tuple(d.astype(jnp.asarray(p).dtype)
+                        for d, p in zip(outs[1:], params))
+        return dx, dparams, None
+
+    ffn_p = params[10:16]
+    ffn_shapes = p_shapes[10:16]
     ffn_outs = pl.pallas_call(
         _make_ffn_bwd_kernel(dims, rates, training, mm16),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -393,7 +478,7 @@ def _fbl_bwd(heads, t_valid, rates, training, interpret, res, g):
     dx1, dffn = ffn_outs[0], ffn_outs[1:]
 
     attn_p = params[0:10]
-    attn_shapes = param_shapes(H, F)[0:10]
+    attn_shapes = p_shapes[0:10]
     attn_outs = pl.pallas_call(
         _make_attn_bwd_kernel(dims, rates, training, mm16),
         grid_spec=pltpu.PrefetchScalarGridSpec(
