@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
@@ -156,3 +157,39 @@ def window_reverse(windows: jnp.ndarray, ws: int, H: int, W: int) -> jnp.ndarray
     x = windows.reshape(B, H // ws, W // ws, ws, ws, C)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(B, H, W, C)
+
+
+@functools.lru_cache(maxsize=None)
+def window_perm_indices(H: int, W: int, ws: int, shift: int, NP: int):
+    """Static index planes for PERMUTATION-based inter-block glue.
+
+    The fused-block entry chain — reshape -> roll(-shift) -> window_partition
+    -> pad(N -> NP) — is a fixed bijection of the H*W valid tokens plus pad
+    rows; so is the exit chain. Each can therefore run as ONE gather instead
+    of a roll/transpose/pad kernel chain (the per-block XLA glue was a
+    measured cost on the dispatch-heavy tunneled backend).
+
+    Returns (entry, exit):
+      entry: (nW*NP,) int32 — row t' of the flattened padded-window layout
+        reads flat token entry[t'] of the (H*W) token-major layout. Pad rows
+        (n >= ws*ws) read token 0: unlike the jnp.pad path they carry
+        token-0 values instead of zeros, which the kernels never let reach a
+        valid output (pad keys are bias-masked, pad rows are sliced/zero-
+        cotangent on exit — ops/fusion_block.py docstring).
+      exit:  (H*W,) int32 — flat token t reads row exit[t] of the padded-
+        window layout.
+    """
+    N = ws * ws
+    nW = (H // ws) * (W // ws)
+    img = np.arange(H * W, dtype=np.int32).reshape(H, W)
+    if shift:
+        img = np.roll(img, (-shift, -shift), axis=(0, 1))
+    wins = (img.reshape(H // ws, ws, W // ws, ws).transpose(0, 2, 1, 3)
+            .reshape(nW, N))
+    entry = np.zeros((nW, NP), np.int32)
+    entry[:, :N] = wins
+    rows = (np.arange(nW, dtype=np.int32)[:, None] * NP
+            + np.arange(N, dtype=np.int32)[None, :])
+    exit_ = np.empty(H * W, np.int32)
+    exit_[wins.reshape(-1)] = rows.reshape(-1)
+    return entry.reshape(-1), exit_

@@ -32,10 +32,28 @@ from multimodal_neuroimage_tpu.ops.fusion_block import (  # noqa: E402
 H_IMG = W_IMG = GRID * WS
 
 
+GLUE_MODE = os.environ.get("GLUE_MODE", "chain")   # chain | perm
+
+
 def glue_stack_fn(depth, train=True):
     x, _, params, bias, mask, dp = make_inputs()
+    from multimodal_neuroimage_tpu.nn.common import window_perm_indices
+    e0, x0_ = window_perm_indices(H_IMG, W_IMG, WS, 0, NP)
+    e3, x3_ = window_perm_indices(H_IMG, W_IMG, WS, 3, NP)
+    perms = {0: (jnp.asarray(e0), jnp.asarray(x0_)),
+             3: (jnp.asarray(e3), jnp.asarray(x3_))}
+
+    def one_block_perm(h, i, seed, shift):
+        """h rides flattened token-major (B, L, C); ONE gather each way."""
+        entry, exit_ = perms[3 if shift else 0]
+        t = jnp.take(h, entry, axis=1).reshape(B, NW, NP, C)
+        out = fused_fusion_block(t, params, bias, mask if shift else None,
+                                 dp, seed + i, RATES, train)
+        return jnp.take(out.reshape(B, NW * NP, C), exit_, axis=1)
 
     def one_block(h, i, seed, shift):
+        if GLUE_MODE == "perm":
+            return one_block_perm(h, i, seed, shift)
         t = window_reverse(h[:, :, :N, :], WS, H_IMG, W_IMG)
         if shift:
             t = jnp.roll(t, shift=(-3, -3), axis=(1, 2))
@@ -50,6 +68,9 @@ def glue_stack_fn(depth, train=True):
         return jnp.pad(t, ((0, 0), (0, 0), (0, NP - N), (0, 0)))
 
     def fwd_loss(x0, seed):
+        if GLUE_MODE == "perm":                     # carry rides (B, L, C)
+            x0 = jnp.take(x0.reshape(B, NW * NP, C), perms[0][1], axis=1)
+
         def body(i, h):
             h = one_block(h, 2 * i, seed, False)
             h = one_block(h, 2 * i + 1, seed, True)
