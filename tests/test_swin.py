@@ -76,3 +76,28 @@ def test_window_attention_matches_naive(rng):
         single = attn.apply(vars_, x[:, w:w + 1], None, True)
         np.testing.assert_allclose(np.asarray(single[:, 0]),
                                    np.asarray(full[:, w]), atol=1e-5)
+
+
+def test_window_perm_indices_match_glue_chain():
+    """Permutation-glue planes (nn/common.py window_perm_indices) must
+    reproduce the roll/partition/pad entry chain on valid rows and invert it
+    exactly on exit, for both shift parities."""
+    import jax.numpy as jnp
+    import numpy as np
+    from multimodal_neuroimage_tpu.nn import common as cm
+
+    H = W = 12
+    ws, N, NP = 6, 36, 40
+    x = np.random.default_rng(0).normal(size=(2, H, W, 4)).astype(np.float32)
+    for shift in (0, 3):
+        xi = jnp.asarray(x)
+        if shift:
+            xi = jnp.roll(xi, (-shift, -shift), axis=(1, 2))
+        ref = cm.window_partition(xi, ws)
+        entry, exit_ = cm.window_perm_indices(H, W, ws, shift, NP)
+        got = jnp.take(jnp.asarray(x.reshape(2, H * W, 4)),
+                       jnp.asarray(entry), axis=1).reshape(2, -1, NP, 4)
+        np.testing.assert_array_equal(np.asarray(got[:, :, :N]),
+                                      np.asarray(ref))
+        back = jnp.take(got.reshape(2, -1, 4), jnp.asarray(exit_), axis=1)
+        np.testing.assert_array_equal(np.asarray(back), x.reshape(2, H * W, 4))
