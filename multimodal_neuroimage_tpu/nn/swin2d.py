@@ -147,8 +147,9 @@ class WindowAttentionV2(nn.Module):
             seed = (jax.random.randint(self.make_rng("dropout"), (),
                                        0, 2 ** 31 - 1)
                     if rate > 0.0 else jnp.asarray(0, jnp.int32))
-            out = fused_window_attention(q_scaled, k, v, bias, mask, seed,
-                                         rate)
+            out = fused_window_attention(
+                q_scaled, k, v, bias, mask, seed, rate,
+                interpret=jax.default_backend() != "tpu")
         else:
             attn = jnp.einsum("bwhnd,bwhmd->bwhnm", q, k,
                               preferred_element_type=jnp.float32)

@@ -24,6 +24,7 @@ pixel-resolution tokens (84x84, window 6), matching the reference where
 
 from __future__ import annotations
 
+import os
 from typing import Sequence, Tuple
 
 import flax.linen as nn
@@ -34,9 +35,47 @@ import numpy as np
 from multimodal_neuroimage_tpu.nn.common import (LayerNorm, scan_body,
                                                  trunc_normal_init,
                                                  window_partition,
+                                                 window_perm_indices,
                                                  window_reverse)
 from multimodal_neuroimage_tpu.nn.swin2d import (relative_position_index,
                                                  shift_attn_mask)
+
+# Inter-block glue for the fused kernels (env FUSION_GLUE):
+#   "chain" — reshape -> roll -> window_partition -> pad (and inverse): ~4
+#             XLA ops each way, fused by XLA into a couple of kernels.
+#   "perm"  — ONE static gather each way (window_perm_indices). Pad rows
+#             carry token-0 values instead of zeros; the kernels mask pad
+#             keys via the -1e9 bias columns and give pad rows zero
+#             cotangent, so valid outputs and gradients are identical
+#             (tests/test_fusion_megakernel.py::test_glue_perm_matches_chain).
+_GLUE_MODE = os.environ.get("FUSION_GLUE", "chain")
+
+
+def _to_padded_windows(t, H: int, W: int, ws: int, shift: int, NP: int):
+    """(B, L, C) token-major -> (B, nW, NP, C) padded windows."""
+    B, L, C = t.shape
+    N = ws * ws
+    if _GLUE_MODE == "perm":
+        entry, _ = window_perm_indices(H, W, ws, shift, NP)
+        return jnp.take(t, jnp.asarray(entry), axis=1).reshape(B, -1, NP, C)
+    t = t.reshape(B, H, W, C)
+    if shift > 0:
+        t = jnp.roll(t, shift=(-shift, -shift), axis=(1, 2))
+    t = window_partition(t, ws)
+    return jnp.pad(t, ((0, 0), (0, 0), (0, NP - N), (0, 0)))
+
+
+def _from_padded_windows(t, H: int, W: int, ws: int, shift: int, NP: int):
+    """(B, nW, NP, C) padded windows -> (B, L, C) token-major."""
+    B, C = t.shape[0], t.shape[-1]
+    N = ws * ws
+    if _GLUE_MODE == "perm":
+        _, exit_ = window_perm_indices(H, W, ws, shift, NP)
+        return jnp.take(t.reshape(B, -1, C), jnp.asarray(exit_), axis=1)
+    t = window_reverse(t[:, :, :N, :], ws, H, W)
+    if shift > 0:
+        t = jnp.roll(t, shift=(shift, shift), axis=(1, 2))
+    return t.reshape(B, H * W, C)
 
 
 def _plain_window_attention(qwin, kvwin, table, rel_idx, mask, heads,
@@ -162,11 +201,7 @@ class FusionBlock(nn.Module):
 
         if fused_attention_active():
             NP = fb.round_up(N, 8)
-            xi = x.reshape(B, H, W, C)
-            if shift > 0:
-                xi = jnp.roll(xi, shift=(-shift, -shift), axis=(1, 2))
-            xw = window_partition(xi, ws)
-            xw = jnp.pad(xw, ((0, 0), (0, 0), (0, NP - N), (0, 0)))
+            xw = _to_padded_windows(x, H, W, ws, shift, NP)
             bias = fb.packed_bias_from_table(table, ws, heads, NP, rel_idx)
             maskp = (None if mask is None else
                      np.pad(mask, ((0, 0), (0, NP - N), (0, NP - N))))
@@ -180,10 +215,7 @@ class FusionBlock(nn.Module):
             out = fb.fused_fusion_block(
                 xw, params, bias, maskp, dp, seed, rates, training,
                 interpret=jax.default_backend() != "tpu")
-            xo = window_reverse(out[:, :, :N, :], ws, H, W)
-            if shift > 0:
-                xo = jnp.roll(xo, shift=(shift, shift), axis=(1, 2))
-            return xo.reshape(B, L, C)
+            return _from_padded_windows(out, H, W, ws, shift, NP)
 
         # ---- plain-jnp path over the same params (non-TPU) ------------------
         (g1, b1, wqkv, bqkv, wp, bp, g2, b2, w1, b1m, w2, b2m) = params
@@ -307,21 +339,8 @@ class CrossFusionBlock(nn.Module):
 
         if fused_attention_active():
             NP = fb.round_up(N, 8)
-
-            def to_padded_windows(t):
-                t = t.reshape(B, H, W, C)
-                if shift > 0:
-                    t = jnp.roll(t, shift=(-shift, -shift), axis=(1, 2))
-                t = window_partition(t, ws)
-                return jnp.pad(t, ((0, 0), (0, 0), (0, NP - N), (0, 0)))
-
-            def from_padded_windows(t):
-                t = window_reverse(t[:, :, :N, :], ws, H, W)
-                if shift > 0:
-                    t = jnp.roll(t, shift=(shift, shift), axis=(1, 2))
-                return t.reshape(B, L, C)
-
-            xw, yw = to_padded_windows(x), to_padded_windows(y)
+            xw = _to_padded_windows(x, H, W, ws, shift, NP)
+            yw = _to_padded_windows(y, H, W, ws, shift, NP)
             bias_A = fb.packed_bias_from_table(pA["table"], ws, heads, NP,
                                                rel_idx)
             bias_B = fb.packed_bias_from_table(pB["table"], ws, heads, NP,
@@ -344,7 +363,8 @@ class CrossFusionBlock(nn.Module):
             out_y = fb.fused_cross_fusion_block(
                 yw, xw, tuple16(pB, pA), bias_B, maskp, dp_B, seed(1),
                 rates, training, interpret=interp)
-            return from_padded_windows(out_x), from_padded_windows(out_y)
+            return (_from_padded_windows(out_x, H, W, ws, shift, NP),
+                    _from_padded_windows(out_y, H, W, ws, shift, NP))
 
         # ---- plain-jnp path over the same params (non-TPU) ------------------
         def ln(t, g, b):

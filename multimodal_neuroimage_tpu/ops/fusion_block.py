@@ -145,6 +145,15 @@ def _keep_scale(shape, rate: float):
 _MASK_MODE = os.environ.get("FUSION_MASK", "prng")
 
 
+def _mode_for(interpret) -> str:
+    """Resolve the mask mode for one kernel call: the HLO interpreter
+    (interpret=True, the module's CPU path) has no prng_seed primitive, so
+    it falls back to hash masks; Mosaic interpret (InterpretParams) and real
+    TPU runs use _MASK_MODE. fwd/bwd share `interpret` via the custom-VJP
+    nondiff args, so both resolve identically."""
+    return "hash" if interpret is True else _MASK_MODE
+
+
 def _prng_keep(shape, rate: float, seed, draw: int):
     """Hardware-PRNG dropout mask, reseeded per (grid cell, draw) so fwd and
     bwd (same grid) regenerate any draw independent of evaluation order."""
@@ -189,16 +198,16 @@ def _hash_keep3(shape, rate: float, seed, draw: int, w0):
     return _mix_keep(w * NP + n, m, rate, seed, draw)
 
 
-def _keep2(shape, rate: float, seed, draw: int, row0):
-    """(R, C) stream dropout mask — dispatch on _MASK_MODE."""
-    if _MASK_MODE == "prng":
+def _keep2(shape, rate: float, seed, draw: int, row0, mode: str):
+    """(R, C) stream dropout mask — dispatch on the resolved mask mode."""
+    if mode == "prng":
         return _prng_keep(shape, rate, seed, draw)
     return _hash_keep2(shape, rate, seed, draw, row0)
 
 
-def _keep3(shape, rate: float, seed, draw: int, w0):
-    """(Wc, NP, L) attention dropout mask — dispatch on _MASK_MODE."""
-    if _MASK_MODE == "prng":
+def _keep3(shape, rate: float, seed, draw: int, w0, mode: str):
+    """(Wc, NP, L) attention dropout mask — dispatch on the resolved mode."""
+    if mode == "prng":
         return _prng_keep(shape, rate, seed, draw)
     return _hash_keep3(shape, rate, seed, draw, w0)
 
@@ -371,7 +380,7 @@ def _unstack_heads(full, masks, NP: int):
 
 
 def _forward_compute(seed_ref, x_ref, y_ref, dp_ref, bias_ref, mask_ref,
-                     prefs, dims, rates, training, cross):
+                     prefs, dims, rates, training, cross, mode):
     """Shared forward used by both kernels. Returns (out, x2r, residuals)."""
     Wc, NP, C, H, Ch = dims
     attn_rate, drop_rate = rates
@@ -422,12 +431,13 @@ def _forward_compute(seed_ref, x_ref, y_ref, dp_ref, bias_ref, mask_ref,
             else:
                 p = _packed_softmax(S, _seg_matrix(NP, H), Wc, NP, L)
             if training and attn_rate > 0.0:
-                p = p * _keep3(p.shape, attn_rate, seed, 3, wkey0)
+                p = p * _keep3(p.shape, attn_rate, seed, 3, wkey0, mode)
             o3 = _bdot(p, V_pack, 2, 2)                # (Wc, NP, C)
     o2 = o3.reshape(R, C)
     a = _dot(o2, wp[:]) + bp[:]
     if training and drop_rate > 0.0:
-        a = a * _keep2(a.shape, drop_rate, seed, _DRAW_PROJ, row0)
+        a = a * _keep2(a.shape, drop_rate, seed, _DRAW_PROJ, row0,
+                       mode)
     dp1 = dp_ref[pl.program_id(0), 0]
     dp2 = dp_ref[pl.program_id(0), 1]
     x2r = x2 + dp1 * a
@@ -437,17 +447,18 @@ def _forward_compute(seed_ref, x_ref, y_ref, dp_ref, bias_ref, mask_ref,
     u = _dot(h2, w1[:]) + b1m[:]
     gu = _gelu(u)
     if training and drop_rate > 0.0:
-        gu = gu * _keep2(gu.shape, drop_rate, seed, _DRAW_MLP1, row0)
+        gu = gu * _keep2(gu.shape, drop_rate, seed, _DRAW_MLP1, row0,
+                         mode)
     z = _dot(gu, w2[:]) + b2m[:]
     if training and drop_rate > 0.0:
-        z = z * _keep2(z.shape, drop_rate, seed, _DRAW_MLP2, row0)
+        z = z * _keep2(z.shape, drop_rate, seed, _DRAW_MLP2, row0, mode)
     out = x2r + dp2 * z
     residuals = (x2, h1, xh1, r1, h1y, xh1y, r1y, q3, k3, v3, o2,
                  dp1, dp2, x2r)
     return out, x2r, residuals
 
 
-def _make_fwd_kernel(dims, rates, training, with_mask, cross):
+def _make_fwd_kernel(dims, rates, training, with_mask, cross, mode):
     np_ = _n_params(cross)
 
     def kernel(seed_ref, x_ref, *rest):
@@ -462,7 +473,7 @@ def _make_fwd_kernel(dims, rates, training, with_mask, cross):
         o_ref, x2r_ref = rest[-2], rest[-1]
         out, x2r, _ = _forward_compute(seed_ref, x_ref, y_ref, dp_ref,
                                        bias_ref, mask_ref, prefs, dims,
-                                       rates, training, cross)
+                                       rates, training, cross, mode)
         Wc, NP, C = dims[0], dims[1], dims[2]
         o_ref[0] = out.reshape(Wc, NP, C).astype(o_ref.dtype)
         # post-attention residual state, saved for the split MLP-side
@@ -472,7 +483,7 @@ def _make_fwd_kernel(dims, rates, training, with_mask, cross):
     return kernel
 
 
-def _make_bwd_kernel(dims, rates, training, with_mask, cross):
+def _make_bwd_kernel(dims, rates, training, with_mask, cross, mode):
     """ONE backward kernel per block: MLP/LN2 backward over the saved x2r
     (dx2r never leaves VMEM), then the packed attention recompute + backward.
     The round-1 split into MLP-side/attention-side kernels existed to fit the
@@ -534,13 +545,14 @@ def _make_bwd_kernel(dims, rates, training, with_mask, cross):
 
         dz = dp2 * g
         if with_drop:
-            dz = dz * _keep2(dz.shape, drop_rate, seed, _DRAW_MLP2, row0)
+            dz = dz * _keep2(dz.shape, drop_rate, seed, _DRAW_MLP2, row0,
+                             mode)
         db2m_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
         h2, xh2, r2 = _ln_fwd(x2r, g2[:], b2[:])
         u = _dot(h2, w1[:]) + b1m[:]
         gu = _gelu(u)
         if with_drop:
-            m1 = _keep2(gu.shape, drop_rate, seed, _DRAW_MLP1, row0)
+            m1 = _keep2(gu.shape, drop_rate, seed, _DRAW_MLP1, row0, mode)
             gu = gu * m1
         else:
             m1 = None
@@ -578,7 +590,8 @@ def _make_bwd_kernel(dims, rates, training, with_mask, cross):
         dp1 = dp_ref[pl.program_id(0), 0]
         da = dp1 * dx2r
         if with_drop:
-            da = da * _keep2(da.shape, drop_rate, seed, _DRAW_PROJ, row0)
+            da = da * _keep2(da.shape, drop_rate, seed, _DRAW_PROJ, row0,
+                             mode)
         do2 = _dot_nt(da, wp[:])
         do3 = do2.reshape(Wc, NP, C)
 
@@ -591,7 +604,7 @@ def _make_bwd_kernel(dims, rates, training, with_mask, cross):
         S = _packed_scores(q3s, K_pack, bias_ref, mask_ref, H)
         p = _packed_softmax(S, G, Wc, NP, L)
         if training and attn_rate > 0.0:
-            keep = _keep3((Wc, NP, L), attn_rate, seed, 3, wkey0)
+            keep = _keep3((Wc, NP, L), attn_rate, seed, 3, wkey0, mode)
             pd = p * keep
         else:
             keep = None
@@ -731,12 +744,12 @@ def packed_bias_from_table(table, ws: int, heads: int, NP: int,
             + jnp.asarray(colpad))
 
 
-def _chunk_for(nW: int, NP: int, kind: str) -> int:
+def _chunk_for(nW: int, NP: int, kind: str, mode: str) -> int:
     # PRNG masks require the merged backward to run the forward's grid so
     # per-(cell, draw) reseeding regenerates identical masks: collapse each
     # kind pair onto the forward's budget. (The old 320K attn_cross budget
     # only existed for the 16 MB scoped-vmem era; the 64 MB cap fits Wc=28.)
-    if _MASK_MODE == "prng":
+    if mode == "prng":
         kind = {"attn": "fwd", "attn_cross": "fwd_cross"}.get(kind, kind)
     return pick_window_chunk(nW, NP,
                              budget=int(_CHUNK_BUDGETS[kind] * _BUDGET_MULT))
@@ -748,7 +761,8 @@ def _fwd_impl(x, y, params, bias, mask, dp, seed, rates, training,
     B, nW, NP, C = x.shape
     H = bias.shape[1] // NP          # bias arrives head-packed (NP, L)
     Ch = params[-4].shape[1]
-    Wc = _chunk_for(nW, NP, "fwd_cross" if cross else "fwd")
+    mode = _mode_for(interpret)
+    Wc = _chunk_for(nW, NP, "fwd_cross" if cross else "fwd", mode)
     with_mask = mask is not None
     dims = (Wc, NP, C, H, Ch)
     p_shapes = param_shapes(C, Ch, cross)
@@ -763,7 +777,7 @@ def _fwd_impl(x, y, params, bias, mask, dp, seed, rates, training,
             + ((_tiled_mask(mask, H),) if with_mask else ())
             + tuple(f32(p) for p in params))
     out, x2r = pl.pallas_call(
-        _make_fwd_kernel(dims, rates, training, with_mask, cross),
+        _make_fwd_kernel(dims, rates, training, with_mask, cross, mode),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(B, nW // Wc),
             in_specs=in_specs, out_specs=[x_spec, x_spec]),
@@ -785,7 +799,8 @@ def _bwd_impl(x, y, params, bias, mask, dp, seed_arr, x2r, g, rates,
     p_shapes = param_shapes(C, Ch, cross)
     f32 = lambda t: jnp.asarray(t, jnp.float32)
 
-    Wc = _chunk_for(nW, NP, "attn_cross" if cross else "attn")
+    mode = _mode_for(interpret)
+    Wc = _chunk_for(nW, NP, "attn_cross" if cross else "attn", mode)
     dims = (Wc, NP, C, H, Ch)
     x_spec = _x_spec(Wc, NP, C)
     in_specs = [x_spec]
@@ -812,7 +827,7 @@ def _bwd_impl(x, y, params, bias, mask, dp, seed_arr, x2r, g, rates,
             + ((_tiled_mask(mask, H),) if with_mask else ())
             + tuple(f32(p) for p in params))
     outs = pl.pallas_call(
-        _make_bwd_kernel(dims, rates, training, with_mask, cross),
+        _make_bwd_kernel(dims, rates, training, with_mask, cross, mode),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(B, nW // Wc),
             in_specs=in_specs, out_specs=out_specs),

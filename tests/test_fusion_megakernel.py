@@ -349,3 +349,33 @@ def _params_cross(key):
     for i in (0, 2, 10):                 # LN scales positive
         p[i] = jnp.abs(p[i]) + 0.5
     return tuple(p)
+
+
+@pytest.mark.parametrize("training", [False, True])
+def test_glue_perm_matches_chain(training, monkeypatch):
+    """FUSION_GLUE=perm (one gather each way, pad rows carrying token-0
+    values) must reproduce the roll/partition/pad chain exactly — values and
+    gradients — through the fused FusionBlock, deterministic and training."""
+    import multimodal_neuroimage_tpu.nn.swinfusion as sf
+
+    rates = (0.2, 0.15) if training else (0.0, 0.0)
+
+    def run(mode):
+        monkeypatch.setattr(sf, "_GLUE_MODE", mode)
+        v, apply_f, x = _module_apply(True, deterministic=not training,
+                                      rates=rates, shift=3)
+        set_fused_attention(True)
+        try:
+            def loss(x):
+                out = apply_f(v, x)
+                return jnp.sum(jnp.sin(out))
+            val, g = jax.value_and_grad(loss)(x)
+        finally:
+            set_fused_attention(None)
+        return val, g
+
+    v1, g1 = run("chain")
+    v2, g2 = run("perm")
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-6)
