@@ -24,8 +24,8 @@ jax.config.update("jax_compilation_cache_dir",
 
 from multimodal_neuroimage_tpu.nn.common import (window_partition,  # noqa: E402
                                                  window_reverse)
-from scripts.bench_fusion_micro import (B, C, GRID, N, NP, RATES, WS,  # noqa: E402
-                                        make_inputs)
+from scripts.bench_fusion_micro import (B, C, GRID, N, NP, NW, RATES,  # noqa: E402
+                                        WS, make_inputs)
 from multimodal_neuroimage_tpu.ops.fusion_block import (  # noqa: E402
     fused_fusion_block)
 
