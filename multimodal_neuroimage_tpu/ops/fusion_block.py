@@ -146,12 +146,13 @@ _MASK_MODE = os.environ.get("FUSION_MASK", "prng")
 
 
 def _mode_for(interpret) -> str:
-    """Resolve the mask mode for one kernel call: the HLO interpreter
-    (interpret=True, the module's CPU path) has no prng_seed primitive, so
-    it falls back to hash masks; Mosaic interpret (InterpretParams) and real
-    TPU runs use _MASK_MODE. fwd/bwd share `interpret` via the custom-VJP
-    nondiff args, so both resolve identically."""
-    return "hash" if interpret is True else _MASK_MODE
+    """Resolve the mask mode for one kernel call: interpreted runs fall back
+    to hash masks — the HLO interpreter (interpret=True) has no prng_seed
+    primitive, and Mosaic interpret (InterpretParams) stubs prng_random_bits
+    to ZEROS, which would silently drop every element. Only real TPU runs
+    use _MASK_MODE. fwd/bwd share `interpret` via the custom-VJP nondiff
+    args, so both resolve identically."""
+    return _MASK_MODE if interpret is False else "hash"
 
 
 def _prng_keep(shape, rate: float, seed, draw: int):

@@ -1,0 +1,193 @@
+"""Parity tests for the batch-lane-packed fused SwinFusion kernels
+(ops/fusion_block_bp.py) against the pure-jnp references of
+ops/fusion_block.py. The BP kernels are an alternative execution plan for
+the same math — deterministic values and gradients must match exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_neuroimage_tpu.nn.swin2d import (relative_position_index,
+                                                 shift_attn_mask)
+from multimodal_neuroimage_tpu.ops import fusion_block as fb
+from multimodal_neuroimage_tpu.ops import fusion_block_bp as fbp
+
+B, RES, WS, C, H = 2, 12, 6, 12, 6
+N = WS * WS
+NP = fb.round_up(N, 8)
+NW = (RES // WS) ** 2
+HID = 4 * C
+
+
+def _pk(bias):
+    return jnp.transpose(jnp.asarray(bias, jnp.float32),
+                         (1, 0, 2)).reshape(NP, H * NP)
+
+
+def _params(key, cross=False):
+    n = 16 if cross else 12
+    ks = jax.random.split(key, n)
+    shapes = fb.param_shapes(C, HID, cross=cross)
+    p = [jax.random.normal(k, s, jnp.float32) * 0.3
+         for k, s in zip(ks, shapes)]
+    for i in ((0, 2, 10) if cross else (0, 6)):     # LN scales positive
+        p[i] = jnp.abs(p[i]) + 0.5
+    return tuple(p)
+
+
+def _inputs(shift=0, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(B, NW, NP, C)).astype(np.float32)
+    x[:, :, N:, :] = 0.0
+    table = jnp.asarray(
+        rng.normal(size=((2 * WS - 1) ** 2, H)).astype(np.float32) * 0.1)
+    rel_idx = relative_position_index(WS, WS)
+    bias = fb.combined_bias(table, WS, H, NP, rel_idx)
+    mask = shift_attn_mask(RES, RES, WS, shift)
+    maskp = (None if mask is None
+             else np.pad(mask, ((0, 0), (0, NP - N), (0, NP - N))))
+    dp = jnp.asarray([[1.25, 0.8], [1.0, 1.0]], jnp.float32)
+    return jnp.asarray(x), table, bias, maskp, dp
+
+
+def test_bp_layout_roundtrip():
+    x, *_ = _inputs(0)
+    np.testing.assert_array_equal(np.asarray(fbp.from_bp(fbp.to_bp(x), B)),
+                                  np.asarray(x))
+
+
+@pytest.mark.parametrize("shift", [0, 3])
+def test_bp_forward_parity(shift):
+    x, _, bias, maskp, dp = _inputs(shift)
+    params = _params(jax.random.PRNGKey(1))
+    got_bp = fbp.fused_fusion_block_bp(fbp.to_bp(x), params, _pk(bias),
+                                       maskp, dp, 0, (0.0, 0.0), False,
+                                       interpret=True)
+    got = fbp.from_bp(got_bp, B)
+    want = fb.fusion_block_reference(x, params, bias, maskp, dp)
+    np.testing.assert_allclose(np.asarray(got)[:, :, :N],
+                               np.asarray(want)[:, :, :N],
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("shift", [0, 3])
+def test_bp_grad_parity(shift):
+    x, _, bias, maskp, dp = _inputs(shift, seed=3)
+    params = _params(jax.random.PRNGKey(2))
+    cot = jnp.asarray(
+        np.random.default_rng(7).normal(size=x.shape).astype(np.float32))
+    cot = cot.at[:, :, N:, :].set(0.0)
+
+    def loss_bp(x, params, bias):
+        out = fbp.fused_fusion_block_bp(fbp.to_bp(x), params, _pk(bias),
+                                        maskp, dp, 0, (0.0, 0.0), False,
+                                        interpret=True)
+        return jnp.sum(fbp.from_bp(out, B) * cot)
+
+    def loss_ref(x, params, bias):
+        out = fb.fusion_block_reference(x, params, bias, maskp, dp)
+        return jnp.sum(out * cot)
+
+    gf = jax.grad(loss_bp, argnums=(0, 1, 2))(x, params, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, params, bias)
+    np.testing.assert_allclose(np.asarray(gf[0])[:, :, :N],
+                               np.asarray(gr[0])[:, :, :N],
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(gf[1], gr[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf[2])[:, :N, :N],
+                               np.asarray(gr[2])[:, :N, :N],
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("shift", [0, 3])
+def test_bp_cross_parity(shift):
+    x, _, bias, maskp, dp = _inputs(shift, seed=21)
+    y = jnp.asarray(np.random.default_rng(22).normal(
+        size=x.shape).astype(np.float32))
+    y = y.at[:, :, N:, :].set(0.0)
+    params = _params(jax.random.PRNGKey(9), cross=True)
+    got_bp = fbp.fused_cross_fusion_block_bp(
+        fbp.to_bp(x), fbp.to_bp(y), params, _pk(bias), maskp, dp, 0,
+        (0.0, 0.0), False, interpret=True)
+    got = fbp.from_bp(got_bp, B)
+    want = fb.cross_fusion_block_reference(x, y, params, bias, maskp, dp)
+    np.testing.assert_allclose(np.asarray(got)[:, :, :N],
+                               np.asarray(want)[:, :, :N],
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_bp_cross_grad_parity():
+    x, _, bias, maskp, dp = _inputs(3, seed=31)
+    y = jnp.asarray(np.random.default_rng(32).normal(
+        size=x.shape).astype(np.float32))
+    y = y.at[:, :, N:, :].set(0.0)
+    params = _params(jax.random.PRNGKey(10), cross=True)
+    cot = jnp.asarray(
+        np.random.default_rng(33).normal(size=x.shape).astype(np.float32))
+    cot = cot.at[:, :, N:, :].set(0.0)
+
+    def loss_bp(x, y, params, bias):
+        out = fbp.fused_cross_fusion_block_bp(
+            fbp.to_bp(x), fbp.to_bp(y), params, _pk(bias), maskp, dp, 0,
+            (0.0, 0.0), False, interpret=True)
+        return jnp.sum(fbp.from_bp(out, B) * cot)
+
+    def loss_ref(x, y, params, bias):
+        out = fb.cross_fusion_block_reference(x, y, params, bias, maskp, dp)
+        return jnp.sum(out * cot)
+
+    gf = jax.grad(loss_bp, argnums=(0, 1, 2, 3))(x, y, params, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, y, params, bias)
+    for name, a, b in (("dx", gf[0], gr[0]), ("dy", gf[1], gr[1])):
+        np.testing.assert_allclose(np.asarray(a)[:, :, :N],
+                                   np.asarray(b)[:, :, :N],
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+    for a, b in zip(gf[2], gr[2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf[3])[:, :N, :N],
+                               np.asarray(gr[3])[:, :N, :N],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_bp_stochastic_grad_is_true_gradient():
+    """Fixed seed -> deterministic stochastic forward; the custom VJP must
+    match the directional numerical derivative (catches fwd/bwd dropout
+    mask divergence across the BP grids)."""
+    from jax.experimental.pallas import tpu as pltpu
+    x, _, bias, maskp, dp = _inputs(3, seed=9)
+    params = _params(jax.random.PRNGKey(6))
+    interp = pltpu.InterpretParams()
+
+    def f(x):
+        out = fbp.fused_fusion_block_bp(fbp.to_bp(x), params, _pk(bias),
+                                        maskp, dp, 77, (0.25, 0.2), True,
+                                        interpret=interp)
+        return jnp.sum(jnp.sin(fbp.from_bp(out, B)[:, :, :N]))
+
+    v = jnp.asarray(np.random.default_rng(13).normal(
+        size=x.shape).astype(np.float32))
+    v = v.at[:, :, N:, :].set(0.0)
+    eps = 1e-2
+    fd = (float(f(x + eps * v)) - float(f(x - eps * v))) / (2 * eps)
+    an = float(jnp.vdot(jax.grad(f)(x), v))
+    assert abs(fd - an) < 2e-2 * max(1.0, abs(fd)), (fd, an)
+
+
+def test_bp_training_per_sample_masks_differ():
+    """BP lanes encode (sample, channel): dropout must NOT be shared across
+    samples. Feed identical rows for two samples and check their stochastic
+    outputs diverge."""
+    from jax.experimental.pallas import tpu as pltpu
+    x, _, bias, maskp, dp = _inputs(0, seed=15)
+    x = jnp.concatenate([x[:1], x[:1]], axis=0)      # sample 1 == sample 0
+    dp = jnp.ones((B, 2), jnp.float32)
+    params = _params(jax.random.PRNGKey(8))
+    out = fbp.fused_fusion_block_bp(fbp.to_bp(x), params, _pk(bias),
+                                    maskp, dp, 42, (0.4, 0.4), True,
+                                    interpret=pltpu.InterpretParams())
+    out = np.asarray(fbp.from_bp(out, B))
+    assert np.abs(out[0, :, :N] - out[1, :, :N]).max() > 1e-3
