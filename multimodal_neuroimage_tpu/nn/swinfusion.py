@@ -50,6 +50,26 @@ from multimodal_neuroimage_tpu.nn.swin2d import (relative_position_index,
 #             (tests/test_fusion_megakernel.py::test_glue_perm_matches_chain).
 _GLUE_MODE = os.environ.get("FUSION_GLUE", "chain")
 
+# Kernel layout for the fused blocks (env FUSION_LAYOUT):
+#   "std" — (B, nW, NP, C) per-sample grid cells (ops/fusion_block.py).
+#   "bp"  — batch-lane-packed (nW, NP, B*C): the batch rides the VPU lane
+#           axis (ops/fusion_block_bp.py). The stacks convert on entry/exit
+#           and the stream stays 2-D (L, B*C) between blocks, so the
+#           transpose is paid once per stack, not per block.
+_LAYOUT = os.environ.get("FUSION_LAYOUT", "std")
+
+
+def _bp_enter(x):
+    """(B, L, C) -> (L, B*C), lane l = b*C + c."""
+    B, L, C = x.shape
+    return jnp.transpose(x, (1, 0, 2)).reshape(L, B * C)
+
+
+def _bp_exit(x, B: int):
+    """(L, B*C) -> (B, L, C)."""
+    L, BC = x.shape
+    return jnp.transpose(x.reshape(L, B, BC // B), (1, 0, 2))
+
 
 def _to_padded_windows(t, H: int, W: int, ws: int, shift: int, NP: int):
     """(B, L, C) token-major -> (B, nW, NP, C) padded windows."""
@@ -76,6 +96,33 @@ def _from_padded_windows(t, H: int, W: int, ws: int, shift: int, NP: int):
     if shift > 0:
         t = jnp.roll(t, shift=(shift, shift), axis=(1, 2))
     return t.reshape(B, H * W, C)
+
+
+def _to_padded_windows_bp(t, H: int, W: int, ws: int, shift: int, NP: int):
+    """(L, B*C) BP stream -> (nW, NP, B*C) padded windows."""
+    BC = t.shape[-1]
+    N = ws * ws
+    if _GLUE_MODE == "perm":
+        entry, _ = window_perm_indices(H, W, ws, shift, NP)
+        return jnp.take(t, jnp.asarray(entry), axis=0).reshape(-1, NP, BC)
+    t = t.reshape(1, H, W, BC)
+    if shift > 0:
+        t = jnp.roll(t, shift=(-shift, -shift), axis=(1, 2))
+    t = window_partition(t, ws)
+    return jnp.pad(t, ((0, 0), (0, 0), (0, NP - N), (0, 0)))[0]
+
+
+def _from_padded_windows_bp(t, H: int, W: int, ws: int, shift: int, NP: int):
+    """(nW, NP, B*C) padded windows -> (L, B*C) BP stream."""
+    BC = t.shape[-1]
+    N = ws * ws
+    if _GLUE_MODE == "perm":
+        _, exit_ = window_perm_indices(H, W, ws, shift, NP)
+        return jnp.take(t.reshape(-1, BC), jnp.asarray(exit_), axis=0)
+    t = window_reverse(t[None, :, :N, :], ws, H, W)
+    if shift > 0:
+        t = jnp.roll(t, shift=(shift, shift), axis=(1, 2))
+    return t.reshape(H * W, BC)
 
 
 def _plain_window_attention(qwin, kvwin, table, rel_idx, mask, heads,
@@ -153,7 +200,12 @@ class FusionBlock(nn.Module):
 
         ws, shift = self._effective()
         H, W = self.input_resolution
-        B, L, C = x.shape
+        bp = x.ndim == 2                  # (L, B*C) batch-lane-packed stream
+        if bp:
+            L, C = x.shape[0], self.dim
+            B = x.shape[1] // C
+        else:
+            B, L, C = x.shape
         heads = self.num_heads
         hidden = int(self.dim * self.mlp_ratio)
         mask = shift_attn_mask(H, W, ws, shift)
@@ -201,7 +253,6 @@ class FusionBlock(nn.Module):
 
         if fused_attention_active():
             NP = fb.round_up(N, 8)
-            xw = _to_padded_windows(x, H, W, ws, shift, NP)
             bias = fb.packed_bias_from_table(table, ws, heads, NP, rel_idx)
             maskp = (None if mask is None else
                      np.pad(mask, ((0, 0), (0, NP - N), (0, NP - N))))
@@ -212,10 +263,21 @@ class FusionBlock(nn.Module):
                                           0, 2 ** 31 - 1)
             else:
                 seed = jnp.asarray(0, jnp.int32)
+            interp = jax.default_backend() != "tpu"
+            if bp:
+                from multimodal_neuroimage_tpu.ops import fusion_block_bp \
+                    as fbp
+                xw = _to_padded_windows_bp(x, H, W, ws, shift, NP)
+                out = fbp.fused_fusion_block_bp(
+                    xw, params, bias, maskp, dp, seed, rates, training,
+                    interpret=interp)
+                return _from_padded_windows_bp(out, H, W, ws, shift, NP)
+            xw = _to_padded_windows(x, H, W, ws, shift, NP)
             out = fb.fused_fusion_block(
                 xw, params, bias, maskp, dp, seed, rates, training,
-                interpret=jax.default_backend() != "tpu")
+                interpret=interp)
             return _from_padded_windows(out, H, W, ws, shift, NP)
+        assert not bp, "BP layout requires the fused kernels"
 
         # ---- plain-jnp path over the same params (non-TPU) ------------------
         (g1, b1, wqkv, bqkv, wp, bp, g2, b2, w1, b1m, w2, b2m) = params
@@ -306,7 +368,12 @@ class CrossFusionBlock(nn.Module):
 
         ws, shift = self._effective()
         H, W = self.input_resolution
-        B, L, C = x.shape
+        bp = x.ndim == 2                  # (L, B*C) batch-lane-packed stream
+        if bp:
+            L, C = x.shape[0], self.dim
+            B = x.shape[1] // C
+        else:
+            B, L, C = x.shape
         heads = self.num_heads
         hidden = int(self.dim * self.mlp_ratio)
         mask = shift_attn_mask(H, W, ws, shift)
@@ -339,8 +406,6 @@ class CrossFusionBlock(nn.Module):
 
         if fused_attention_active():
             NP = fb.round_up(N, 8)
-            xw = _to_padded_windows(x, H, W, ws, shift, NP)
-            yw = _to_padded_windows(y, H, W, ws, shift, NP)
             bias_A = fb.packed_bias_from_table(pA["table"], ws, heads, NP,
                                                rel_idx)
             bias_B = fb.packed_bias_from_table(pB["table"], ws, heads, NP,
@@ -357,6 +422,21 @@ class CrossFusionBlock(nn.Module):
                         else jnp.asarray(0, jnp.int32))
 
             interp = jax.default_backend() != "tpu"
+            if bp:
+                from multimodal_neuroimage_tpu.ops import fusion_block_bp \
+                    as fbp
+                xw = _to_padded_windows_bp(x, H, W, ws, shift, NP)
+                yw = _to_padded_windows_bp(y, H, W, ws, shift, NP)
+                out_x = fbp.fused_cross_fusion_block_bp(
+                    xw, yw, tuple16(pA, pB), bias_A, maskp, dp_A, seed(0),
+                    rates, training, interpret=interp)
+                out_y = fbp.fused_cross_fusion_block_bp(
+                    yw, xw, tuple16(pB, pA), bias_B, maskp, dp_B, seed(1),
+                    rates, training, interpret=interp)
+                return (_from_padded_windows_bp(out_x, H, W, ws, shift, NP),
+                        _from_padded_windows_bp(out_y, H, W, ws, shift, NP))
+            xw = _to_padded_windows(x, H, W, ws, shift, NP)
+            yw = _to_padded_windows(y, H, W, ws, shift, NP)
             out_x = fb.fused_cross_fusion_block(
                 xw, yw, tuple16(pA, pB), bias_A, maskp, dp_A, seed(0),
                 rates, training, interpret=interp)
@@ -365,6 +445,7 @@ class CrossFusionBlock(nn.Module):
                 rates, training, interpret=interp)
             return (_from_padded_windows(out_x, H, W, ws, shift, NP),
                     _from_padded_windows(out_y, H, W, ws, shift, NP))
+        assert not bp, "BP layout requires the fused kernels"
 
         # ---- plain-jnp path over the same params (non-TPU) ------------------
         def ln(t, g, b):
@@ -505,6 +586,12 @@ class BasicLayerFusion(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from multimodal_neuroimage_tpu.ops.attention import (
+            fused_attention_active)
+        B = x.shape[0]
+        bp = _LAYOUT == "bp" and fused_attention_active()
+        if bp:
+            x = _bp_enter(x)
         if self.depth % 2 == 0 and self.depth >= 2:
             scan = nn.scan(scan_body(_FusionPairBody, (3,)),
                            variable_axes={"params": 0},
@@ -513,12 +600,12 @@ class BasicLayerFusion(nn.Module):
                            in_axes=(0, nn.broadcast),
                            length=self.depth // 2)
             aux = _hoisted_aux(self, _dp_pairs(self.drop_path, self.depth),
-                               x.shape[0], deterministic)
+                               B, deterministic)
             x, _ = scan(self.dim, self.input_resolution, self.num_heads,
                         self.window_size, self.mlp_ratio, self.qkv_bias,
                         self.drop, self.attn_drop, name="pairs")(
                 x, aux, deterministic)
-            return x
+            return _bp_exit(x, B) if bp else x
         for i in range(self.depth):
             dp = (self.drop_path[i] if isinstance(self.drop_path, (list, tuple))
                   else self.drop_path)
@@ -528,7 +615,7 @@ class BasicLayerFusion(nn.Module):
                             mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                             drop=self.drop, attn_drop=self.attn_drop,
                             drop_path=dp, name=f"block_{i}")(x, deterministic)
-        return x
+        return _bp_exit(x, B) if bp else x
 
 
 class CrossBasicLayer(nn.Module):
@@ -548,6 +635,12 @@ class CrossBasicLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, y, deterministic: bool = True):
+        from multimodal_neuroimage_tpu.ops.attention import (
+            fused_attention_active)
+        B = x.shape[0]
+        bp = _LAYOUT == "bp" and fused_attention_active()
+        if bp:
+            x, y = _bp_enter(x), _bp_enter(y)
         if self.depth % 2 == 0 and self.depth >= 2:
             scan = nn.scan(scan_body(_CrossPairBody, (3,)),
                            variable_axes={"params": 0},
@@ -556,12 +649,12 @@ class CrossBasicLayer(nn.Module):
                            in_axes=(0, nn.broadcast),
                            length=self.depth // 2)
             aux = _hoisted_aux(self, _dp_pairs(self.drop_path, self.depth),
-                               x.shape[0], deterministic, streams=2)
+                               B, deterministic, streams=2)
             (x, y), _ = scan(self.dim, self.input_resolution, self.num_heads,
                              self.window_size, self.mlp_ratio, self.qkv_bias,
                              self.drop, self.attn_drop, name="pairs")(
                 (x, y), aux, deterministic)
-            return x, y
+            return (_bp_exit(x, B), _bp_exit(y, B)) if bp else (x, y)
         for i in range(self.depth):
             dp = (self.drop_path[i] if isinstance(self.drop_path, (list, tuple))
                   else self.drop_path)
@@ -572,7 +665,7 @@ class CrossBasicLayer(nn.Module):
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                 drop=self.drop, attn_drop=self.attn_drop, drop_path=dp,
                 name=f"block_{i}")(x, y, deterministic)
-        return x, y
+        return (_bp_exit(x, B), _bp_exit(y, B)) if bp else (x, y)
 
 
 class RSTB(nn.Module):

@@ -191,3 +191,66 @@ def test_bp_training_per_sample_masks_differ():
                                     interpret=pltpu.InterpretParams())
     out = np.asarray(fbp.from_bp(out, B))
     assert np.abs(out[0, :, :N] - out[1, :, :N]).max() > 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Stack-level: FUSION_LAYOUT=bp through the flax modules
+# ---------------------------------------------------------------------------
+
+
+def _crstb_apply(layout, monkeypatch, deterministic=True):
+    """Build a depth-2 CRSTB (scanned pair path: BasicLayerFusion x2 +
+    CrossBasicLayer + residuals) and run it under the given FUSION_LAYOUT."""
+    import multimodal_neuroimage_tpu.nn.swinfusion as sf
+    from multimodal_neuroimage_tpu.ops.attention import set_fused_attention
+
+    monkeypatch.setattr(sf, "_LAYOUT", layout)
+    block = sf.CRSTB(dim=C, input_resolution=(RES, RES), depth=2,
+                     num_heads=H, window_size=WS,
+                     drop=0.0 if deterministic else 0.1,
+                     attn_drop=0.0 if deterministic else 0.1,
+                     drop_path=(0.0, 0.1) if not deterministic else (0.0, 0.0))
+    x = jnp.asarray(np.random.default_rng(21).normal(
+        size=(B, RES * RES, C)).astype(np.float32))
+    y = jnp.asarray(np.random.default_rng(22).normal(
+        size=(B, RES * RES, C)).astype(np.float32))
+    set_fused_attention(True)
+    try:
+        v = block.init({"params": jax.random.PRNGKey(0),
+                        "dropout": jax.random.PRNGKey(1),
+                        "droppath": jax.random.PRNGKey(2)}, x, y,
+                       deterministic=True)
+
+        def loss(v, x, y):
+            ox, oy = block.apply(v, x, y, deterministic=deterministic,
+                                 rngs={"dropout": jax.random.PRNGKey(5),
+                                       "droppath": jax.random.PRNGKey(6)})
+            return jnp.sum(jnp.sin(ox)) + jnp.sum(jnp.cos(oy))
+
+        val, grads = jax.value_and_grad(loss)(v, x, y)
+    finally:
+        set_fused_attention(None)
+    return val, grads
+
+
+def test_stack_bp_matches_std(monkeypatch):
+    """FUSION_LAYOUT=bp (batch on the lane axis, 2-D streams between blocks)
+    must reproduce the standard layout exactly through a full CRSTB:
+    values and parameter gradients (deterministic mode — training dropout
+    masks legitimately differ between layouts, the cells draw different
+    PRNG streams)."""
+    v1, g1 = _crstb_apply("std", monkeypatch)
+    v2, g2 = _crstb_apply("bp", monkeypatch)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_stack_bp_training_smoke(monkeypatch):
+    """Training mode through the BP stack: runs, finite value and grads."""
+    val, grads = _crstb_apply("bp", monkeypatch, deterministic=False)
+    assert np.isfinite(float(val))
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))
