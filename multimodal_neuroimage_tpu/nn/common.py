@@ -193,3 +193,25 @@ def window_perm_indices(H: int, W: int, ws: int, shift: int, NP: int):
     exit_ = np.empty(H * W, np.int32)
     exit_[wins.reshape(-1)] = rows.reshape(-1)
     return entry.reshape(-1), exit_
+
+
+@functools.lru_cache(maxsize=None)
+def window_transition_indices(H: int, W: int, ws: int, s_from: int,
+                              s_to: int, NP: int):
+    """COMPOSED inter-block glue: padded-window layout at shift
+    ``s_from`` -> padded-window layout at shift ``s_to`` as ONE gather.
+
+    Equivalent to ``entry(s_to) ∘ exit(s_from)`` from
+    :func:`window_perm_indices`, i.e. reverse-windows -> unshift -> reshift
+    -> re-window collapsed into a single static index plane. Lets a stack of
+    alternating-shift blocks keep its stream window-resident: one gather per
+    block transition instead of an exit + entry pair.
+
+    Returns (nW*NP,) int32: row r of the shift-``s_to`` layout reads row
+    ``t[r]`` of the shift-``s_from`` layout. Pad rows read the row holding
+    flat token 0 (same convention as window_perm_indices pad rows — the
+    kernels never let pad values reach a valid output).
+    """
+    entry_to, _ = window_perm_indices(H, W, ws, s_to, NP)
+    _, exit_from = window_perm_indices(H, W, ws, s_from, NP)
+    return exit_from[entry_to]

@@ -36,7 +36,8 @@ from multimodal_neuroimage_tpu.nn.common import (LayerNorm, scan_body,
                                                  trunc_normal_init,
                                                  window_partition,
                                                  window_perm_indices,
-                                                 window_reverse)
+                                                 window_reverse,
+                                                 window_transition_indices)
 from multimodal_neuroimage_tpu.nn.swin2d import (relative_position_index,
                                                  shift_attn_mask)
 
@@ -56,7 +57,21 @@ _GLUE_MODE = os.environ.get("FUSION_GLUE", "chain")
 #           axis (ops/fusion_block_bp.py). The stacks convert on entry/exit
 #           and the stream stays 2-D (L, B*C) between blocks, so the
 #           transpose is paid once per stack, not per block.
+#   "bpr" — bp + WINDOW-RESIDENT stacks: the stream stays in padded-window
+#           layout across the whole stack; consecutive blocks are glued by
+#           ONE composed-permutation gather (window_transition_indices)
+#           instead of an exit + entry pair, halving inter-block glue.
 _LAYOUT = os.environ.get("FUSION_LAYOUT", "std")
+
+
+def _win_trans(xw, H: int, W: int, ws: int, s_from: int, s_to: int):
+    """(nW, NP, B*C) windows at shift s_from -> windows at shift s_to via
+    one composed gather. No-op when the shifts agree."""
+    if s_from == s_to:
+        return xw
+    nW, NP, BC = xw.shape
+    idx = jnp.asarray(window_transition_indices(H, W, ws, s_from, s_to, NP))
+    return jnp.take(xw.reshape(-1, BC), idx, axis=0).reshape(nW, NP, BC)
 
 
 def _bp_enter(x):
@@ -184,6 +199,7 @@ class FusionBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    io_windows: bool = False   # in/out already (nW, NP, B*C) at own shift
 
     def _effective(self):
         ws, shift = self.window_size, self.shift_size
@@ -200,8 +216,12 @@ class FusionBlock(nn.Module):
 
         ws, shift = self._effective()
         H, W = self.input_resolution
-        bp = x.ndim == 2                  # (L, B*C) batch-lane-packed stream
-        if bp:
+        io_win = self.io_windows          # window-resident (bpr) stream
+        bp = io_win or x.ndim == 2        # batch rides the lane axis
+        if io_win:
+            C = self.dim
+            B = x.shape[-1] // C
+        elif bp:
             L, C = x.shape[0], self.dim
             B = x.shape[1] // C
         else:
@@ -267,11 +287,14 @@ class FusionBlock(nn.Module):
             if bp:
                 from multimodal_neuroimage_tpu.ops import fusion_block_bp \
                     as fbp
-                xw = _to_padded_windows_bp(x, H, W, ws, shift, NP)
+                xw = (x if io_win
+                      else _to_padded_windows_bp(x, H, W, ws, shift, NP))
                 out = fbp.fused_fusion_block_bp(
                     xw, params, bias, maskp, dp, seed, rates, training,
                     interpret=interp)
-                return _from_padded_windows_bp(out, H, W, ws, shift, NP)
+                return (out if io_win
+                        else _from_padded_windows_bp(out, H, W, ws, shift,
+                                                     NP))
             xw = _to_padded_windows(x, H, W, ws, shift, NP)
             out = fb.fused_fusion_block(
                 xw, params, bias, maskp, dp, seed, rates, training,
@@ -323,6 +346,7 @@ class CrossFusionBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    io_windows: bool = False   # in/out already (nW, NP, B*C) at own shift
 
     def _effective(self):
         ws, shift = self.window_size, self.shift_size
@@ -368,8 +392,12 @@ class CrossFusionBlock(nn.Module):
 
         ws, shift = self._effective()
         H, W = self.input_resolution
-        bp = x.ndim == 2                  # (L, B*C) batch-lane-packed stream
-        if bp:
+        io_win = self.io_windows          # window-resident (bpr) stream
+        bp = io_win or x.ndim == 2        # batch rides the lane axis
+        if io_win:
+            C = self.dim
+            B = x.shape[-1] // C
+        elif bp:
             L, C = x.shape[0], self.dim
             B = x.shape[1] // C
         else:
@@ -425,14 +453,18 @@ class CrossFusionBlock(nn.Module):
             if bp:
                 from multimodal_neuroimage_tpu.ops import fusion_block_bp \
                     as fbp
-                xw = _to_padded_windows_bp(x, H, W, ws, shift, NP)
-                yw = _to_padded_windows_bp(y, H, W, ws, shift, NP)
+                xw = (x if io_win
+                      else _to_padded_windows_bp(x, H, W, ws, shift, NP))
+                yw = (y if io_win
+                      else _to_padded_windows_bp(y, H, W, ws, shift, NP))
                 out_x = fbp.fused_cross_fusion_block_bp(
                     xw, yw, tuple16(pA, pB), bias_A, maskp, dp_A, seed(0),
                     rates, training, interpret=interp)
                 out_y = fbp.fused_cross_fusion_block_bp(
                     yw, xw, tuple16(pB, pA), bias_B, maskp, dp_B, seed(1),
                     rates, training, interpret=interp)
+                if io_win:
+                    return out_x, out_y
                 return (_from_padded_windows_bp(out_x, H, W, ws, shift, NP),
                         _from_padded_windows_bp(out_y, H, W, ws, shift, NP))
             xw = _to_padded_windows(x, H, W, ws, shift, NP)
@@ -512,9 +544,20 @@ def _hoisted_aux(mod, dp_pairs, B: int, deterministic: bool,
     return dp, seeds
 
 
+def _eff_geometry(input_resolution, window_size):
+    """Effective (ws, shift, NP) under the small-resolution clamp, mirroring
+    FusionBlock._effective for the stack-level resident glue."""
+    from multimodal_neuroimage_tpu.ops import fusion_block as fb
+    ws = min(min(input_resolution), window_size)
+    shift = 0 if min(input_resolution) <= window_size else window_size // 2
+    return ws, shift, fb.round_up(ws * ws, 8)
+
+
 class _FusionPairBody(nn.Module):
     """nn.scan body: one (no-shift, shift) block pair with traced per-depth
-    DropPath rates."""
+    DropPath rates. With ``resident`` the carry stays in shift-0 padded-
+    window layout and the blocks are glued by composed-permutation
+    transitions."""
 
     dim: int
     input_resolution: Tuple[int, int]
@@ -524,6 +567,7 @@ class _FusionPairBody(nn.Module):
     qkv_bias: bool
     drop: float
     attn_drop: float
+    resident: bool = False
 
     @nn.compact
     def __call__(self, x, aux, deterministic):
@@ -531,12 +575,19 @@ class _FusionPairBody(nn.Module):
         common = dict(dim=self.dim, input_resolution=self.input_resolution,
                       num_heads=self.num_heads, window_size=self.window_size,
                       mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
-                      drop=self.drop, attn_drop=self.attn_drop, drop_path=1.0)
+                      drop=self.drop, attn_drop=self.attn_drop, drop_path=1.0,
+                      io_windows=self.resident)
+        H, W = self.input_resolution
+        ws, s, _ = _eff_geometry(self.input_resolution, self.window_size)
         x = FusionBlock(shift_size=0, name="block_0", **common)(
             x, deterministic, dp_draw=dp_pair[0], seed_val=seeds[0])
+        if self.resident:
+            x = _win_trans(x, H, W, ws, 0, s)
         x = FusionBlock(shift_size=self.window_size // 2, name="block_1",
                         **common)(x, deterministic, dp_draw=dp_pair[1],
                                   seed_val=seeds[1])
+        if self.resident:
+            x = _win_trans(x, H, W, ws, s, 0)
         return x, None
 
 
@@ -550,6 +601,8 @@ class _CrossPairBody(nn.Module):
     drop: float
     attn_drop: float
 
+    resident: bool = False
+
     @nn.compact
     def __call__(self, carry, aux, deterministic):
         x, y = carry
@@ -557,12 +610,21 @@ class _CrossPairBody(nn.Module):
         common = dict(dim=self.dim, input_resolution=self.input_resolution,
                       num_heads=self.num_heads, window_size=self.window_size,
                       mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
-                      drop=self.drop, attn_drop=self.attn_drop, drop_path=1.0)
+                      drop=self.drop, attn_drop=self.attn_drop, drop_path=1.0,
+                      io_windows=self.resident)
+        H, W = self.input_resolution
+        ws, s, _ = _eff_geometry(self.input_resolution, self.window_size)
         x, y = CrossFusionBlock(shift_size=0, name="block_0", **common)(
             x, y, deterministic, dp_draw=dp_pair[0], seed_val=seeds[0])
+        if self.resident:
+            x = _win_trans(x, H, W, ws, 0, s)
+            y = _win_trans(y, H, W, ws, 0, s)
         x, y = CrossFusionBlock(shift_size=self.window_size // 2,
                                 name="block_1", **common)(
             x, y, deterministic, dp_draw=dp_pair[1], seed_val=seeds[1])
+        if self.resident:
+            x = _win_trans(x, H, W, ws, s, 0)
+            y = _win_trans(y, H, W, ws, s, 0)
         return (x, y), None
 
 
@@ -589,9 +651,14 @@ class BasicLayerFusion(nn.Module):
         from multimodal_neuroimage_tpu.ops.attention import (
             fused_attention_active)
         B = x.shape[0]
-        bp = _LAYOUT == "bp" and fused_attention_active()
+        bp = _LAYOUT in ("bp", "bpr") and fused_attention_active()
+        resident = bp and _LAYOUT == "bpr"
+        H, W = self.input_resolution
+        ws, s_eff, NP = _eff_geometry(self.input_resolution, self.window_size)
         if bp:
             x = _bp_enter(x)
+        if resident:
+            x = _to_padded_windows_bp(x, H, W, ws, 0, NP)
         if self.depth % 2 == 0 and self.depth >= 2:
             scan = nn.scan(scan_body(_FusionPairBody, (3,)),
                            variable_axes={"params": 0},
@@ -603,18 +670,28 @@ class BasicLayerFusion(nn.Module):
                                B, deterministic)
             x, _ = scan(self.dim, self.input_resolution, self.num_heads,
                         self.window_size, self.mlp_ratio, self.qkv_bias,
-                        self.drop, self.attn_drop, name="pairs")(
-                x, aux, deterministic)
+                        self.drop, self.attn_drop, resident=resident,
+                        name="pairs")(x, aux, deterministic)
+            if resident:
+                x = _from_padded_windows_bp(x, H, W, ws, 0, NP)
             return _bp_exit(x, B) if bp else x
+        cur = 0
         for i in range(self.depth):
             dp = (self.drop_path[i] if isinstance(self.drop_path, (list, tuple))
                   else self.drop_path)
+            if resident:
+                s_i = 0 if i % 2 == 0 else s_eff
+                x = _win_trans(x, H, W, ws, cur, s_i)
+                cur = s_i
             x = FusionBlock(self.dim, self.input_resolution, self.num_heads,
                             self.window_size,
                             shift_size=0 if i % 2 == 0 else self.window_size // 2,
                             mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                             drop=self.drop, attn_drop=self.attn_drop,
-                            drop_path=dp, name=f"block_{i}")(x, deterministic)
+                            drop_path=dp, io_windows=resident,
+                            name=f"block_{i}")(x, deterministic)
+        if resident:
+            x = _from_padded_windows_bp(x, H, W, ws, cur, NP)
         return _bp_exit(x, B) if bp else x
 
 
@@ -638,9 +715,15 @@ class CrossBasicLayer(nn.Module):
         from multimodal_neuroimage_tpu.ops.attention import (
             fused_attention_active)
         B = x.shape[0]
-        bp = _LAYOUT == "bp" and fused_attention_active()
+        bp = _LAYOUT in ("bp", "bpr") and fused_attention_active()
+        resident = bp and _LAYOUT == "bpr"
+        H, W = self.input_resolution
+        ws, s_eff, NP = _eff_geometry(self.input_resolution, self.window_size)
         if bp:
             x, y = _bp_enter(x), _bp_enter(y)
+        if resident:
+            x = _to_padded_windows_bp(x, H, W, ws, 0, NP)
+            y = _to_padded_windows_bp(y, H, W, ws, 0, NP)
         if self.depth % 2 == 0 and self.depth >= 2:
             scan = nn.scan(scan_body(_CrossPairBody, (3,)),
                            variable_axes={"params": 0},
@@ -652,19 +735,31 @@ class CrossBasicLayer(nn.Module):
                                B, deterministic, streams=2)
             (x, y), _ = scan(self.dim, self.input_resolution, self.num_heads,
                              self.window_size, self.mlp_ratio, self.qkv_bias,
-                             self.drop, self.attn_drop, name="pairs")(
-                (x, y), aux, deterministic)
+                             self.drop, self.attn_drop, resident=resident,
+                             name="pairs")((x, y), aux, deterministic)
+            if resident:
+                x = _from_padded_windows_bp(x, H, W, ws, 0, NP)
+                y = _from_padded_windows_bp(y, H, W, ws, 0, NP)
             return (_bp_exit(x, B), _bp_exit(y, B)) if bp else (x, y)
+        cur = 0
         for i in range(self.depth):
             dp = (self.drop_path[i] if isinstance(self.drop_path, (list, tuple))
                   else self.drop_path)
+            if resident:
+                s_i = 0 if i % 2 == 0 else s_eff
+                x = _win_trans(x, H, W, ws, cur, s_i)
+                y = _win_trans(y, H, W, ws, cur, s_i)
+                cur = s_i
             x, y = CrossFusionBlock(
                 self.dim, self.input_resolution, self.num_heads,
                 self.window_size,
                 shift_size=0 if i % 2 == 0 else self.window_size // 2,
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                 drop=self.drop, attn_drop=self.attn_drop, drop_path=dp,
-                name=f"block_{i}")(x, y, deterministic)
+                io_windows=resident, name=f"block_{i}")(x, y, deterministic)
+        if resident:
+            x = _from_padded_windows_bp(x, H, W, ws, cur, NP)
+            y = _from_padded_windows_bp(y, H, W, ws, cur, NP)
         return (_bp_exit(x, B), _bp_exit(y, B)) if bp else (x, y)
 
 

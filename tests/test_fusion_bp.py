@@ -233,14 +233,16 @@ def _crstb_apply(layout, monkeypatch, deterministic=True):
     return val, grads
 
 
-def test_stack_bp_matches_std(monkeypatch):
+@pytest.mark.parametrize("layout", ["bp", "bpr"])
+def test_stack_bp_matches_std(layout, monkeypatch):
     """FUSION_LAYOUT=bp (batch on the lane axis, 2-D streams between blocks)
-    must reproduce the standard layout exactly through a full CRSTB:
-    values and parameter gradients (deterministic mode — training dropout
-    masks legitimately differ between layouts, the cells draw different
-    PRNG streams)."""
+    and =bpr (window-resident stacks glued by composed-permutation
+    transitions) must reproduce the standard layout exactly through a full
+    CRSTB: values and parameter gradients (deterministic mode — training
+    dropout masks legitimately differ between layouts, the cells draw
+    different PRNG streams)."""
     v1, g1 = _crstb_apply("std", monkeypatch)
-    v2, g2 = _crstb_apply("bp", monkeypatch)
+    v2, g2 = _crstb_apply(layout, monkeypatch)
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(g1),
                     jax.tree_util.tree_leaves(g2)):
@@ -254,3 +256,40 @@ def test_stack_bp_training_smoke(monkeypatch):
     assert np.isfinite(float(val))
     for leaf in jax.tree_util.tree_leaves(grads):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+@pytest.mark.parametrize("layout", ["bp", "bpr"])
+def test_stack_odd_depth_matches_std(layout, monkeypatch):
+    """Odd depths use the unrolled path (per-block transitions + exit from
+    the last block's shift layout in bpr). Depth 3 exercises a trailing
+    shift-0 block after a shifted one."""
+    import multimodal_neuroimage_tpu.nn.swinfusion as sf
+    from multimodal_neuroimage_tpu.ops.attention import set_fused_attention
+
+    x = jnp.asarray(np.random.default_rng(31).normal(
+        size=(B, RES * RES, C)).astype(np.float32))
+
+    def run(lay):
+        monkeypatch.setattr(sf, "_LAYOUT", lay)
+        layer = sf.BasicLayerFusion(dim=C, input_resolution=(RES, RES),
+                                    depth=3, num_heads=H, window_size=WS,
+                                    drop_path=(0.0, 0.0, 0.0))
+        set_fused_attention(True)
+        try:
+            v = layer.init(jax.random.PRNGKey(0), x, deterministic=True)
+
+            def loss(v, x):
+                return jnp.sum(jnp.sin(layer.apply(v, x,
+                                                   deterministic=True)))
+
+            return jax.value_and_grad(loss)(v, x)
+        finally:
+            set_fused_attention(None)
+
+    v1, g1 = run("std")
+    v2, g2 = run(layout)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
