@@ -41,6 +41,20 @@ from multimodal_neuroimage_tpu.ops.fusion_block import (  # shared helpers
     _dot, _dot_nt, _dot_tn, _keep_scale, _ln_bwd, _seed_draw, round_up)
 from multimodal_neuroimage_tpu.ops import fusion_block as _fb
 
+
+def _drop(shape, rate, seed_ref, draw, mode, TP):
+    """Per-(sample, draw) dropout keep/scale mask. mode "prng": hardware
+    PRNG reseeded per (grid cell, draw). mode "hash" (interpreted runs —
+    fusion_block._mode_for semantics: the HLO interpreter has no prng_seed
+    and Mosaic interpret stubs prng_random_bits to zeros): coordinate-hash
+    masks keyed by (seed, draw, global row, col); the grid is (B, 1) so
+    global row = b*TP + r keeps masks independent across samples."""
+    if mode == "prng":
+        _seed_draw(seed_ref, draw)
+        return _keep_scale(shape, rate)
+    row0 = pl.program_id(0) * TP
+    return _fb._hash_keep2(shape, rate, seed_ref[0], draw, row0)
+
 _LN_EPS = 1e-12
 _NEG_INF = -1e9
 N_PARAMS = 16
@@ -109,8 +123,77 @@ def _keypad(TP: int, T: int):
     return jnp.where(col >= T, _NEG_INF, 0.0)
 
 
+# Attention plan (env BERT_ATTN):
+#   "packed" (default) — all heads' score matrices ride one (TP, heads*TP)
+#     lane axis: ONE K-pack dot, ONE logit-cap softmax, ONE dropout draw,
+#     ONE context dot. At heads=12/hd=7 the per-head loop runs 24 tiny
+#     K=7/N=7 dots per direction (~5% MXU utilization) plus 12 cross-lane
+#     max-reduces; packing replaces them with K=84/K=heads*TP dots. Same
+#     packing scheme as ops/fusion_block.py (which measured ~6x from it).
+#   "loop" — the original per-head loop, kept for A/B and as the
+#     max-subtracted-softmax oracle.
+_ATTN_MODE = os.environ.get("BERT_ATTN", "packed")
+
+
+def _keypad_packed(TP: int, T: int, heads: int):
+    """(TP, heads*TP) packed pad-key mask: lane l covers key t = l % TP."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (TP, heads * TP), 1) % TP
+    return jnp.where(col >= T, _NEG_INF, 0.0)
+
+
+def _pack_heads(t, heads):
+    """(TP, H) -> head-packed (H, heads*TP): K_pack[c, h*TP+t] = t[t, c] if
+    channel c belongs to head h else 0. TP is 128-aligned here so the tile
+    is a lane-aligned copy (no placement matmul needed, unlike NP=56 in
+    fusion_block._pack_kv)."""
+    TP, H = t.shape
+    hd = H // heads
+    L = heads * TP
+    tiled = jnp.tile(jnp.swapaxes(t, 0, 1), (1, heads))      # (H, L)
+    sub_c = jax.lax.broadcasted_iota(jnp.int32, (H, L), 0)
+    sel = (sub_c // hd
+           == jax.lax.broadcasted_iota(jnp.int32, (H, L), 1) // TP)
+    return tiled * sel.astype(jnp.float32)
+
+
+def _seg_softmax(S, G):
+    """Per-head-segment logit-cap softmax over the packed lane axis.
+    S (TP, L), G (L, heads) segment indicator."""
+    e = jnp.exp(jnp.minimum(S, _fb._LOGIT_CAP))
+    den = _dot(e, G)                               # (TP, heads)
+    return e * _dot_nt(1.0 / jnp.maximum(den, 1e-38), G)
+
+
+def _unpack_rows(full, TP, heads, hd):
+    """(L, H) -> (TP, H): keep each head's own row block per channel."""
+    H = heads * hd
+    ch = jax.lax.broadcasted_iota(jnp.int32, (TP, H), 1) // hd
+    acc = full[0:TP, :] * (ch == 0).astype(jnp.float32)
+    for h in range(1, heads):
+        acc = acc + (full[h * TP:(h + 1) * TP, :]
+                     * (ch == h).astype(jnp.float32))
+    return acc
+
+
+def _attn_packed_fwd(q, k, v, dims, scale, attn_rate, seed_ref, training,
+                     mm16, mode):
+    """Head-packed attention forward: returns (ctx, p, pd, K_pack, V_pack)."""
+    TP, H, F, heads, T = dims
+    mdot, mdot_nt, _ = _mm(mm16)
+    K_pack = _pack_heads(k, heads)                 # (H, L)
+    V_pack = _pack_heads(v, heads)
+    S = mdot(q * scale, K_pack) + _keypad_packed(TP, T, heads)
+    p = _seg_softmax(S, _fb._seg_matrix(TP, heads))
+    if training and attn_rate > 0.0:
+        pd = p * _drop(p.shape, attn_rate, seed_ref, 3, mode, TP)
+    else:
+        pd = p
+    ctx = mdot_nt(pd, V_pack)                      # (TP, H)
+    return ctx, p, pd, K_pack, V_pack
+
+
 def _attn_head(q, k, v, h, heads, hd, scale, keypad, attn_rate, seed_ref,
-               training):
+               training, mode, TP):
     qh = q[:, h * hd:(h + 1) * hd] * scale
     kh = k[:, h * hd:(h + 1) * hd]
     vh = v[:, h * hd:(h + 1) * hd]
@@ -119,15 +202,14 @@ def _attn_head(q, k, v, h, heads, hd, scale, keypad, attn_rate, seed_ref,
     e = jnp.exp(s)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
     if training and attn_rate > 0.0:
-        _seed_draw(seed_ref, 3 + h, 3 + heads)
-        pd = p * _keep_scale(p.shape, attn_rate)
+        pd = p * _drop(p.shape, attn_rate, seed_ref, 3 + h, mode, TP)
     else:
         pd = p
     return qh, kh, vh, p, pd, _dot(pd, vh)        # ctx_h (TP, hd)
 
 
 def _fwd_parts(seed_ref, x_ref, prefs, dims, rates, training, ctx_scratch,
-               mm16=False):
+               mm16=False, mode="prng"):
     """Shared forward: returns (out, residual values)."""
     TP, H, F, heads, T = dims
     attn_rate, drop_rate = rates
@@ -141,16 +223,19 @@ def _fwd_parts(seed_ref, x_ref, prefs, dims, rates, training, ctx_scratch,
     q = mdot(x, wq[:]) + bq[:]
     k = mdot(x, wk[:]) + bk[:]
     v = mdot(x, wv[:]) + bv[:]
-    keypad = _keypad(TP, T)
-    for h in range(heads):
-        *_, ctx_h = _attn_head(q, k, v, h, heads, hd, scale, keypad,
-                               attn_rate, seed_ref, training)
-        ctx_scratch[:, h * hd:(h + 1) * hd] = ctx_h
-    ctx = ctx_scratch[:]
+    if _ATTN_MODE == "packed":
+        ctx, *_ = _attn_packed_fwd(q, k, v, dims, scale, attn_rate,
+                                   seed_ref, training, mm16, mode)
+    else:
+        keypad = _keypad(TP, T)
+        for h in range(heads):
+            *_, ctx_h = _attn_head(q, k, v, h, heads, hd, scale, keypad,
+                                   attn_rate, seed_ref, training, mode, TP)
+            ctx_scratch[:, h * hd:(h + 1) * hd] = ctx_h
+        ctx = ctx_scratch[:]
     a = mdot(ctx, wo[:]) + bo[:]
     if training and drop_rate > 0.0:
-        _seed_draw(seed_ref, 0, 3 + heads)
-        m0 = _keep_scale(a.shape, drop_rate)
+        m0 = _drop(a.shape, drop_rate, seed_ref, 0, mode, TP)
         a = a * m0
     else:
         m0 = None
@@ -162,8 +247,7 @@ def _fwd_parts(seed_ref, x_ref, prefs, dims, rates, training, ctx_scratch,
         u_c = mdot(x1, w1[:, c0:c0 + Fc]) + b1m[:, c0:c0 + Fc]
         z = z + mdot(_gelu_erf(u_c), w2[c0:c0 + Fc, :])
     if training and drop_rate > 0.0:
-        _seed_draw(seed_ref, 1, 3 + heads)
-        m1 = _keep_scale(z.shape, drop_rate)
+        m1 = _drop(z.shape, drop_rate, seed_ref, 1, mode, TP)
         z = z * m1
     else:
         m1 = None
@@ -171,19 +255,19 @@ def _fwd_parts(seed_ref, x_ref, prefs, dims, rates, training, ctx_scratch,
     return out, (x, q, k, v, ctx, m0, x1, xh1, r1, m1, xh2, r2)
 
 
-def _make_fwd_kernel(dims, rates, training, mm16=False):
+def _make_fwd_kernel(dims, rates, training, mm16=False, mode="prng"):
     def kernel(seed_ref, x_ref, *rest):
         prefs = rest[0:N_PARAMS]
         o_ref, x1_ref, ctx_scratch = (rest[N_PARAMS], rest[N_PARAMS + 1],
                                       rest[N_PARAMS + 2])
         out, res = _fwd_parts(seed_ref, x_ref, prefs, dims, rates, training,
-                              ctx_scratch, mm16)
+                              ctx_scratch, mm16, mode)
         o_ref[0] = out.astype(o_ref.dtype)
         x1_ref[0] = res[6].astype(x1_ref.dtype)   # x1 (post-attention LN)
     return kernel
 
 
-def _make_ffn_bwd_kernel(dims, rates, training, mm16=False):
+def _make_ffn_bwd_kernel(dims, rates, training, mm16=False, mode="prng"):
     """Backward of LN2 + FFN given saved x1; grid (B, 1). Half of the
     BERT_BWD=split A/B pair (predates the 64 MB vmem_limit)."""
     def kernel(seed_ref, x1_ref, g_ref, w1, b1m, w2, b2m, g2, b2,
@@ -200,14 +284,15 @@ def _make_ffn_bwd_kernel(dims, rates, training, mm16=False):
         dx1 = _ffn_bwd_body(seed_ref, x1_ref[0].astype(jnp.float32),
                             g_ref[0].astype(jnp.float32), w1, b1m, w2, b2m,
                             g2, b2, dw1_ref, db1m_ref, dw2_ref, db2m_ref,
-                            dg2_ref, db2_ref, dims, rates, training, mm16)
+                            dg2_ref, db2_ref, dims, rates, training, mm16,
+                            mode)
         dx1_ref[0] = dx1.astype(dx1_ref.dtype)
     return kernel
 
 
 def _ffn_bwd_body(seed_ref, x1, g, w1, b1m, w2, b2m, g2, b2,
                   dw1_ref, db1m_ref, dw2_ref, db2m_ref, dg2_ref, db2_ref,
-                  dims, rates, training, mm16):
+                  dims, rates, training, mm16, mode):
     """LN2+FFN backward math over saved x1; returns dx1 (stays in VMEM when
     called from the merged kernel)."""
     TP, H, F, heads, T = dims
@@ -220,8 +305,7 @@ def _ffn_bwd_body(seed_ref, x1, g, w1, b1m, w2, b2m, g2, b2,
         u_c = mdot(x1, w1[:, c0:c0 + Fc]) + b1m[:, c0:c0 + Fc]
         z = z + mdot(_gelu_erf(u_c), w2[c0:c0 + Fc, :])
     if training and drop_rate > 0.0:
-        _seed_draw(seed_ref, 1, 3 + heads)
-        m1 = _keep_scale(z.shape, drop_rate)
+        m1 = _drop(z.shape, drop_rate, seed_ref, 1, mode, TP)
         z = z * m1
     else:
         m1 = None
@@ -248,7 +332,7 @@ def _ffn_bwd_body(seed_ref, x1, g, w1, b1m, w2, b2m, g2, b2,
 def _attn_bwd_body(seed_ref, x, dx1, wq, bq, wk, bk, wv, bv, wo, bo, g1, b1,
                    dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref,
                    dwo_ref, dbo_ref, dg1_ref, db1_ref, ctx_scratch,
-                   dqkv_scratch, dims, rates, training, mm16):
+                   dqkv_scratch, dims, rates, training, mm16, mode):
     """Attention-half backward math given d(x1); returns dx."""
     TP, H, F, heads, T = dims
     attn_rate, drop_rate = rates
@@ -259,16 +343,20 @@ def _attn_bwd_body(seed_ref, x, dx1, wq, bq, wk, bk, wv, bv, wo, bo, g1, b1,
     q = mdot(x, wq[:]) + bq[:]
     k = mdot(x, wk[:]) + bk[:]
     v = mdot(x, wv[:]) + bv[:]
-    keypad = _keypad(TP, T)
-    for h in range(heads):
-        *_, ctx_h = _attn_head(q, k, v, h, heads, hd, scale, keypad,
-                               attn_rate, seed_ref, training)
-        ctx_scratch[:, h * hd:(h + 1) * hd] = ctx_h
-    ctx = ctx_scratch[:]
+    packed = _ATTN_MODE == "packed"
+    if packed:
+        ctx, p, pd, K_pack, V_pack = _attn_packed_fwd(
+            q, k, v, dims, scale, attn_rate, seed_ref, training, mm16, mode)
+    else:
+        keypad = _keypad(TP, T)
+        for h in range(heads):
+            *_, ctx_h = _attn_head(q, k, v, h, heads, hd, scale, keypad,
+                                   attn_rate, seed_ref, training, mode, TP)
+            ctx_scratch[:, h * hd:(h + 1) * hd] = ctx_h
+        ctx = ctx_scratch[:]
     a = mdot(ctx, wo[:]) + bo[:]
     if training and drop_rate > 0.0:
-        _seed_draw(seed_ref, 0, 3 + heads)
-        m0 = _keep_scale(a.shape, drop_rate)
+        m0 = _drop(a.shape, drop_rate, seed_ref, 0, mode, TP)
         a = a * m0
     else:
         m0 = None
@@ -282,26 +370,38 @@ def _attn_bwd_body(seed_ref, x, dx1, wq, bq, wk, bk, wv, bv, wo, bo, g1, b1,
     dwo_ref[:] += mdot_tn(ctx, da)
     dctx = mdot_nt(da, wo[:])
 
-    for h in range(heads):
-        qh, kh, vh, p, pd, _ = _attn_head(q, k, v, h, heads, hd, scale,
-                                          keypad, attn_rate, seed_ref,
-                                          training)
-        dctx_h = dctx[:, h * hd:(h + 1) * hd]
-        dpd = _dot_nt(dctx_h, vh)              # (TP, TP)
-        dvh = _dot_tn(pd, dctx_h)              # (TP, hd)
+    if packed:
+        G = _fb._seg_matrix(TP, heads)
+        dpd = mdot(dctx, V_pack)               # (TP, L)
+        dv = _unpack_rows(mdot_tn(pd, dctx), TP, heads, hd)
         if training and attn_rate > 0.0:
-            _seed_draw(seed_ref, 3 + h, 3 + heads)
-            dp = dpd * _keep_scale(dpd.shape, attn_rate)
+            dp = dpd * _drop(dpd.shape, attn_rate, seed_ref, 3, mode, TP)
         else:
             dp = dpd
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dqkv_scratch[:, h * hd:(h + 1) * hd] = _dot(ds, kh) * scale
-        dqkv_scratch[:, H + h * hd:H + (h + 1) * hd] = _dot_tn(ds, qh)
-        dqkv_scratch[:, 2 * H + h * hd:2 * H + (h + 1) * hd] = dvh
-
-    dq = dqkv_scratch[:, 0:H]
-    dk = dqkv_scratch[:, H:2 * H]
-    dv = dqkv_scratch[:, 2 * H:3 * H]
+        seg_sum = _dot_nt(_dot(dp * p, G), G)  # per-head row sums, packed
+        ds = p * (dp - seg_sum)
+        dq = mdot_nt(ds, K_pack) * scale
+        dk = _unpack_rows(mdot_tn(ds, q * scale), TP, heads, hd)
+    else:
+        for h in range(heads):
+            qh, kh, vh, p, pd, _ = _attn_head(q, k, v, h, heads, hd, scale,
+                                              keypad, attn_rate, seed_ref,
+                                              training, mode, TP)
+            dctx_h = dctx[:, h * hd:(h + 1) * hd]
+            dpd = _dot_nt(dctx_h, vh)              # (TP, TP)
+            dvh = _dot_tn(pd, dctx_h)              # (TP, hd)
+            if training and attn_rate > 0.0:
+                dp = dpd * _drop(dpd.shape, attn_rate, seed_ref, 3 + h,
+                                 mode, TP)
+            else:
+                dp = dpd
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dqkv_scratch[:, h * hd:(h + 1) * hd] = _dot(ds, kh) * scale
+            dqkv_scratch[:, H + h * hd:H + (h + 1) * hd] = _dot_tn(ds, qh)
+            dqkv_scratch[:, 2 * H + h * hd:2 * H + (h + 1) * hd] = dvh
+        dq = dqkv_scratch[:, 0:H]
+        dk = dqkv_scratch[:, H:2 * H]
+        dv = dqkv_scratch[:, 2 * H:3 * H]
     dbq_ref[:] += jnp.sum(dq, axis=0, keepdims=True)
     dwq_ref[:] += mdot_tn(x, dq)
     dbk_ref[:] += jnp.sum(dk, axis=0, keepdims=True)
@@ -312,7 +412,7 @@ def _attn_bwd_body(seed_ref, x, dx1, wq, bq, wk, bk, wv, bv, wo, bo, g1, b1,
             + mdot_nt(dv, wv[:]))
 
 
-def _make_merged_bwd_kernel(dims, rates, training, mm16=False):
+def _make_merged_bwd_kernel(dims, rates, training, mm16=False, mode="prng"):
     """ONE backward kernel per layer: FFN/LN2 side over saved x1 (dx1 stays
     in VMEM), then the attention-side recompute + backward. The split
     variant below predates the 64 MB vmem_limit and is kept for A/B
@@ -340,17 +440,17 @@ def _make_merged_bwd_kernel(dims, rates, training, mm16=False):
         g = g_ref[0].astype(jnp.float32)
         dx1 = _ffn_bwd_body(seed_ref, x1, g, w1, b1m, w2, b2m, g2, b2,
                             dw1_ref, db1m_ref, dw2_ref, db2m_ref, dg2_ref,
-                            db2_ref, dims, rates, training, mm16)
+                            db2_ref, dims, rates, training, mm16, mode)
         dx = _attn_bwd_body(seed_ref, x, dx1, wq, bq, wk, bk, wv, bv, wo,
                             bo, g1, b1, dwq_ref, dbq_ref, dwk_ref, dbk_ref,
                             dwv_ref, dbv_ref, dwo_ref, dbo_ref, dg1_ref,
                             db1_ref, ctx_scratch, dqkv_scratch, dims, rates,
-                            training, mm16)
+                            training, mm16, mode)
         dx_ref[0] = dx.astype(dx_ref.dtype)
     return kernel
 
 
-def _make_attn_bwd_kernel(dims, rates, training, mm16=False):
+def _make_attn_bwd_kernel(dims, rates, training, mm16=False, mode="prng"):
     """Backward of the attention half given d(x1); grid (B, 1). Half of the
     BERT_BWD=split A/B pair."""
     def kernel(seed_ref, x_ref, dx1_ref, wq, bq, wk, bk, wv, bv, wo, bo,
@@ -370,7 +470,7 @@ def _make_attn_bwd_kernel(dims, rates, training, mm16=False):
                             wv, bv, wo, bo, g1, b1, dwq_ref, dbq_ref,
                             dwk_ref, dbk_ref, dwv_ref, dbv_ref, dwo_ref,
                             dbo_ref, dg1_ref, db1_ref, ctx_scratch,
-                            dqkv_scratch, dims, rates, training, mm16)
+                            dqkv_scratch, dims, rates, training, mm16, mode)
         dx_ref[0] = dx.astype(dx_ref.dtype)
     return kernel
 
@@ -416,8 +516,9 @@ def _fbl_fwd(x, params, seed, heads, t_valid, rates, training, interpret):
     in_specs, x_spec = _specs(TP, H, p_shapes)
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
     f32 = lambda t: jnp.asarray(t, jnp.float32)
+    mode = _fb._mode_for(interpret)
     out, x1 = pl.pallas_call(
-        _make_fwd_kernel(dims, rates, training, mm16),
+        _make_fwd_kernel(dims, rates, training, mm16, mode),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(B, 1),
             in_specs=in_specs, out_specs=[x_spec, x_spec],
@@ -440,9 +541,10 @@ def _fbl_bwd(heads, t_valid, rates, training, interpret, res, g):
                           memory_space=pltpu.VMEM)
     mm16 = x.dtype == jnp.bfloat16
     p_shapes = param_shapes(H, F)
+    mode = _fb._mode_for(interpret)
     if _BWD_MODE == "merged":
         outs = pl.pallas_call(
-            _make_merged_bwd_kernel(dims, rates, training, mm16),
+            _make_merged_bwd_kernel(dims, rates, training, mm16, mode),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1, grid=(B, 1),
                 in_specs=([x_spec, x_spec, x_spec]
@@ -465,7 +567,7 @@ def _fbl_bwd(heads, t_valid, rates, training, interpret, res, g):
     ffn_p = params[10:16]
     ffn_shapes = p_shapes[10:16]
     ffn_outs = pl.pallas_call(
-        _make_ffn_bwd_kernel(dims, rates, training, mm16),
+        _make_ffn_bwd_kernel(dims, rates, training, mm16, mode),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(B, 1),
             in_specs=[x_spec, x_spec] + [_resident(s) for s in ffn_shapes],
@@ -480,7 +582,7 @@ def _fbl_bwd(heads, t_valid, rates, training, interpret, res, g):
     attn_p = params[0:10]
     attn_shapes = p_shapes[0:10]
     attn_outs = pl.pallas_call(
-        _make_attn_bwd_kernel(dims, rates, training, mm16),
+        _make_attn_bwd_kernel(dims, rates, training, mm16, mode),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(B, 1),
             in_specs=[x_spec, x_spec] + [_resident(s) for s in attn_shapes],
