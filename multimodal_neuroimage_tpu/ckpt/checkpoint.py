@@ -65,8 +65,15 @@ def load_checkpoint(path: str, params_template, opt_state_template=None
     out["params"] = serialization.from_bytes(params_template,
                                              payload["params"])
     if opt_state_template is not None and payload.get("opt_state") is not None:
-        out["opt_state"] = serialization.from_bytes(opt_state_template,
-                                                    payload["opt_state"])
+        try:
+            out["opt_state"] = serialization.from_bytes(
+                opt_state_template, payload["opt_state"])
+        except Exception as e:
+            # opt_state pytree structure changed across versions (e.g. the
+            # optax.flatten switch): resume params/step, restart the
+            # optimizer moments rather than crashing the run
+            print(f"[ckpt] opt_state incompatible with current optimizer "
+                  f"({e}); resuming with fresh optimizer state")
     return out
 
 

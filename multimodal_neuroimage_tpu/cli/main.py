@@ -128,21 +128,31 @@ def weight_loader(cfg: Config) -> Optional[str]:
     if chain_from is None:
         return None
     want_task = PHASE_TASKS[chain_from]
-    candidates = []  # (same_title, mtime, path) — sorted ascending, last wins
+    # (same_target, same_title, mtime, path) — sorted ascending, last wins:
+    # a same-target candidate always beats a cross-target one (decoy
+    # experiments for other targets lose), but a task-matched checkpoint
+    # trained on a different target is still usable for transfer (the
+    # reference keys only by explicit phase path, utils.py:95-128) — fall
+    # back to it with a warning rather than silently training from scratch.
+    candidates = []
     for folder in glob.glob(os.path.join(cfg.base_path, "experiments", "*")):
         meta = _experiment_meta(folder)
-        if not meta or meta.get("task") != want_task \
-                or meta.get("target") != cfg.target:
+        if not meta or meta.get("task") != want_task:
             continue
         ckpts = glob.glob(os.path.join(folder, "*BEST*.ckpt"))
         if not ckpts:
             continue
         best = max(ckpts, key=os.path.getmtime)
-        candidates.append((meta.get("exp_name") == cfg.exp_name,
+        candidates.append((meta.get("target") == cfg.target,
+                           meta.get("exp_name") == cfg.exp_name,
                            os.path.getmtime(best), best))
     if not candidates:
         return None
-    return sorted(candidates)[-1][2]
+    same_target, _, _, path = sorted(candidates)[-1]
+    if not same_target:
+        print(f"[weight_loader] no {want_task} checkpoint for target "
+              f"'{cfg.target}'; chaining cross-target from {path}")
+    return path
 
 
 def run_phase(cfg: Config) -> dict:

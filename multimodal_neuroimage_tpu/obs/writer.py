@@ -30,7 +30,7 @@ class Writer:
         self.log_dir = log_dir
         self.sets = sets
         self.running_mean_size = running_mean_size
-        self.loss_values: Dict[str, List[float]] = defaultdict(list)
+        self.loss_values: Dict[str, List] = defaultdict(list)  # (value, weight)
         self.loss_history: Dict[str, List[float]] = defaultdict(list)
         self.metric_history: Dict[str, List[float]] = defaultdict(list)
         self.current_metrics: Dict[str, float] = {}
@@ -57,12 +57,16 @@ class Writer:
                 self.wandb = None
 
     # -- losses ---------------------------------------------------------------
-    def write_losses(self, loss_dict: Dict[str, float], set_name: str) -> None:
-        """Append per-step loss values (loss_writer.py:147-155)."""
+    def write_losses(self, loss_dict: Dict[str, float], set_name: str,
+                     weight: float = 1.0) -> None:
+        """Append per-step loss values (loss_writer.py:147-155). ``weight``
+        down-weights padded eval tail batches (valid-sample fraction) so the
+        duplicated pad slots don't bias the loss averages that feed
+        regression BEST-checkpoint selection and the optuna objective."""
         for name, value in loss_dict.items():
             key = f"{name}_{set_name}"
             vals = self.loss_values[key]
-            vals.append(value)  # may be a device scalar; synced at summary
+            vals.append((value, weight))  # device scalar; synced at summary
             if set_name == "train":
                 del vals[:-self.running_mean_size]
         if set_name == "train":
@@ -75,7 +79,9 @@ class Writer:
         for key, vals in self.loss_values.items():
             if not vals:
                 continue
-            mean = float(sum(float(v) for v in vals) / len(vals))
+            wsum = sum(w for _, w in vals)
+            mean = float(sum(float(v) * w for v, w in vals)
+                         / max(wsum, 1e-12))
             self.loss_history[f"{key}_loss_history"].append(mean)
             out[key] = mean
             self._scalar(f"loss/{key}", mean, len(self.loss_history[

@@ -158,7 +158,13 @@ def _pack_heads(t, heads):
 
 def _seg_softmax(S, G):
     """Per-head-segment logit-cap softmax over the packed lane axis.
-    S (TP, L), G (L, heads) segment indicator."""
+    S (TP, L), G (L, heads) segment indicator.
+
+    The cap (fusion_block._LOGIT_CAP = 80) replaces per-head max
+    subtraction; identical below the cap, and at hd=7 / LN-bounded inputs
+    trained logits stay orders of magnitude under 80. If a score DID exceed
+    80 the clamp would zero its gradient — BERT_ATTN=loop keeps the
+    max-subtracted oracle for checking that (tests compare the two)."""
     e = jnp.exp(jnp.minimum(S, _fb._LOGIT_CAP))
     den = _dot(e, G)                               # (TP, heads)
     return e * _dot_nt(1.0 / jnp.maximum(den, 1e-38), G)

@@ -108,7 +108,14 @@ def _seed_draw(seed_ref, draw: int, n_draws: int = 0):
     ``_hash_keep*`` masks are keyed by GLOBAL token coordinates instead, so
     fwd/bwd may chunk differently and still regenerate identical masks."""
     cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-    h = (seed_ref[0] * jnp.int32(-1640531527)        # 0x9E3779B9 (golden)
+    _prng_seed_cell(seed_ref[0], draw, cell)
+
+
+def _prng_seed_cell(seed, draw: int, cell):
+    """THE seed hash: each of (seed, cell, draw) mixed with a distinct large
+    odd constant and XOR-combined (single definition — the BP kernels' 1-D
+    grids and the BERT kernels reuse it with their own cell ids)."""
+    h = (seed * jnp.int32(-1640531527)               # 0x9E3779B9 (golden)
          ^ (cell + jnp.int32(1)) * jnp.int32(461845907)
          ^ jnp.int32(draw + 1) * jnp.int32(-862048943))
     pltpu.prng_seed(h)
@@ -159,10 +166,7 @@ def _prng_keep(shape, rate: float, seed, draw: int):
     """Hardware-PRNG dropout mask, reseeded per (grid cell, draw) so fwd and
     bwd (same grid) regenerate any draw independent of evaluation order."""
     cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-    h = (seed * jnp.int32(-1640531527)
-         ^ (cell + jnp.int32(1)) * jnp.int32(461845907)
-         ^ jnp.int32(draw + 1) * jnp.int32(-862048943))
-    pltpu.prng_seed(h)
+    _prng_seed_cell(seed, draw, cell)
     return _keep_scale(shape, rate)
 
 

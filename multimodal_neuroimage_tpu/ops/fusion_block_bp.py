@@ -187,11 +187,8 @@ def _tiled_mask_bp(mask, BH: int):
 
 
 def _prng_keep1(shape, rate: float, seed, draw: int):
-    cell = pl.program_id(0)
-    h = (seed * jnp.int32(-1640531527)
-         ^ (cell + jnp.int32(1)) * jnp.int32(461845907)
-         ^ jnp.int32(draw + 1) * jnp.int32(-862048943))
-    pltpu.prng_seed(h)
+    """1-D-grid variant of fusion_block._prng_keep (same seed hash)."""
+    fb._prng_seed_cell(seed, draw, pl.program_id(0))
     return _keep_scale(shape, rate)
 
 

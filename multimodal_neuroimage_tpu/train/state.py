@@ -131,7 +131,8 @@ def make_train_step(model, loss_specs: Dict[str, LossSpec],
                     compute_dtype: str = "bfloat16",
                     donate: bool = True, remat: bool = False,
                     mesh=None, extra_loss_fns=None,
-                    with_norms: bool = False) -> Callable:
+                    with_norms: bool = False,
+                    norms_every: int = 1) -> Callable:
     """Build the single jitted optimizer step.
 
     Returns fn(state, batch) -> (state, loss_dict, outputs) — or a 4-tuple
@@ -178,7 +179,26 @@ def make_train_step(model, loss_specs: Dict[str, LossSpec],
         rng = jax.random.fold_in(state.rng, state.step)
         (_, (losses, outputs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch, rng)
-        norms = param_grad_norms(state.params, grads) if with_norms else None
+        norms = None
+        if with_norms:
+            # lax.cond gates the full-tree norm reductions to logging steps
+            # only (the trainer consumes them every norms_every steps — the
+            # skipped steps' dict is zeros and never read)
+            def _norms(p, g):
+                return param_grad_norms(p, g)
+
+            def _zeros(p, g):
+                z = jnp.zeros((), jnp.float32)
+                out = {"grad/global": z}
+                if isinstance(p, (dict, FrozenDict)):
+                    for key in p:
+                        out[f"param/{key}"] = z
+                        out[f"grad/{key}"] = z
+                return out
+
+            want = (state.step + 1) % norms_every == 0
+            norms = jax.lax.cond(want, _norms, _zeros,
+                                 state.params, grads)
         new_state = state.apply_gradients(grads)
         if repl is not None:
             new_state = jax.tree_util.tree_map(

@@ -106,7 +106,9 @@ class Trainer:
         self.train_step = make_train_step(self.model, self.loss_specs,
                                           cfg.compute_dtype, mesh=self.mesh,
                                           extra_loss_fns=self.extra_loss_fns,
-                                          with_norms=self.with_norms)
+                                          with_norms=self.with_norms,
+                                          norms_every=max(
+                                              cfg.log_grad_norms_every, 1))
         self.eval_step = make_eval_step(self.model, self.loss_specs,
                                         cfg.compute_dtype,
                                         extra_loss_fns=self.extra_loss_fns)
@@ -213,15 +215,20 @@ class Trainer:
         cfg = self.cfg
         for i, (batch, names) in enumerate(
                 self.pipeline.epoch("train", epoch)):
+            norms = None
             if self.with_norms:
                 self.state, losses, preds, norms = self.train_step(self.state,
                                                                    batch)
-                if (i + 1) % cfg.log_grad_norms_every == 0:
-                    self.writer.write_norms(norms,
-                                            self.writer.total_train_steps)
             else:
                 self.state, losses, preds = self.train_step(self.state, batch)
             self.writer.write_losses(self._audit_nans(losses, names), "train")
+            # norms are real values only on steps the jitted cond computed
+            # them (state.step is post-update here, matching the kernel's
+            # (step+1) % every predicate); logged after write_losses so the
+            # step label matches the loss curves
+            if norms is not None and \
+                    int(self.state.step) % cfg.log_grad_norms_every == 0:
+                self.writer.write_norms(norms, self.writer.total_train_steps)
             self._record_batch(preds, batch, names, "train")
             # mid-epoch validation every validation_frequency batches
             # (reference trainer.py:439-453; default is effectively off)
@@ -240,7 +247,13 @@ class Trainer:
         for i, (batch, names) in enumerate(
                 self.pipeline.epoch(mode, epoch, shuffle=False)):
             losses, preds = self.eval_step(self.state.params, batch)
-            self.writer.write_losses(self._audit_nans(losses, names), mode)
+            # padded tail batches (names=None slots) carry duplicated
+            # subjects — weight the recorded loss by the valid fraction so
+            # they don't bias val-loss averages (metrics are pad-cleaned
+            # separately in _drop_padded)
+            w = sum(n is not None for n in names) / max(len(names), 1)
+            self.writer.write_losses(self._audit_nans(losses, names), mode,
+                                     weight=w)
             self._record_batch(preds, batch, names, mode)
             if cfg.profiling and i + 1 >= PROFILING_MAX_BATCHES:
                 break
