@@ -73,9 +73,18 @@ class Writer:
             self.total_train_steps += 1
 
     def loss_summary(self, lr: float = 0.0) -> Dict[str, float]:
-        """Running means -> history -> scalar sinks (loss_writer.py:58-73)."""
+        """Running means -> history -> scalar sinks (loss_writer.py:58-73).
+        Recorded values may be device scalars; they are materialized in ONE
+        batched transfer here (per-value float() would be one RPC each on
+        the tunneled backend)."""
         out: Dict[str, float] = {}
         self.metric_history["lr"].append(lr)
+        try:
+            import jax
+            fetched = jax.device_get(dict(self.loss_values))
+            self.loss_values = defaultdict(list, fetched)
+        except Exception:
+            pass
         for key, vals in self.loss_values.items():
             if not vals:
                 continue

@@ -130,6 +130,7 @@ class Trainer:
         self.optuna_trial = None  # set by hpo harness
         self.nan_subjects: Dict[str, set] = {}
         self._pending: List = []
+        self._audit_queue: List = []
 
     # ------------------------------------------------------------------
     def _restore_weights(self) -> None:
@@ -169,20 +170,14 @@ class Trainer:
                       mode: str) -> None:
         if self.pred_key not in preds:
             return
-        if not self.cfg.nan_audit:
-            # defer the device->host copy: keep the device scalars and flush
-            # them in one batched transfer at summary time (keeps the step
-            # pipeline free of per-step syncs)
-            self._pending.append((names, preds[self.pred_key],
-                                  batch["target"], mode))
-            return
-        scores = np.asarray(preds[self.pred_key]).reshape(-1)
-        targets = np.asarray(batch["target"]).reshape(-1)
-        names, scores, targets = self._drop_padded(names, scores, targets)
-        if names:
-            self.accumulator.append(names, scores, targets, mode)
+        # defer the device->host copy: keep the device arrays and flush
+        # them in one batched transfer at summary time (keeps the step
+        # pipeline free of per-step syncs)
+        self._pending.append((names, preds[self.pred_key],
+                              batch["target"], mode))
 
     def _flush_pending(self) -> None:
+        self._flush_nan_audit()
         if not self._pending:
             return
         arrays = jax.device_get([(p[1], p[2]) for p in self._pending])
@@ -196,20 +191,26 @@ class Trainer:
         self._pending = []
 
     def _audit_nans(self, losses: Dict, names: List[str]) -> Dict:
-        """Per-loss NaN audit collecting offending subject IDs
-        (reference trainer.py:548-555). With cfg.nan_audit=False the loss
-        scalars stay on device (no per-step sync; converted lazily at the
-        epoch summary)."""
-        if not self.cfg.nan_audit:
-            return losses
-        out = {}
-        for k, v in losses.items():
-            fv = float(v)
-            if not np.isfinite(fv):
-                self.nan_subjects.setdefault(k, set()).update(names)
-                print(f"[nan-audit] non-finite {k} loss; subjects {names}")
-            out[k] = fv
-        return out
+        """Per-loss NaN audit collecting offending subject IDs (reference
+        trainer.py:548-555). The audit is DEFERRED: device scalars are queued
+        and fetched in ONE batched transfer at flush time — a per-step
+        float() would sync the pipeline every step on the value-fetch-bound
+        tunneled backend."""
+        if self.cfg.nan_audit:
+            self._audit_queue.append((list(names), dict(losses)))
+        return losses
+
+    def _flush_nan_audit(self) -> None:
+        if not self._audit_queue:
+            return
+        fetched = jax.device_get([ls for _, ls in self._audit_queue])
+        for (names, _), losses in zip(self._audit_queue, fetched):
+            for k, v in losses.items():
+                if not np.isfinite(float(v)):
+                    self.nan_subjects.setdefault(k, set()).update(names)
+                    print(f"[nan-audit] non-finite {k} loss; "
+                          f"subjects {names}")
+        self._audit_queue = []
 
     def train_epoch(self, epoch: int) -> None:
         cfg = self.cfg
