@@ -46,6 +46,8 @@ def main() -> None:
     batch_size = per_chip_batch * n_chips
 
     cfg = _flagship_cfg(tiny=(platform == "cpu"))
+    from multimodal_neuroimage_tpu.ops.autoplan import resolve_plans
+    resolve_plans(per_chip_batch)
     mesh = build_mesh()
     model = create_model(cfg)
     batch = _example_batch(batch_size, r=cfg.intermediate_vec)

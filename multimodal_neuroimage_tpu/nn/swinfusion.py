@@ -61,7 +61,10 @@ _GLUE_MODE = os.environ.get("FUSION_GLUE", "chain")
 #           layout across the whole stack; consecutive blocks are glued by
 #           ONE composed-permutation gather (window_transition_indices)
 #           instead of an exit + entry pair, halving inter-block glue.
-_LAYOUT = os.environ.get("FUSION_LAYOUT", "std")
+# Unset (None) behaves as "std" until ops/autoplan.resolve_plans() picks a
+# plan for the live backend (bpr on TPU when its canary compiles, std
+# otherwise). Tests monkeypatch this global directly.
+_LAYOUT = os.environ.get("FUSION_LAYOUT")
 
 
 def _win_trans(xw, H: int, W: int, ws: int, s_from: int, s_to: int):

@@ -1,0 +1,137 @@
+"""Kernel execution-plan resolution with hardware canaries.
+
+The fused kernels ship alternative execution plans picked by module
+globals: SwinFusion layout (nn/swinfusion._LAYOUT: std / bp / bpr — see
+ops/fusion_block_bp.py for the batch-lane-packed design) and the BERT
+attention plan (ops/bert_layer._ATTN_MODE: packed / loop).
+
+The fast plans (bpr, packed) pack more live state into VMEM; their chunk
+models adapt, but a mis-estimate at an unusual geometry would surface as a
+Mosaic compile error deep inside a jitted train step. ``resolve_plans``
+runs ONCE per process, eagerly compiling a flagship-geometry canary of
+each fast-plan kernel on the real backend and falling back to the proven
+conservative plan on any failure — so the framework always boots, and
+gets the fast plan whenever the hardware accepts it. Env vars
+FUSION_LAYOUT / BERT_ATTN pin a plan explicitly and skip the canary.
+
+Called from Trainer boot, bench.py, and __graft_entry__ (all before any
+jit tracing — the canary executes eagerly and cannot run inside a trace).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+_RESOLVED = False
+
+
+def _on_tpu() -> bool:
+    import jax
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _canary_fusion_bp(batch: int) -> None:
+    """Compile + run one self and one cross BP fusion block fwd+bwd at the
+    flagship geometry (84x84, ws=6 -> nW=196/NP=40, C=12, heads=6,
+    mlp_ratio=4, shifted mask) in training mode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from multimodal_neuroimage_tpu.nn.swin2d import (relative_position_index,
+                                                     shift_attn_mask)
+    from multimodal_neuroimage_tpu.ops import fusion_block as fb
+    from multimodal_neuroimage_tpu.ops import fusion_block_bp as fbp
+
+    C, heads, ws, res = 12, 6, 6, 84
+    N = ws * ws
+    NP = fb.round_up(N, 8)
+    nW = (res // ws) ** 2
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(nW, NP, batch * C)), jnp.float32)
+    table = jnp.asarray(rng.normal(size=((2 * ws - 1) ** 2, heads)) * 0.1,
+                        jnp.float32)
+    rel = relative_position_index(ws, ws)
+    bias = fb.packed_bias_from_table(table, ws, heads, NP, rel)
+    mask = np.pad(shift_attn_mask(res, res, ws, ws // 2),
+                  ((0, 0), (0, NP - N), (0, NP - N)))
+    dp = jnp.ones((batch, 2), jnp.float32)
+    rates = (0.1, 0.1)
+
+    def self_loss(xx):
+        p = tuple(jnp.full(s, 0.02, jnp.float32)
+                  for s in fb.param_shapes(C, 4 * C, cross=False))
+        return jnp.sum(fbp.fused_fusion_block_bp(
+            xx, p, bias, mask, dp, 7, rates, True))
+
+    def cross_loss(xx):
+        p = tuple(jnp.full(s, 0.02, jnp.float32)
+                  for s in fb.param_shapes(C, 4 * C, cross=True))
+        return jnp.sum(fbp.fused_cross_fusion_block_bp(
+            xx, xx + 1.0, p, bias, mask, dp, 8, rates, True))
+
+    float(jax.jit(jax.grad(self_loss))(x).sum())
+    float(jax.jit(jax.grad(cross_loss))(x).sum())
+
+
+def _canary_bert_packed(batch: int, t: int = 369, hidden: int = 84,
+                        inter: int = 3072, heads: int = 12) -> None:
+    """Compile + run one packed BERT layer fwd+bwd at flagship geometry."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_neuroimage_tpu.ops import bert_layer as bl
+
+    TP = bl.round_up(t, 8)
+    x = jnp.ones((batch, TP, hidden), jnp.bfloat16) * 0.1
+    params = tuple(jnp.full(s, 0.02, jnp.float32)
+                   for s in bl.param_shapes(hidden, inter))
+
+    def loss(xx):
+        out = bl.bert_layer_call(xx, params, 5, heads, t, (0.1, 0.1), True)
+        return jnp.sum(out.astype(jnp.float32))
+
+    float(jax.jit(jax.grad(loss))(x).astype(jnp.float32).sum())
+
+
+def resolve_plans(batch_size: int = 8) -> Tuple[str, str]:
+    """Resolve (fusion layout, bert attention plan) once per process.
+    Returns the chosen pair; also mutates the module globals the flax
+    modules read at trace time."""
+    global _RESOLVED
+    import multimodal_neuroimage_tpu.nn.swinfusion as sf
+    from multimodal_neuroimage_tpu.ops import bert_layer as bl
+
+    if _RESOLVED:
+        return sf._LAYOUT, bl._ATTN_MODE
+    _RESOLVED = True
+
+    if not _on_tpu():
+        # non-TPU backends use the plain-jnp twins (fused kernels inactive
+        # unless forced for tests, which pin layouts themselves)
+        if sf._LAYOUT is None:
+            sf._LAYOUT = "std"
+        return sf._LAYOUT, bl._ATTN_MODE
+
+    if sf._LAYOUT is None:                         # no env override
+        try:
+            _canary_fusion_bp(batch_size)
+            sf._LAYOUT = "bpr"
+        except Exception as e:                     # pragma: no cover - hw
+            print(f"[autoplan] BP fusion canary failed ({type(e).__name__}:"
+                  f" {e}); falling back to std layout")
+            sf._LAYOUT = "std"
+        print(f"[autoplan] fusion layout: {sf._LAYOUT}")
+
+    if not bl._ATTN_PINNED:                        # no env override
+        try:
+            _canary_bert_packed(batch_size)
+            bl._ATTN_MODE = "packed"
+        except Exception as e:                     # pragma: no cover - hw
+            print(f"[autoplan] packed BERT canary failed "
+                  f"({type(e).__name__}: {e}); falling back to loop plan")
+            bl._ATTN_MODE = "loop"
+        print(f"[autoplan] bert attention: {bl._ATTN_MODE}")
+
+    return sf._LAYOUT, bl._ATTN_MODE

@@ -132,6 +132,9 @@ def _keypad(TP: int, T: int):
 #     packing scheme as ops/fusion_block.py (which measured ~6x from it).
 #   "loop" — the original per-head loop, kept for A/B and as the
 #     max-subtracted-softmax oracle.
+# ops/autoplan.resolve_plans() may flip this to "loop" on TPU if the packed
+# canary fails to compile; an explicit BERT_ATTN env pins it.
+_ATTN_PINNED = "BERT_ATTN" in os.environ
 _ATTN_MODE = os.environ.get("BERT_ATTN", "packed")
 
 

@@ -65,6 +65,12 @@ class Trainer:
         else:
             self.mesh = build_mesh(cfg.mesh_shape, cfg.mesh_axes)
 
+        # kernel execution plans (fusion layout / bert attention): resolved
+        # once per process BEFORE any jit tracing — canary-compiles the fast
+        # plans on TPU and falls back if the hardware rejects them
+        from multimodal_neuroimage_tpu.ops.autoplan import resolve_plans
+        resolve_plans(cfg.batch_size)
+
         # 1. data (trainer.py:58)
         self.pipeline = DataPipeline(cfg, self.mesh)
         steps = max(self.pipeline.steps_per_epoch("train"), 1)
