@@ -43,20 +43,34 @@ SEARCH_SPACE = {
 _BCAST_BYTES = 4096
 
 
-def broadcast_params(overrides: Optional[Dict[str, Any]]) -> Dict[str, Any]:
-    """Process-0's trial params, on every process. Single-process: identity."""
-    if jax.process_count() == 1:
-        return overrides or {}
+def _broadcast_obj(obj: Optional[Any]) -> Any:
+    """Process-0's pickled object, on every process (fixed-size buffer so
+    every process joins the same collective). Leader-side failures (e.g.
+    oversized payload) are converted into an error message that is STILL
+    broadcast — every process raises together instead of the followers
+    hanging in a mismatched collective."""
     from jax.experimental import multihost_utils
     buf = np.zeros(_BCAST_BYTES, np.uint8)
     if jax.process_index() == 0:
-        raw = pickle.dumps(overrides or {})
-        assert len(raw) <= _BCAST_BYTES - 4, "trial params too large"
+        raw = pickle.dumps(obj)
+        if len(raw) > _BCAST_BYTES - 4:
+            raw = pickle.dumps({"error": f"broadcast payload too large "
+                                f"({len(raw)} > {_BCAST_BYTES - 4} bytes)"})
         buf[:4] = np.frombuffer(len(raw).to_bytes(4, "little"), np.uint8)
         buf[4:4 + len(raw)] = np.frombuffer(raw, np.uint8)
     out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
     n = int.from_bytes(out[:4].tobytes(), "little")
-    return pickle.loads(out[4:4 + n].tobytes())
+    msg = pickle.loads(out[4:4 + n].tobytes())
+    if isinstance(msg, dict) and "error" in msg:
+        raise ValueError(msg["error"])
+    return msg
+
+
+def broadcast_params(overrides: Optional[Dict[str, Any]]) -> Dict[str, Any]:
+    """Process-0's trial params, on every process. Single-process: identity."""
+    if jax.process_count() == 1:
+        return overrides or {}
+    return _broadcast_obj(overrides or {})
 
 
 def broadcast_flag(flag: bool) -> bool:
@@ -119,12 +133,9 @@ def _dump_best(cfg, params: Dict[str, Any], value: float) -> None:
 def run_study(cfg) -> Dict[str, Any]:
     from multimodal_neuroimage_tpu.train.trainer import Trainer
     follower_count = iter(range(10 ** 9))
+    multi = jax.process_count() > 1
 
-    def train_trial(trial) -> float:
-        # only process 0 draws params; every process trains the same config
-        overrides = _suggest(trial, cfg) if trial is not None else None
-        overrides = broadcast_params(overrides)
-        number = trial.number if trial is not None else next(follower_count)
+    def _run_trial_cfg(overrides, number, trial) -> float:
         trial_cfg = dataclasses.replace(
             cfg, nEpochs=cfg.opt_num_epochs, use_optuna=False,
             experiment_folder=os.path.join(
@@ -135,19 +146,38 @@ def run_study(cfg) -> Dict[str, Any]:
         metrics = trainer.training()
         return _objective_value(cfg, metrics, trainer)
 
-    if jax.process_count() > 1 and jax.process_index() != 0:
-        # follower loop (reference main.py:455-460): run each broadcast
-        # trial; pruning arrives via the SyncedTrial broadcast
-        for _ in range(cfg.num_trials):
+    def train_trial(trial) -> float:
+        # only process 0 draws params; every process trains the same config.
+        # The leader announces each trial as {stop: False, params}; the end
+        # of the study is a {stop: True} sentinel, so the follower loop can
+        # NEVER drift from the leader's trial count (a leader-only failure
+        # before the announce simply skips to the next announce).
+        overrides = _suggest(trial, cfg)
+        if multi:
+            msg = _broadcast_obj({"stop": False, "params": overrides})
+            overrides = msg["params"]
+        return _run_trial_cfg(overrides, trial.number, trial)
+
+    if multi and jax.process_index() != 0:
+        # follower loop (reference main.py:455-460): run every announced
+        # trial until the stop sentinel; pruning arrives via the
+        # SyncedTrial broadcast
+        while True:
+            msg = _broadcast_obj(None)
+            if msg.get("stop", False):
+                break
             try:
-                train_trial(None)
+                _run_trial_cfg(msg["params"], next(follower_count), None)
             except Exception as e:
                 if type(e).__name__ not in ("TrialPruned", "_Pruned"):
                     print(f"follower trial failed: {e}")
         return {}
 
     try:
-        import optuna
+        try:
+            import optuna
+        except ImportError:
+            return _fallback_random_search(cfg, train_trial)
         direction = ("maximize"
                      if cfg.fine_tune_task == "binary_classification"
                      else "minimize")
@@ -160,8 +190,9 @@ def run_study(cfg) -> Dict[str, Any]:
                        catch=(RuntimeError,))
         _dump_best(cfg, study.best_params, study.best_value)
         return {"best_value": study.best_value, **study.best_params}
-    except ImportError:
-        return _fallback_random_search(cfg, train_trial)
+    finally:
+        if multi and jax.process_index() == 0:
+            _broadcast_obj({"stop": True})
 
 
 class _FallbackTrial:

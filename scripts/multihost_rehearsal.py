@@ -75,6 +75,30 @@ def worker(pid: int, port: int) -> None:
     print(f"[worker {pid}] ok loss={total:.4f} gathered={sorted(set(gathered.reshape(-1).tolist()))}",
           flush=True)
 
+    # HPO coordination protocol (hpo/optuna_harness.py): the leader
+    # announces each trial as {stop, params} and ends with a stop sentinel;
+    # leader-side failures (oversized payload) must raise on EVERY process
+    # instead of hanging the followers in a mismatched collective.
+    from multimodal_neuroimage_tpu.hpo.optuna_harness import _broadcast_obj
+    if pid == 0:
+        for n in range(2):
+            _broadcast_obj({"stop": False, "params": {"lr_init": 1e-4 * (n + 1)}})
+        _broadcast_obj({"stop": True})
+    else:
+        seen = []
+        while True:
+            msg = _broadcast_obj(None)
+            if msg.get("stop", False):
+                break
+            seen.append(msg["params"])
+        assert seen == [{"lr_init": 1e-4}, {"lr_init": 2e-4}], seen
+    try:
+        _broadcast_obj({"blob": b"x" * 8192} if pid == 0 else None)
+        raise AssertionError("oversized broadcast should raise")
+    except ValueError as e:
+        assert "too large" in str(e)
+    print(f"[worker {pid}] hpo protocol ok", flush=True)
+
 
 def main() -> None:
     port = int(os.environ.get("REHEARSAL_PORT", "12577"))
