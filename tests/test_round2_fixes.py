@@ -242,3 +242,41 @@ def test_flattened_optimizer_matches_per_tensor_updates():
         for x0, x1 in zip(flat0, flat1):
             np.testing.assert_allclose(np.asarray(x0), np.asarray(x1),
                                        rtol=0, atol=1e-6)
+
+
+def test_autoplan_fallback(monkeypatch):
+    """resolve_plans picks the fast plans when the canaries compile and
+    falls back (std / loop) when the hardware rejects them."""
+    import multimodal_neuroimage_tpu.nn.swinfusion as sf
+    from multimodal_neuroimage_tpu.ops import autoplan
+    from multimodal_neuroimage_tpu.ops import bert_layer as bl
+
+    # canaries succeed -> fast plans
+    monkeypatch.setattr(autoplan, "_RESOLVED", False)
+    monkeypatch.setattr(autoplan, "_on_tpu", lambda: True)
+    monkeypatch.setattr(autoplan, "_canary_fusion_bp", lambda b: None)
+    monkeypatch.setattr(autoplan, "_canary_bert_packed", lambda b: None)
+    monkeypatch.setattr(sf, "_LAYOUT", None)
+    monkeypatch.setattr(bl, "_ATTN_PINNED", False)
+    monkeypatch.setattr(bl, "_ATTN_MODE", "packed")
+    assert autoplan.resolve_plans(8) == ("bpr", "packed")
+
+    # canaries fail -> conservative plans
+    def boom(b):
+        raise RuntimeError("Mosaic says no")
+
+    monkeypatch.setattr(autoplan, "_RESOLVED", False)
+    monkeypatch.setattr(autoplan, "_canary_fusion_bp", boom)
+    monkeypatch.setattr(autoplan, "_canary_bert_packed", boom)
+    monkeypatch.setattr(sf, "_LAYOUT", None)
+    assert autoplan.resolve_plans(8) == ("std", "loop")
+
+    # env pins win and skip the canaries entirely
+    monkeypatch.setattr(autoplan, "_RESOLVED", False)
+    monkeypatch.setattr(sf, "_LAYOUT", "bp")
+    monkeypatch.setattr(bl, "_ATTN_PINNED", True)
+    monkeypatch.setattr(bl, "_ATTN_MODE", "loop")
+    assert autoplan.resolve_plans(8) == ("bp", "loop")
+
+    # idempotent: a second call returns the cached decision
+    assert autoplan.resolve_plans(8) == ("bp", "loop")
