@@ -25,9 +25,32 @@ import numpy as np
 
 # Persist compiled executables across runs — the flagship stack compiles in
 # ~minutes through the remote-compile tunnel; later runs reuse the cache.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".jax_cache"))
+# CPU entries are keyed by a host fingerprint: XLA:CPU AOT results compiled
+# on a different machine load with a feature-mismatch warning and compute
+# slightly different results (see tests/conftest.py).
+
+
+def _cache_dir() -> str:
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".jax_cache")
+    try:
+        if jax.default_backend() != "cpu":
+            return root
+    except Exception:
+        return root
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    return os.path.join(
+                        root, hashlib.sha1(line.encode()).hexdigest()[:12])
+    except OSError:
+        pass
+    return root
+
+
+jax.config.update("jax_compilation_cache_dir", _cache_dir())
 
 
 def main() -> None:

@@ -78,6 +78,9 @@ class Config:
     # ---- fMRI model ------------------------------------------------------------
     transformer_hidden_layers: int = 16       # main.py:68
     transformer_dropout_rate: float = 0.1     # main.py:225
+    # HF attention_probs_dropout_prob — the reference leaves the HF default
+    # 0.1 un-wired (model.py:62); exposed here so it's controllable
+    bert_attn_dropout: float = 0.1
     bert_intermediate_size: int = 3072        # HF BertConfig default kept by reference
     num_heads_2DBert: int = 12                # main.py:223
     num_heads_mult: int = 12                  # main.py:192
@@ -165,6 +168,11 @@ class Config:
     distributed: bool = False                 # multi-process (pod) mode
     mesh_shape: Optional[Tuple[int, ...]] = None  # default: all devices on 'data'
     mesh_axes: Tuple[str, ...] = ("data",)
+    # how the jitted steps partition over the data axis: "auto" picks
+    # shard_map (per-chip fwd+bwd + gradient pmean — required for the Pallas
+    # fused kernels, which GSPMD cannot partition) on multi-chip TPU meshes
+    # and GSPMD everywhere else; "gspmd"/"shard_map" pin explicitly.
+    spmd_mode: str = "auto"
     profiling: bool = False                   # 1 epoch / 10 batches (main.py:98)
     profile_dir: str = ""                     # jax.profiler trace output
     running_mean_size: int = 5000             # main.py:73

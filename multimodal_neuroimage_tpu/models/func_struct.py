@@ -62,13 +62,18 @@ class FmriDiagEmbed(nn.Module):
     feature_map_gen: str = "no"
     use_FC: bool = False
     use_merge_loss: bool = False
+    # HF BertConfig attention_probs_dropout_prob: the reference never wires
+    # it (model.py:62 sets hidden_dropout_prob only), leaving the HF default
+    # 0.1 — same default here, but exposed so it can be zeroed
+    bert_attn_dropout: float = 0.1
 
     def _bert(self, name: str, max_pos: int, dropout: float) -> TemporalBert:
         return TemporalBert(self.intermediate_vec,
                             self.transformer_hidden_layers,
                             self.num_heads_2DBert, max_pos,
                             self.bert_intermediate_size,
-                            hidden_dropout=dropout, name=name)
+                            hidden_dropout=dropout,
+                            attn_dropout=self.bert_attn_dropout, name=name)
 
     @nn.compact
     def __call__(self, x_raw, x_l, x_u, deterministic: bool = True
@@ -134,6 +139,10 @@ class _FuncStructBase(nn.Module):
     fusion_heads: Tuple[int, ...] = (6, 6, 6)
     fusion_re_heads: Tuple[int, ...] = (6, 6)
     fusion_drop: float = 0.1            # Func_Struct_Cross defaults (model.py:1591)
+    fusion_drop_path: float = 0.1       # reference hardcodes 0.1 (model.py:1591);
+                                        # a field here so tests/experiments can
+                                        # zero it (wired from cfg.fusion_drop_path_rate)
+    bert_attn_dropout: float = 0.1      # see FmriDiagEmbed.bert_attn_dropout
     window_size: int = 6
     mlp_ratio: float = 4.0
     size_of_model: str = "large"
@@ -167,6 +176,8 @@ class _FuncStructBase(nn.Module):
             fusion_heads=tuple(cfg.fusion_heads),
             fusion_re_heads=tuple(cfg.fusion_re_heads),
             fusion_drop=cfg.fusion_drop_rate,
+            fusion_drop_path=cfg.fusion_drop_path_rate,
+            bert_attn_dropout=cfg.bert_attn_dropout,
             window_size=cfg.window_size, mlp_ratio=cfg.mlp_ratio,
             size_of_model=cfg.size_of_model,
             swin_embed_dim=cfg.swin_embed_dim, patch_size=cfg.patch_size,
@@ -178,7 +189,8 @@ class _FuncStructBase(nn.Module):
             self.num_heads_2DBert, self.sequence_length,
             self.transformer_dropout_rate, self.bert_intermediate_size,
             self.concat_method, self.feature_map_size, self.feature_map_gen,
-            self.use_FC, self.use_merge_loss, name="fmri_embed")
+            self.use_FC, self.use_merge_loss,
+            bert_attn_dropout=self.bert_attn_dropout, name="fmri_embed")
 
     def _fusion(self) -> SwinFusionBackbone:
         # the fused image side equals the ROI count (84; smaller for dry runs)
@@ -188,7 +200,8 @@ class _FuncStructBase(nn.Module):
             self.fusion_re_heads, img_size=self.intermediate_vec,
             window_size=self.window_size,
             mlp_ratio=self.mlp_ratio, drop_rate=self.fusion_drop,
-            attn_drop_rate=self.fusion_drop, drop_path_rate=0.1,
+            attn_drop_rate=self.fusion_drop,
+            drop_path_rate=self.fusion_drop_path,
             name="fusion")
 
     def _swin(self) -> SwinTransformerV2:
@@ -198,7 +211,7 @@ class _FuncStructBase(nn.Module):
             img_size=(iv, iv), patch_size=self.patch_size,
             embed_dim=self.swin_embed_dim, depths=depths, num_heads=heads,
             window_size=self.window_size, mlp_ratio=self.mlp_ratio,
-            drop_path_rate=0.1, num_classes=1, name="swin")
+            drop_path_rate=self.fusion_drop_path, num_classes=1, name="swin")
 
 
 class FuncStructCross(_FuncStructBase):

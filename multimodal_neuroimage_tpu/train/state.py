@@ -115,6 +115,44 @@ def _cast_tree(tree, dtype):
     return jax.tree_util.tree_map(f, tree)
 
 
+def _batch_pspecs(batch, axis: str):
+    """Per-leaf PartitionSpecs for a host batch pytree: dim-0 sharded on the
+    data axis, scalars replicated (mirrors parallel.mesh.shard_batch)."""
+    from jax.sharding import PartitionSpec as P
+    return jax.tree_util.tree_map(
+        lambda x: P() if jnp.ndim(x) == 0 else P(axis), batch)
+
+
+def use_shard_map(spmd: str, mesh, axis: str = "data") -> bool:
+    """Decide whether the train/eval steps run through ``jax.shard_map``.
+
+    GSPMD cannot partition a ``pallas_call`` — under plain ``jit`` with a
+    sharded batch the partitioner would have to all-gather the fused kernels'
+    operands onto every chip. ``shard_map`` makes each chip run the kernels
+    on its LOCAL batch shard with one explicit gradient ``pmean``, which is
+    exactly the reference's DDP decomposition (trainer.py:280-290) expressed
+    the TPU way. Modes:
+
+      * "auto" (default): shard_map exactly when the fused kernels are in
+        play (mesh devices are TPUs) and the data axis is actually split;
+        plain-jnp paths (CPU meshes, single chip) stay on GSPMD.
+      * "shard_map" / "gspmd": pin explicitly (tests, experiments).
+    """
+    if mesh is None or axis not in mesh.axis_names:
+        return False
+    if spmd == "shard_map":
+        return True
+    if spmd == "gspmd":
+        return False
+    if spmd != "auto":
+        raise ValueError(f"unknown spmd mode {spmd!r}")
+    try:
+        platform = mesh.devices.flat[0].platform
+    except Exception:
+        platform = "unknown"
+    return int(mesh.shape[axis]) > 1 and platform == "tpu"
+
+
 def param_grad_norms(params, grads) -> Dict[str, jnp.ndarray]:
     """Per-top-level-module parameter/gradient L2 norms plus the global grad
     norm — the ``wandb.watch(model, log='all', log_freq=10)`` equivalent
@@ -132,7 +170,9 @@ def make_train_step(model, loss_specs: Dict[str, LossSpec],
                     donate: bool = True, remat: bool = False,
                     mesh=None, extra_loss_fns=None,
                     with_norms: bool = False,
-                    norms_every: int = 1) -> Callable:
+                    norms_every: int = 1,
+                    spmd: str = "auto",
+                    data_axis: str = "data") -> Callable:
     """Build the single jitted optimizer step.
 
     Returns fn(state, batch) -> (state, loss_dict, outputs) — or a 4-tuple
@@ -148,8 +188,19 @@ def make_train_step(model, loss_specs: Dict[str, LossSpec],
     constraint, GSPMD may pick a different layout for the returned state than
     the input had, and the next call RECOMPILES; under buffer donation this
     flip-flops every step (measured 16-46 s/step vs 1.1 s pinned).
-    """
+
+    ``spmd`` (see ``use_shard_map``) selects how the step is partitioned
+    over the mesh's data axis: "gspmd" traces one global program and lets the
+    partitioner insert collectives; "shard_map" runs the fwd+bwd PER SHARD
+    with an explicit gradient ``pmean`` — required for the Pallas fused
+    kernels on a multi-chip mesh (a pallas_call is a black box to the GSPMD
+    partitioner). Under shard_map the per-shard dropout rngs are decorrelated
+    by folding in the axis index, and batch-pairwise losses (merge /
+    contrastive, reference losses.py:128-219) are computed within each shard
+    — exactly the reference's per-rank DDP loss semantics
+    (trainer.py:280-290)."""
     cdtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    shard = use_shard_map(spmd, mesh, data_axis)
 
     repl = None
     if mesh is not None:
@@ -174,11 +225,40 @@ def make_train_step(model, loss_specs: Dict[str, LossSpec],
                                 rng=dropout_rng)
         return losses["total"], (losses, outputs)
 
+    def grad_core(params, batch, rng):
+        if shard:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+            # CRITICAL: mark the replicated params VARYING before
+            # differentiating. Under shard_map's varying-manual-axes
+            # semantics, the cotangent of an UNVARYING input is implicitly
+            # psum'ed over the mesh axis — each shard's "local" grad would
+            # already be the global SUM, and the pmean below would then be
+            # an identity on replicated values, leaving gradients N_shards
+            # x too large (caught by tests/test_shard_map.py bitwise
+            # parity). pcast(to="varying") makes the grad truly local so
+            # the DDP mean is taken exactly once, explicitly.
+            params = jax.tree_util.tree_map(
+                lambda x: jax.lax.pcast(x, data_axis, to="varying"), params)
+        (_, (losses, outputs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, rng)
+        preds = {k: outputs[k] for k in ("binary_classification", "regression")
+                 if k in outputs}
+        if shard:
+            grads = jax.lax.pmean(grads, data_axis)
+            losses = jax.lax.pmean(losses, data_axis)
+        return grads, losses, preds
+
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch):
         rng = jax.random.fold_in(state.rng, state.step)
-        (_, (losses, outputs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch, rng)
+        core = grad_core
+        if shard:
+            from jax.sharding import PartitionSpec as P
+            core = jax.shard_map(
+                grad_core, mesh=mesh,
+                in_specs=(P(), _batch_pspecs(batch, data_axis), P()),
+                out_specs=(P(), P(), P(data_axis)))
+        grads, losses, preds = core(state.params, batch, rng)
         norms = None
         if with_norms:
             # lax.cond gates the full-tree norm reductions to logging steps
@@ -204,8 +284,6 @@ def make_train_step(model, loss_specs: Dict[str, LossSpec],
             new_state = jax.tree_util.tree_map(
                 lambda x: jax.lax.with_sharding_constraint(x, repl),
                 new_state)
-        preds = {k: outputs[k] for k in ("binary_classification", "regression")
-                 if k in outputs}
         if with_norms:
             return new_state, losses, preds, norms
         return new_state, losses, preds
@@ -215,11 +293,13 @@ def make_train_step(model, loss_specs: Dict[str, LossSpec],
 
 def make_eval_step(model, loss_specs: Dict[str, LossSpec],
                    compute_dtype: str = "bfloat16",
-                   extra_loss_fns=None) -> Callable:
+                   extra_loss_fns=None,
+                   mesh=None, spmd: str = "auto",
+                   data_axis: str = "data") -> Callable:
     cdtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    shard = use_shard_map(spmd, mesh, data_axis)
 
-    @jax.jit
-    def eval_step(params, batch):
+    def eval_core(params, batch):
         p = _cast_tree(params, cdtype)
         b = _cast_tree(batch, cdtype)
         outputs = model.apply({"params": p}, b, deterministic=True)
@@ -228,7 +308,20 @@ def make_eval_step(model, loss_specs: Dict[str, LossSpec],
                                 loss_specs, extra_fns=extra_loss_fns)
         preds = {k: outputs[k] for k in ("binary_classification", "regression")
                  if k in outputs}
+        if shard:
+            losses = jax.lax.pmean(losses, data_axis)
         return losses, preds
+
+    @jax.jit
+    def eval_step(params, batch):
+        core = eval_core
+        if shard:
+            from jax.sharding import PartitionSpec as P
+            core = jax.shard_map(
+                eval_core, mesh=mesh,
+                in_specs=(P(), _batch_pspecs(batch, data_axis)),
+                out_specs=(P(), P(data_axis)))
+        return core(params, batch)
 
     return eval_step
 

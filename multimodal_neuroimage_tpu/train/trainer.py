@@ -114,10 +114,14 @@ class Trainer:
                                           extra_loss_fns=self.extra_loss_fns,
                                           with_norms=self.with_norms,
                                           norms_every=max(
-                                              cfg.log_grad_norms_every, 1))
+                                              cfg.log_grad_norms_every, 1),
+                                          spmd=cfg.spmd_mode,
+                                          data_axis=cfg.mesh_axes[0])
         self.eval_step = make_eval_step(self.model, self.loss_specs,
                                         cfg.compute_dtype,
-                                        extra_loss_fns=self.extra_loss_fns)
+                                        extra_loss_fns=self.extra_loss_fns,
+                                        mesh=self.mesh, spmd=cfg.spmd_mode,
+                                        data_axis=cfg.mesh_axes[0])
         log_dir = os.path.join(cfg.experiment_folder or cfg.log_dir)
         wandb_kwargs = {"project": cfg.wandb_project, "mode": cfg.wandb_mode,
                         "name": cfg.experiment_title or cfg.exp_name}

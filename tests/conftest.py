@@ -26,8 +26,28 @@ def rng():
 
 # Persistent compilation cache: the suite is dominated by XLA:CPU compiles of
 # the same programs every run (round-1 wall time 18m48s). Cache hits bring
-# repeat runs to interpreter speed. Keyed by backend+flags, so the forced
-# 8-device CPU platform above gets its own entries.
+# repeat runs to interpreter speed. The directory is keyed by a host CPU
+# fingerprint: XLA's cache key does NOT include the host machine features,
+# and XLA:CPU AOT executables compiled on a different host load with a
+# "machine type doesn't match" warning and produce numerically different
+# code (observed: a stale cross-host cache made two equivalent programs
+# disagree by 1e-4 and failed test_shard_map's bitwise parity).
+
+
+def _host_key() -> str:
+    import hashlib
+    import platform
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return platform.machine() or "unknown"
+
+
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), ".jax_test_cache"))
+                  os.path.join(os.path.dirname(__file__), ".jax_test_cache",
+                               _host_key()))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
