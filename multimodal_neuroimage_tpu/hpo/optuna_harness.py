@@ -41,26 +41,47 @@ SEARCH_SPACE = {
 # ---------------------------------------------------------------------------
 
 _BCAST_BYTES = 4096
+_seq = 0          # per-process message counter — drift detector
+_pending = None   # follower-side stash for an out-of-phase message
+
+
+class TrialAborted(Exception):
+    """Leader announced a leader-local trial failure; followers abandon the
+    trial and return to the announce loop."""
 
 
 def _broadcast_obj(obj: Optional[Any]) -> Any:
-    """Process-0's pickled object, on every process (fixed-size buffer so
-    every process joins the same collective). Leader-side failures (e.g.
-    oversized payload) are converted into an error message that is STILL
-    broadcast — every process raises together instead of the followers
-    hanging in a mismatched collective."""
+    """Process-0's pickled object, on every process.
+
+    EVERY cross-process exchange in this module goes through this one
+    primitive with one fixed buffer shape, so no interleaving of announce /
+    prune / abort messages can ever put two processes into shape-mismatched
+    collectives. Each message carries a sequence number; a count drift
+    (process consumed a different number of messages than the leader sent)
+    raises loudly instead of silently mis-executing. Leader-side failures
+    (e.g. oversized payload) are converted into an error message that is
+    STILL broadcast — every process raises together instead of the
+    followers hanging."""
+    global _seq
     from jax.experimental import multihost_utils
     buf = np.zeros(_BCAST_BYTES, np.uint8)
     if jax.process_index() == 0:
-        raw = pickle.dumps(obj)
+        raw = pickle.dumps({"seq": _seq, "msg": obj})
         if len(raw) > _BCAST_BYTES - 4:
-            raw = pickle.dumps({"error": f"broadcast payload too large "
-                                f"({len(raw)} > {_BCAST_BYTES - 4} bytes)"})
+            raw = pickle.dumps({"seq": _seq, "msg": {
+                "error": f"broadcast payload too large "
+                         f"({len(raw)} > {_BCAST_BYTES - 4} bytes)"}})
         buf[:4] = np.frombuffer(len(raw).to_bytes(4, "little"), np.uint8)
         buf[4:4 + len(raw)] = np.frombuffer(raw, np.uint8)
     out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
     n = int.from_bytes(out[:4].tobytes(), "little")
-    msg = pickle.loads(out[4:4 + n].tobytes())
+    wrapped = pickle.loads(out[4:4 + n].tobytes())
+    if wrapped["seq"] != _seq:
+        raise RuntimeError(
+            f"HPO broadcast desync: process {jax.process_index()} expected "
+            f"message #{_seq} but leader sent #{wrapped['seq']}")
+    _seq += 1
+    msg = wrapped["msg"]
     if isinstance(msg, dict) and "error" in msg:
         raise ValueError(msg["error"])
     return msg
@@ -74,13 +95,26 @@ def broadcast_params(overrides: Optional[Dict[str, Any]]) -> Dict[str, Any]:
 
 
 def broadcast_flag(flag: bool) -> bool:
-    """Process-0's boolean decision (e.g. should_prune), on every process."""
+    """Process-0's boolean decision (e.g. should_prune), on every process.
+    Rides the same fixed-shape object broadcast as every other message."""
     if jax.process_count() == 1:
         return flag
-    from jax.experimental import multihost_utils
-    out = multihost_utils.broadcast_one_to_all(
-        np.asarray([1 if flag else 0], np.int32))
-    return bool(np.asarray(out)[0])
+    msg = _broadcast_obj({"kind": "prune", "flag": bool(flag)})
+    return _follower_prune_msg(msg)
+
+
+def _follower_prune_msg(msg: Dict[str, Any]) -> bool:
+    """Interpret a message received at a prune checkpoint. A non-prune
+    message means the leader abandoned the trial (leader-local failure at an
+    epoch boundary — RDB write, checkpoint I/O) and has already moved on:
+    stash it for the announce loop and abort this trial on every process."""
+    global _pending
+    if isinstance(msg, dict) and msg.get("kind") == "prune":
+        return msg["flag"]
+    if isinstance(msg, dict) and msg.get("kind") == "abort":
+        raise TrialAborted(msg.get("reason", "leader-side trial failure"))
+    _pending = msg
+    raise TrialAborted("leader moved on to the next announce mid-trial")
 
 
 class SyncedTrial:
@@ -148,26 +182,46 @@ def run_study(cfg) -> Dict[str, Any]:
 
     def train_trial(trial) -> float:
         # only process 0 draws params; every process trains the same config.
-        # The leader announces each trial as {stop: False, params}; the end
-        # of the study is a {stop: True} sentinel, so the follower loop can
+        # The leader announces each trial as {kind: trial, params}; the end
+        # of the study is a {kind: stop} sentinel, so the follower loop can
         # NEVER drift from the leader's trial count (a leader-only failure
         # before the announce simply skips to the next announce).
         overrides = _suggest(trial, cfg)
         if multi:
-            msg = _broadcast_obj({"stop": False, "params": overrides})
+            msg = _broadcast_obj({"kind": "trial", "stop": False,
+                                  "params": overrides})
             overrides = msg["params"]
-        return _run_trial_cfg(overrides, trial.number, trial)
+        try:
+            return _run_trial_cfg(overrides, trial.number, trial)
+        except Exception as e:
+            # leader-local failure mid-trial (RDB write, checkpoint I/O —
+            # anything at an epoch boundary): tell the followers, who are
+            # sitting at their next prune checkpoint, to abandon the trial
+            # too, then let the study handle/record the failure. Pruned
+            # trials need no abort — the prune flag already stopped every
+            # process at the same epoch.
+            if multi and type(e).__name__ not in ("TrialPruned", "_Pruned"):
+                _broadcast_obj({"kind": "abort", "reason": repr(e)})
+            raise
 
     if multi and jax.process_index() != 0:
         # follower loop (reference main.py:455-460): run every announced
-        # trial until the stop sentinel; pruning arrives via the
-        # SyncedTrial broadcast
+        # trial until the stop sentinel; pruning and leader-side aborts
+        # arrive via the SyncedTrial broadcast
+        global _pending
         while True:
-            msg = _broadcast_obj(None)
+            if _pending is not None:
+                msg, _pending = _pending, None
+            else:
+                msg = _broadcast_obj(None)
+            if not isinstance(msg, dict) or msg.get("kind") == "abort":
+                continue  # stale abort for an already-abandoned trial
             if msg.get("stop", False):
                 break
             try:
                 _run_trial_cfg(msg["params"], next(follower_count), None)
+            except TrialAborted as e:
+                print(f"follower trial aborted by leader: {e}")
             except Exception as e:
                 if type(e).__name__ not in ("TrialPruned", "_Pruned"):
                     print(f"follower trial failed: {e}")
@@ -192,7 +246,7 @@ def run_study(cfg) -> Dict[str, Any]:
         return {"best_value": study.best_value, **study.best_params}
     finally:
         if multi and jax.process_index() == 0:
-            _broadcast_obj({"stop": True})
+            _broadcast_obj({"kind": "trial", "stop": True})
 
 
 class _FallbackTrial:

@@ -23,6 +23,13 @@ import time
 
 import numpy as np
 
+if os.environ.get("JAX_PLATFORMS"):
+    # the axon sitecustomize overrides platform selection at interpreter
+    # start; restore the explicitly requested platform so a CPU run cannot
+    # hang inside device_put against an unreachable tunnel
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from multimodal_neuroimage_tpu.data import filters

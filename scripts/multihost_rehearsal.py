@@ -79,11 +79,13 @@ def worker(pid: int, port: int) -> None:
     # announces each trial as {stop, params} and ends with a stop sentinel;
     # leader-side failures (oversized payload) must raise on EVERY process
     # instead of hanging the followers in a mismatched collective.
-    from multimodal_neuroimage_tpu.hpo.optuna_harness import _broadcast_obj
+    from multimodal_neuroimage_tpu.hpo import optuna_harness as oh
+    _broadcast_obj = oh._broadcast_obj
     if pid == 0:
         for n in range(2):
-            _broadcast_obj({"stop": False, "params": {"lr_init": 1e-4 * (n + 1)}})
-        _broadcast_obj({"stop": True})
+            _broadcast_obj({"kind": "trial", "stop": False,
+                            "params": {"lr_init": 1e-4 * (n + 1)}})
+        _broadcast_obj({"kind": "trial", "stop": True})
     else:
         seen = []
         while True:
@@ -98,6 +100,38 @@ def worker(pid: int, port: int) -> None:
     except ValueError as e:
         assert "too large" in str(e)
     print(f"[worker {pid}] hpo protocol ok", flush=True)
+
+    # leader-local trial failure: the leader aborts a trial at an epoch
+    # boundary while the follower sits at its prune checkpoint — the
+    # follower must abandon the trial (TrialAborted) and resume cleanly at
+    # the next announce instead of hanging (optuna_harness.py train_trial).
+    if pid == 0:
+        _broadcast_obj({"kind": "trial", "stop": False, "params": {"p": 1}})
+        assert oh.broadcast_flag(False) is False        # epoch-1 prune: keep
+        _broadcast_obj({"kind": "abort", "reason": "simulated I/O failure"})
+        # next trial announced WITHOUT abort while the follower sits at a
+        # prune checkpoint — the follower must stash it as pending
+        _broadcast_obj({"kind": "trial", "stop": False, "params": {"p": 2}})
+        _broadcast_obj({"kind": "trial", "stop": True})
+    else:
+        msg = _broadcast_obj(None)
+        assert msg["params"] == {"p": 1}, msg
+        assert oh.broadcast_flag(False) is False
+        try:
+            oh.broadcast_flag(False)                    # receives the abort
+            raise AssertionError("expected TrialAborted")
+        except oh.TrialAborted:
+            pass
+        try:
+            oh.broadcast_flag(False)                    # receives announce #2
+            raise AssertionError("expected TrialAborted (pending announce)")
+        except oh.TrialAborted:
+            pass
+        assert oh._pending is not None and oh._pending["params"] == {"p": 2}
+        oh._pending = None
+        msg = _broadcast_obj(None)
+        assert msg.get("stop") is True, msg
+    print(f"[worker {pid}] hpo abort protocol ok", flush=True)
 
 
 def main() -> None:

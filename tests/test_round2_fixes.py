@@ -210,6 +210,23 @@ def test_broadcast_helpers_single_process():
     assert follower.should_prune() is False
 
 
+def test_prune_checkpoint_message_dispatch():
+    """_follower_prune_msg: prune flags pass through; an abort or an
+    out-of-phase announce (leader moved on after a leader-local failure)
+    aborts the trial — the announce is stashed for the follower loop."""
+    from multimodal_neuroimage_tpu.hpo import optuna_harness as oh
+
+    assert oh._follower_prune_msg({"kind": "prune", "flag": True}) is True
+    assert oh._follower_prune_msg({"kind": "prune", "flag": False}) is False
+    with pytest.raises(oh.TrialAborted, match="simulated"):
+        oh._follower_prune_msg({"kind": "abort", "reason": "simulated"})
+    announce = {"kind": "trial", "stop": False, "params": {"lr_init": 1e-4}}
+    with pytest.raises(oh.TrialAborted):
+        oh._follower_prune_msg(announce)
+    assert oh._pending is announce  # stashed for the announce loop
+    oh._pending = None
+
+
 def test_flattened_optimizer_matches_per_tensor_updates():
     """optax.flatten wrap (config.flatten_optimizer): one flat-vector update
     must be numerically identical to the per-tensor chain (clip + L2-into-
