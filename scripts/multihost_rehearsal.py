@@ -66,6 +66,20 @@ def worker(pid: int, port: int) -> None:
     total = float(losses["total"])
     assert np.isfinite(total), total
 
+    # shard_map SPMD mode across PROCESSES (the multi-chip TPU path,
+    # train/state.py grad_core): per-shard fwd+bwd + explicit pmean must
+    # produce the same loss as the GSPMD step on the same global batch
+    # (dropout rates are zero in the tiny flagship config).
+    step_sm = make_train_step(model, specs, compute_dtype="float32",
+                              mesh=mesh, spmd="shard_map", donate=False)
+    state0 = create_train_state(model, local_batch, tx, cfg.seed)
+    state0 = state0.replace(params=replicate(state0.params, mesh),
+                            opt_state=replicate(state0.opt_state, mesh))
+    _, losses_sm, _ = step_sm(state0, dev_batch)
+    total_sm = float(losses_sm["total"])
+    assert np.isfinite(total_sm), total_sm
+    print(f"[worker {pid}] shard_map ok loss={total_sm:.4f}", flush=True)
+
     # subject-level metric globalisation: each host contributes its scores
     local_scores = np.arange(4, dtype=np.float32) + 100 * jax.process_index()
     gathered = process_allgather(local_scores)
