@@ -96,16 +96,42 @@ def main() -> None:
     assert np.isfinite(float(losses["total"])), "non-finite training loss"
 
     # best-of-windows: single windows get polluted by late layout recompiles
-    # and tunnel hiccups; the best window is the reproducible steady state
+    # and tunnel hiccups; the best window is the reproducible steady state.
+    # Loss-trajectory verification: keep every timed step's loss (device
+    # refs only — no sync inside the window), then check after the fact that
+    # each step produced a fresh finite value. Repeated identical losses
+    # would mean the tunnel deduped/elided executions and the timing is
+    # bogus; a flat trajectory would mean the step isn't training.
     n_steps = int(os.environ.get("BENCH_STEPS", "25"))
     n_windows = int(os.environ.get("BENCH_WINDOWS", "4"))
     best = float("inf")
+    trajectory: list[float] = []
+    trajectory_ok = True
     for _ in range(n_windows):
+        window_refs = []
         t0 = time.perf_counter()
         for _ in range(n_steps):
             state, losses, _ = step(state, dev_batch)
+            window_refs.append(losses["total"])
         assert np.isfinite(float(losses["total"]))   # value fetch = true sync
         best = min(best, time.perf_counter() - t0)
+        vals = [float(v) for v in window_refs]
+        assert all(np.isfinite(v) for v in vals), vals
+        distinct = len({round(v, 9) for v in vals})
+        if distinct < max(2, int(0.8 * n_steps)):
+            trajectory_ok = False
+            print(f"[bench] WARNING: only {distinct}/{n_steps} distinct "
+                  f"losses in window — executions may have been deduped or "
+                  f"the step is a no-op; timing suspect: {vals[:5]}...",
+                  flush=True)
+        trajectory.extend(vals)
+    first_mean = float(np.mean(trajectory[:n_steps]))
+    last_mean = float(np.mean(trajectory[-n_steps:]))
+    if not last_mean < first_mean:
+        trajectory_ok = False
+        print(f"[bench] WARNING: loss did not decrease over the timed run "
+              f"(first-window mean={first_mean:.5f}, last-window "
+              f"mean={last_mean:.5f}) — step may not be training", flush=True)
 
     subjects_per_sec = batch_size * n_steps / best
     per_chip = subjects_per_sec / n_chips
@@ -150,6 +176,9 @@ def main() -> None:
         "vs_baseline": round(vs_baseline, 3),
         "tflops_per_sec": round(tflops, 3),
         "mfu_pct_of_bf16_peak": round(mfu_pct, 3),
+        "loss_first_window": round(first_mean, 5),
+        "loss_last_window": round(last_mean, 5),
+        "trajectory_ok": trajectory_ok,
     }))
 
 
