@@ -1,0 +1,215 @@
+"""Import reference ``.pth`` checkpoints (torch state_dicts) into this
+framework's flax param trees.
+
+The reference saves raw ``model.state_dict()`` checkpoints (reference
+trainer.py save path / utils.py weight chaining). This module maps those
+trees onto our modules so a reference user can migrate trained weights:
+
+  * HF BERT temporal encoder        -> utils/hf_import.bert_params_from_hf
+    (re-exported here), reference model.py:159.
+  * SwinV2 encoder/classifier       -> ``swin_encoder_tree`` for
+    nn/swin2d.SwinTransformerV2 (reference model.py:557-728 state names
+    ``patch_embed.* / layers.{i}.blocks.{j}.* / norm / head``).
+  * MLP VAE                         -> ``vae_tree`` for
+    models/struct_nets.MlpVae (reference model.py:602-718 ``fc1..fc6``).
+  * SwinFusion self/cross blocks    -> ``fusion_block_tree`` /
+    ``cross_fusion_block_tree`` for nn/swinfusion.{FusionBlock,
+    CrossFusionBlock} (reference swinfusion_module.py:265-558).
+
+All mappers take a ``{name: tensor-or-ndarray}`` mapping (a torch
+state_dict works directly; tensors are detached) plus a ``prefix`` for
+selecting a submodule inside a larger checkpoint, and return plain
+numpy trees ready for ``jax.tree_util.tree_map(jnp.asarray, tree)``.
+
+The golden parity tests (tests/test_swin_golden.py, tests/test_bert_parity.py)
+drive these mappers against the reference modules running under torch, so
+the mapping itself is activation-verified.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Sequence
+
+import numpy as np
+
+from multimodal_neuroimage_tpu.utils.hf_import import (  # noqa: F401
+    bert_params_from_hf)
+
+
+def _t(x) -> np.ndarray:
+    arr = np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
+    return arr.astype(np.float32)
+
+
+def _dense(sd: Mapping[str, Any], name: str) -> Dict[str, np.ndarray]:
+    out = {"kernel": _t(sd[f"{name}.weight"]).T}
+    if f"{name}.bias" in sd:
+        out["bias"] = _t(sd[f"{name}.bias"])
+    return out
+
+
+def _ln(sd: Mapping[str, Any], name: str) -> Dict[str, np.ndarray]:
+    return {"scale": _t(sd[f"{name}.weight"]), "bias": _t(sd[f"{name}.bias"])}
+
+
+def _stack(trees: Sequence[Dict]) -> Dict:
+    """Stack per-depth param trees along a leading axis (nn.scan layout)."""
+    import jax
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *trees)
+
+
+# ---------------------------------------------------------------------------
+# SwinV2 (cosine attention, cpb-MLP, res-post-norm) — nn/swin2d.py
+# ---------------------------------------------------------------------------
+
+
+def swin_attention_tree(sd: Mapping[str, Any], prefix: str = "") -> Dict:
+    """``WindowAttention`` (swin_v2_module.py:65-196) -> WindowAttentionV2."""
+    g = lambda n: _t(sd[prefix + n])
+    return {
+        "qkv_kernel": g("qkv.weight").T,
+        "q_bias": g("q_bias"),
+        "v_bias": g("v_bias"),
+        "logit_scale": g("logit_scale"),
+        "cpb_fc1": {"kernel": g("cpb_mlp.0.weight").T,
+                    "bias": g("cpb_mlp.0.bias")},
+        "cpb_fc2": {"kernel": g("cpb_mlp.2.weight").T},
+        "proj": {"kernel": g("proj.weight").T, "bias": g("proj.bias")},
+    }
+
+
+def swin_block_tree(sd: Mapping[str, Any], prefix: str = "") -> Dict:
+    """``SwinTransformerBlock`` (swin_v2_module.py:198-323) -> SwinBlockV2."""
+    return {
+        "attn": swin_attention_tree(sd, prefix + "attn."),
+        "norm1": _ln(sd, prefix + "norm1"),
+        "norm2": _ln(sd, prefix + "norm2"),
+        "mlp": {"Dense_0": _dense(sd, prefix + "mlp.fc1"),
+                "Dense_1": _dense(sd, prefix + "mlp.fc2")},
+    }
+
+
+def swin_encoder_tree(sd: Mapping[str, Any], depths: Sequence[int],
+                      prefix: str = "", with_head: bool = True) -> Dict:
+    """Full SwinV2 tree (reference model.py:557-728 SwinTransformerV2_VAE's
+    swin part: ``patch_embed/layers.{i}/norm/head``) -> SwinTransformerV2.
+
+    Handles the scan layout: even-depth stages run as a scanned (no-shift,
+    shift) block pair, so per-pair trees are stacked along a leading axis
+    under ``stage_i/pairs/block_{0,1}``; odd-depth stages keep ``block_i``.
+    """
+    g = lambda n: _t(sd[prefix + n])
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            # torch conv (out, in, kh, kw) -> flax (kh, kw, in, out)
+            "proj": {"kernel": g("patch_embed.proj.weight")
+                     .transpose(2, 3, 1, 0),
+                     "bias": g("patch_embed.proj.bias")},
+        },
+        "norm": _ln(sd, prefix + "norm"),
+    }
+    if prefix + "patch_embed.norm.weight" in sd:
+        params["patch_embed"]["norm"] = _ln(sd, prefix + "patch_embed.norm")
+    if with_head and prefix + "head.weight" in sd:
+        params["head"] = _dense(sd, prefix + "head")
+
+    for i, depth in enumerate(depths):
+        base = f"{prefix}layers.{i}."
+        stage: Dict[str, Any] = {}
+        if depth % 2 == 0 and depth >= 2:
+            pairs = [{
+                "block_0": swin_block_tree(sd, f"{base}blocks.{2 * j}."),
+                "block_1": swin_block_tree(sd, f"{base}blocks.{2 * j + 1}."),
+            } for j in range(depth // 2)]
+            stage["pairs"] = _stack(pairs)
+        else:
+            for j in range(depth):
+                stage[f"block_{j}"] = swin_block_tree(sd,
+                                                      f"{base}blocks.{j}.")
+        if f"{base}downsample.reduction.weight" in sd:
+            stage["downsample"] = {
+                "reduction": _dense(sd, f"{base}downsample.reduction"),
+                "norm": _ln(sd, f"{base}downsample.norm"),
+            }
+        params[f"stage_{i}"] = stage
+    return params
+
+
+# ---------------------------------------------------------------------------
+# MLP VAE (reference model.py:602-718) — models/struct_nets.MlpVae
+# ---------------------------------------------------------------------------
+
+
+def vae_tree(sd: Mapping[str, Any], prefix: str = "") -> Dict:
+    """Reference ``fc1..fc6 / fc31+fc32`` -> MlpVae ``enc*/mu/logvar/dec*``."""
+    return {
+        "enc1": _dense(sd, prefix + "fc1"),
+        "enc2": _dense(sd, prefix + "fc2"),
+        "mu": _dense(sd, prefix + "fc31"),
+        "logvar": _dense(sd, prefix + "fc32"),
+        "dec1": _dense(sd, prefix + "fc4"),
+        "dec2": _dense(sd, prefix + "fc5"),
+        "dec3": _dense(sd, prefix + "fc6"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# SwinFusion blocks (V1-style attention + rel-pos table) — nn/swinfusion.py
+# ---------------------------------------------------------------------------
+
+
+def fusion_block_tree(sd: Mapping[str, Any], prefix: str = "",
+                      qkv_bias: bool = True) -> Dict:
+    """``SwinTransformerBlock_fusion`` (swinfusion_module.py:265-398) ->
+    FusionBlock's flat param names (1, C)-row layout for the fused
+    kernels)."""
+    g = lambda n: _t(sd[prefix + n])
+    row = lambda x: x.reshape(1, -1)
+    out = {
+        "norm1_scale": row(g("norm1.weight")),
+        "norm1_bias": row(g("norm1.bias")),
+        "qkv_kernel": g("attn.qkv.weight").T,
+        "proj_kernel": g("attn.proj.weight").T,
+        "proj_bias": row(g("attn.proj.bias")),
+        "norm2_scale": row(g("norm2.weight")),
+        "norm2_bias": row(g("norm2.bias")),
+        "fc1_kernel": g("mlp.fc1.weight").T,
+        "fc1_bias": row(g("mlp.fc1.bias")),
+        "fc2_kernel": g("mlp.fc2.weight").T,
+        "fc2_bias": row(g("mlp.fc2.bias")),
+        "relative_position_bias_table": g(
+            "attn.relative_position_bias_table"),
+    }
+    if qkv_bias:
+        out["qkv_bias"] = row(g("attn.qkv.bias"))
+    return out
+
+
+def cross_fusion_block_tree(sd: Mapping[str, Any], prefix: str = "",
+                            qkv_bias: bool = True) -> Dict:
+    """``Cross_SwinTransformerBlock`` (swinfusion_module.py:400-558) ->
+    CrossFusionBlock's per-stream (A/B) flat param names."""
+    g = lambda n: _t(sd[prefix + n])
+    row = lambda x: x.reshape(1, -1)
+    out: Dict[str, np.ndarray] = {}
+    for s in ("A", "B"):
+        out.update({
+            f"norm1_{s}_scale": row(g(f"norm1_{s}.weight")),
+            f"norm1_{s}_bias": row(g(f"norm1_{s}.bias")),
+            f"q_{s}_kernel": g(f"attn_{s}.q.weight").T,
+            f"kv_{s}_kernel": g(f"attn_{s}.kv.weight").T,
+            f"proj_{s}_kernel": g(f"attn_{s}.proj.weight").T,
+            f"proj_{s}_bias": row(g(f"attn_{s}.proj.bias")),
+            f"norm2_{s}_scale": row(g(f"norm2_{s}.weight")),
+            f"norm2_{s}_bias": row(g(f"norm2_{s}.bias")),
+            f"fc1_{s}_kernel": g(f"mlp_{s}.fc1.weight").T,
+            f"fc1_{s}_bias": row(g(f"mlp_{s}.fc1.bias")),
+            f"fc2_{s}_kernel": g(f"mlp_{s}.fc2.weight").T,
+            f"fc2_{s}_bias": row(g(f"mlp_{s}.fc2.bias")),
+            f"relative_position_bias_table_{s}": g(
+                f"attn_{s}.relative_position_bias_table"),
+        })
+        if qkv_bias:
+            out[f"q_{s}_bias"] = row(g(f"attn_{s}.q.bias"))
+            out[f"kv_{s}_bias"] = row(g(f"attn_{s}.kv.bias"))
+    return out
