@@ -233,6 +233,7 @@ def _crstb_apply(layout, monkeypatch, deterministic=True):
     return val, grads
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("layout", ["bp", "bpr"])
 def test_stack_bp_matches_std(layout, monkeypatch):
     """FUSION_LAYOUT=bp (batch on the lane axis, 2-D streams between blocks)
@@ -250,6 +251,7 @@ def test_stack_bp_matches_std(layout, monkeypatch):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_stack_bp_training_smoke(monkeypatch):
     """Training mode through the BP stack: runs, finite value and grads."""
     val, grads = _crstb_apply("bp", monkeypatch, deterministic=False)

@@ -90,6 +90,7 @@ def test_cross_attention_different_feature_map():
     _run(cfg, _batch(["fmri_lowfreq_sequence", "fmri_ultralowfreq_sequence"]))
 
 
+@pytest.mark.slow
 def test_swin_vae_unet_step3():
     base = cfg_with(task="VIT", dataset_name="sMRI")
     out = _run(dataclasses.replace(base, use_vae=True), _batch(["smri"]))
@@ -98,6 +99,7 @@ def test_swin_vae_unet_step3():
     assert out["struct_output"].shape == (B, 84, 84)
 
 
+@pytest.mark.slow
 def test_swinfusion_step6():
     cfg = cfg_with(task="SwinFusion", dataset_name="struct")
     out = _run(cfg, _batch(["smri", "dti"]))

@@ -56,6 +56,7 @@ def test_cli_config_resolution(cohort, tmp_path):
     assert cfg6.fusion_drop_rate == 0.8  # SwinFusion class default
 
 
+@pytest.mark.slow
 def test_gbt_baseline_runs(cohort):
     from baselines.gbt_baseline import main
     # shrink grid for test speed

@@ -80,6 +80,7 @@ def test_use_shard_map_policy():
         use_shard_map("bogus", mesh)
 
 
+@pytest.mark.slow
 def test_shard_map_step_matches_gspmd():
     if jax.device_count() < 2:
         pytest.skip("needs a multi-device mesh")
@@ -135,6 +136,7 @@ def test_shard_map_eval_matches_gspmd():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_shard_map_with_norms_and_donate():
     """The trainer's real configuration: donated state + norm cond."""
     if jax.device_count() < 2:

@@ -41,6 +41,7 @@ def test_fmri_step1_device_preprocess(cohort, tmp_path):
     assert "val_AUROC" in metrics or "val_Balanced_Accuracy" in metrics
 
 
+@pytest.mark.slow
 def test_multimodal_step5_add(cohort, tmp_path):
     """Step-5 FuncStructAdd over the multimodal dataset (host FIR path)."""
     from multimodal_neuroimage_tpu.train.trainer import Trainer
