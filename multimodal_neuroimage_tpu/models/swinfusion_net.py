@@ -17,6 +17,12 @@ reflect-padding (1389-1394) is unnecessary for the fixed 84x84 input
 
 Tokens stay at pixel resolution (84x84 = 7056 per modality) exactly as in the
 reference, where PatchEmbed_fusion is a flatten and x_size == (84, 84).
+
+The reference instantiates ONE ``patch_embed`` (flatten + LayerNorm,
+swinfusion_module.py:941-974) and reuses it at every stage entry — Ex_A,
+Ex_B, both Fusion streams, and Re (model.py:1400-1471). The LayerNorm is
+therefore SHARED across all five sites; we reproduce that with a single
+``patch_norm`` module (golden-parity-checked in tests/test_swin_golden.py).
 """
 
 from __future__ import annotations
@@ -71,11 +77,14 @@ class SwinFusionBackbone(nn.Module):
         # shared conv stem (reference uses the A stem for both, model.py:1406)
         stem1 = TorchConv(E // 2, (3, 3), name="conv_first1_A")
         stem2 = TorchConv(E, (3, 3), name="conv_first2_A")
+        # the reference's single patch_embed LayerNorm, shared by every
+        # stage entry (see module docstring)
+        patch_norm = LayerNorm(name="patch_norm")
 
         def extract(x, branch: str):
             h = _lrelu(stem2(_lrelu(stem1(x[..., None]))))    # (B, 84, 84, E)
             t = h.reshape(h.shape[0], L, E)
-            t = LayerNorm(name=f"patch_norm_{branch}")(t)
+            t = patch_norm(t)
             t = pos_drop(t, deterministic=deterministic)
             dpr = self._dpr(self.ex_depths)
             for i, (depth, heads) in enumerate(zip(self.ex_depths,
@@ -91,9 +100,10 @@ class SwinFusionBackbone(nn.Module):
         x = extract(a.astype(jnp.float32), "A")
         y = extract(b.astype(jnp.float32), "B")
 
-        # cross-fusion (model.py:1441-1462)
-        x = pos_drop(x, deterministic=deterministic)
-        y = pos_drop(y, deterministic=deterministic)
+        # cross-fusion (model.py:1441-1462; re-enters via the shared
+        # patch_embed -> norm + pos_drop)
+        x = pos_drop(patch_norm(x), deterministic=deterministic)
+        y = pos_drop(patch_norm(y), deterministic=deterministic)
         dpr = self._dpr(self.fusion_depths)
         for i, (depth, heads) in enumerate(zip(self.fusion_depths,
                                                self.fusion_heads)):
@@ -110,9 +120,9 @@ class SwinFusionBackbone(nn.Module):
         h = _lrelu(TorchConv(E, (3, 3),
                              name="conv_after_body_Fusion")(h))
 
-        # reconstruction (model.py:1464-1482)
+        # reconstruction (model.py:1464-1482; shared patch norm again)
         t = h.reshape(h.shape[0], L, E)
-        t = pos_drop(t, deterministic=deterministic)
+        t = pos_drop(patch_norm(t), deterministic=deterministic)
         dpr = self._dpr(self.re_depths)
         for i, (depth, heads) in enumerate(zip(self.re_depths, self.re_heads)):
             t = RSTB(E, res, depth, heads, self.window_size, self.mlp_ratio,

@@ -185,6 +185,102 @@ def fusion_block_tree(sd: Mapping[str, Any], prefix: str = "",
     return out
 
 
+def _conv2d(sd: Mapping[str, Any], name: str) -> Dict:
+    """torch Conv2d (out, in, kh, kw) -> nn/common.TorchConv tree."""
+    out = {"kernel": _t(sd[f"{name}.weight"]).transpose(2, 3, 1, 0)}
+    if f"{name}.bias" in sd:
+        out["bias"] = _t(sd[f"{name}.bias"])
+    return {"conv": out}
+
+
+def _basic_layer_fusion_tree(sd: Mapping[str, Any], prefix: str, depth: int,
+                             block_fn) -> Dict:
+    """``BasicLayer_fusion`` / ``Cross_BasicLayer`` blocks -> our
+    BasicLayerFusion/CrossBasicLayer (scanned block pairs for even depth)."""
+    if depth % 2 == 0 and depth >= 2:
+        pairs = [{
+            "block_0": block_fn(sd, f"{prefix}blocks.{2 * j}."),
+            "block_1": block_fn(sd, f"{prefix}blocks.{2 * j + 1}."),
+        } for j in range(depth // 2)]
+        return {"pairs": _stack(pairs)}
+    return {f"block_{j}": block_fn(sd, f"{prefix}blocks.{j}.")
+            for j in range(depth)}
+
+
+def rstb_tree(sd: Mapping[str, Any], prefix: str, depth: int) -> Dict:
+    """``RSTB`` (swinfusion_module.py:750-824) -> nn/swinfusion.RSTB. The
+    reference's ``conv``/``patch_embed`` members are dead in its forward
+    (793: ``residual_group(x) + x``) and are skipped."""
+    return {"residual_group": _basic_layer_fusion_tree(
+        sd, prefix + "residual_group.", depth, fusion_block_tree)}
+
+
+def crstb_tree(sd: Mapping[str, Any], prefix: str, depth: int) -> Dict:
+    """``CRSTB`` (swinfusion_module.py:826-939) -> nn/swinfusion.CRSTB
+    (per-modality groups + the cross group; ``conv_A/B`` are dead code)."""
+    return {
+        "residual_group_A": _basic_layer_fusion_tree(
+            sd, prefix + "residual_group_A.", depth, fusion_block_tree),
+        "residual_group_B": _basic_layer_fusion_tree(
+            sd, prefix + "residual_group_B.", depth, fusion_block_tree),
+        "residual_group": _basic_layer_fusion_tree(
+            sd, prefix + "residual_group.", depth, cross_fusion_block_tree),
+    }
+
+
+def swinfusion_backbone_tree(sd: Mapping[str, Any],
+                             ex_depths: Sequence[int],
+                             fusion_depths: Sequence[int],
+                             re_depths: Sequence[int],
+                             prefix: str = "") -> Dict:
+    """Full ``SwinFusion`` feature path (reference model.py:1131-1534, minus
+    the final swin classifier) -> models/swinfusion_net.SwinFusionBackbone.
+
+    Maps the shared A conv stem (the reference applies it to both
+    modalities, model.py:1406), the shared patch_embed LayerNorm, the
+    Ex/Fusion/Re RSTB/CRSTB stacks, and the collapse convs. The unused
+    ``conv_first*_B`` stems are skipped."""
+    params: Dict[str, Any] = {
+        "conv_first1_A": _conv2d(sd, prefix + "conv_first1_A"),
+        "conv_first2_A": _conv2d(sd, prefix + "conv_first2_A"),
+        "patch_norm": _ln(sd, prefix + "patch_embed.norm"),
+        "norm_Ex_A": _ln(sd, prefix + "norm_Ex_A"),
+        "norm_Ex_B": _ln(sd, prefix + "norm_Ex_B"),
+        "norm_Fusion_A": _ln(sd, prefix + "norm_Fusion_A"),
+        "norm_Fusion_B": _ln(sd, prefix + "norm_Fusion_B"),
+        "norm_Re": _ln(sd, prefix + "norm_Re"),
+        "conv_after_body_Fusion": _conv2d(sd,
+                                          prefix + "conv_after_body_Fusion"),
+        "conv_last1": _conv2d(sd, prefix + "conv_last1"),
+        "conv_last2": _conv2d(sd, prefix + "conv_last2"),
+        "conv_last3": _conv2d(sd, prefix + "conv_last3"),
+    }
+    for i, d in enumerate(ex_depths):
+        params[f"Ex_A_{i}"] = rstb_tree(sd, f"{prefix}layers_Ex_A.{i}.", d)
+        params[f"Ex_B_{i}"] = rstb_tree(sd, f"{prefix}layers_Ex_B.{i}.", d)
+    for i, d in enumerate(fusion_depths):
+        params[f"Fusion_{i}"] = crstb_tree(sd, f"{prefix}layers_Fusion.{i}.",
+                                           d)
+    for i, d in enumerate(re_depths):
+        params[f"Re_{i}"] = rstb_tree(sd, f"{prefix}layers_Re.{i}.", d)
+    return params
+
+
+def swinfusion_net_tree(sd: Mapping[str, Any],
+                        ex_depths: Sequence[int],
+                        fusion_depths: Sequence[int],
+                        re_depths: Sequence[int],
+                        swin_depths: Sequence[int] = (2, 2, 6),
+                        prefix: str = "") -> Dict:
+    """Whole reference ``SwinFusion`` model (model.py:1131-1555) ->
+    models/swinfusion_net.SwinFusionNet (backbone + SwinV2 classifier)."""
+    return {
+        "fusion": swinfusion_backbone_tree(sd, ex_depths, fusion_depths,
+                                           re_depths, prefix),
+        "swin": swin_encoder_tree(sd, swin_depths, prefix=prefix + "swin."),
+    }
+
+
 def cross_fusion_block_tree(sd: Mapping[str, Any], prefix: str = "",
                             qkv_bias: bool = True) -> Dict:
     """``Cross_SwinTransformerBlock`` (swinfusion_module.py:400-558) ->

@@ -350,3 +350,46 @@ def test_cross_fusion_block_full_parity(swinfusion, shift):
                                atol=5e-5)
     np.testing.assert_allclose(np.asarray(got_y), _t2n(want_y), rtol=2e-4,
                                atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# FULL SwinFusion network (reference model.py:1131-1555) — the flagship's
+# fusion path end-to-end: conv stems -> Ex RSTBs -> CRSTB cross-fusion ->
+# Re RSTBs -> conv collapse -> SwinV2 classifier, via swinfusion_net_tree
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_full_swinfusion_net_parity(ref_model):
+    from multimodal_neuroimage_tpu.models.swinfusion_net import SwinFusionNet
+    from multimodal_neuroimage_tpu.utils.torch_import import \
+        swinfusion_net_tree
+    torch.manual_seed(41)
+    ex_d, fu_d, re_d = (2,), (2,), (2,)
+    ref = ref_model.SwinFusion(
+        img_size=84, patch_size=7, in_chans=1, embed_dim=DIM,
+        Ex_depths=list(ex_d), Fusion_depths=list(fu_d),
+        Re_depths=list(re_d), Ex_num_heads=[6], Fusion_num_heads=[6],
+        Re_num_heads=[6], window_size=WS, drop_rate=0.0,
+        attn_drop_rate=0.0, drop_path_rate=0.0,
+        # kwargs consumed by the inner plain SwinTransformerV2
+        # (model.py:995-1032): size_of_model default -> large [2,2,6]
+        fine_tune_task="binary_classification", intermediate_vec=84,
+        swin_embed_dim=12, no_init_weights=False).eval()
+    _perturb(ref, std=0.02, seed=41)
+
+    a = torch.randn(2, 84, 84) * 0.5
+    b = torch.randn(2, 84, 84) * 0.5
+    with torch.no_grad():
+        want = _t2n(ref(a, b)["binary_classification"])
+
+    ours = SwinFusionNet(embed_dim=DIM, ex_depths=ex_d, fusion_depths=fu_d,
+                         re_depths=re_d, ex_heads=(6,), fusion_heads=(6,),
+                         re_heads=(6,), window_size=WS, drop_rate=0.0,
+                         attn_drop_rate=0.0, drop_path_rate=0.0)
+    params = jax.tree_util.tree_map(
+        jnp.asarray, swinfusion_net_tree(ref.state_dict(), ex_d, fu_d, re_d))
+    out = ours.apply({"params": params},
+                     {"smri": jnp.asarray(_t2n(a)),
+                      "dti": jnp.asarray(_t2n(b))}, True)
+    got = np.asarray(out["binary_classification"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
