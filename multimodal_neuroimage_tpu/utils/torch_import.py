@@ -281,6 +281,40 @@ def swinfusion_net_tree(sd: Mapping[str, Any],
     }
 
 
+def transformer_block_tree(sd: Mapping[str, Any], prefix: str,
+                           num_layers: int) -> Dict:
+    """Reference ``Transformer_Block`` (model.py:154-192: learned-CLS
+    embedding + HF BertModel) -> nn/bert.TemporalBert."""
+    return {
+        "cls_embedding": _dense(sd, prefix + "cls_embedding.0"),
+        "bert": bert_params_from_hf(sd, num_layers, prefix=prefix + "bert."),
+    }
+
+
+def funcstruct_cross_tree(sd: Mapping[str, Any], num_layers: int,
+                          ex_depths: Sequence[int],
+                          fusion_depths: Sequence[int],
+                          re_depths: Sequence[int],
+                          swin_depths: Sequence[int],
+                          prefix: str = "") -> Dict:
+    """The FLAGSHIP ``Func_Struct_Cross`` (reference model.py:1558-2020:
+    dual temporal BERTs -> CLS concat + proj -> diag/FC embedding ->
+    SwinFusion backbone with struct -> SwinV2 head) ->
+    models/func_struct.FuncStructCross."""
+    return {
+        "fmri_embed": {
+            "transformer_low": transformer_block_tree(
+                sd, prefix + "transformer_low.", num_layers),
+            "transformer_ultralow": transformer_block_tree(
+                sd, prefix + "transformer_ultralow.", num_layers),
+            "proj_layer": _dense(sd, prefix + "proj_layer"),
+        },
+        "fusion": swinfusion_backbone_tree(sd, ex_depths, fusion_depths,
+                                           re_depths, prefix),
+        "swin": swin_encoder_tree(sd, swin_depths, prefix=prefix + "swin."),
+    }
+
+
 def cross_fusion_block_tree(sd: Mapping[str, Any], prefix: str = "",
                             qkv_bias: bool = True) -> Dict:
     """``Cross_SwinTransformerBlock`` (swinfusion_module.py:400-558) ->

@@ -393,3 +393,66 @@ def test_full_swinfusion_net_parity(ref_model):
                       "dti": jnp.asarray(_t2n(b))}, True)
     got = np.asarray(out["binary_classification"])
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# FLAGSHIP Func_Struct_Cross (reference model.py:1558-2020): dual temporal
+# BERTs -> CLS concat + proj -> diag + FC embedding -> SwinFusion backbone
+# with struct -> SwinV2 head — end-to-end logits via funcstruct_cross_tree
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_full_funcstruct_cross_parity(ref_model):
+    from multimodal_neuroimage_tpu.models.func_struct import FuncStructCross
+    from multimodal_neuroimage_tpu.utils.torch_import import \
+        funcstruct_cross_tree
+    torch.manual_seed(51)
+    L, T, IV = 2, 48, 84
+    ex_d, fu_d, re_d = (1,), (1,), (1,)
+    ref = ref_model.Func_Struct_Cross(
+        img_size=IV, patch_size=7, in_chans=1, embed_dim=DIM,
+        Ex_depths=list(ex_d), Fusion_depths=list(fu_d),
+        Re_depths=list(re_d), Ex_num_heads=[6], Fusion_num_heads=[6],
+        Re_num_heads=[6], window_size=WS, drop_rate=0.0,
+        attn_drop_rate=0.0, drop_path_rate=0.0,
+        # kwargs: register_vars (model.py:53-88) + flagship config +
+        # the inner plain SwinTransformerV2 (model.py:995-1032)
+        fine_tune_task="binary_classification",
+        dataset_name="multimodal", fmri_type="divided_frequency",
+        transformer_hidden_layers=L, num_heads_mult=12,
+        num_heads_2DBert=12, transformer_dropout_rate=0.0,
+        sequence_length=T, intermediate_vec=IV,
+        concat_method="concat", feature_map_size="same",
+        feature_map_gen="no", use_FC=True, use_merge_loss=False,
+        size_of_model="small", swin_embed_dim=12,
+        no_init_weights=False).eval()
+    _perturb(ref, std=0.02, seed=51)
+
+    x_raw = torch.randn(2, T, IV)
+    x_l = torch.randn(2, T, IV) * 0.5
+    x_u = torch.randn(2, T, IV) * 0.5
+    struct = torch.randn(2, IV, IV) * 0.5
+    with torch.no_grad():
+        want = _t2n(ref(x_raw, x_l, x_u, struct)["binary_classification"])
+
+    ours = FuncStructCross(
+        intermediate_vec=IV, transformer_hidden_layers=L,
+        num_heads_2DBert=12, sequence_length=T,
+        transformer_dropout_rate=0.0, concat_method="concat",
+        feature_map_size="same", use_FC=True,
+        fusion_embed_dim=DIM, fusion_ex_depths=ex_d, fusion_depths=fu_d,
+        fusion_re_depths=re_d, fusion_ex_heads=(6,), fusion_heads=(6,),
+        fusion_re_heads=(6,), fusion_drop=0.0, fusion_drop_path=0.0,
+        window_size=WS, mlp_ratio=4.0, size_of_model="small",
+        swin_embed_dim=12, patch_size=7,
+        fine_tune_task="binary_classification")
+    params = jax.tree_util.tree_map(
+        jnp.asarray,
+        funcstruct_cross_tree(ref.state_dict(), L, ex_d, fu_d, re_d, (2,)))
+    out = ours.apply({"params": params},
+                     {"fmri_raw_sequence": jnp.asarray(_t2n(x_raw)),
+                      "fmri_lowfreq_sequence": jnp.asarray(_t2n(x_l)),
+                      "fmri_ultralowfreq_sequence": jnp.asarray(_t2n(x_u)),
+                      "struct": jnp.asarray(_t2n(struct))}, True)
+    got = np.asarray(out["binary_classification"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
