@@ -281,6 +281,72 @@ def swinfusion_net_tree(sd: Mapping[str, Any],
     }
 
 
+def time_proj_tree(sd: Mapping[str, Any], name: str) -> Dict:
+    """torch ``Conv1d(T, T_out, kernel_size=1, bias=False)`` over the time
+    axis (model.py:376-383) -> models/fmri_nets.TimeProj."""
+    w = _t(sd[f"{name}.weight"])          # (T_out, T_in, 1)
+    return {"kernel": w[:, :, 0].T}
+
+
+def mult_encoder_tree(sd: Mapping[str, Any], prefix: str,
+                      num_layers: int) -> Dict:
+    """Reference fairseq-style ``TransformerEncoder``
+    (crossmodal_transformer.py:9-96) -> nn/crossmodal.MultTransformerEncoder."""
+    p: Dict[str, Any] = {}
+    for i in range(num_layers):
+        pre = f"{prefix}layers.{i}."
+        p[f"layer_{i}"] = {
+            "ln0": _ln(sd, pre + "layer_norms.0"),
+            "ln1": _ln(sd, pre + "layer_norms.1"),
+            "self_attn": {
+                "in_proj_weight": _t(sd[pre + "self_attn.in_proj_weight"]),
+                "in_proj_bias": _t(sd[pre + "self_attn.in_proj_bias"]),
+                "out_proj": _dense(sd, pre + "self_attn.out_proj"),
+            },
+            "fc1": _dense(sd, pre + "fc1"),
+            "fc2": _dense(sd, pre + "fc2"),
+        }
+    p["final_ln"] = _ln(sd, prefix + "layer_norm")
+    return p
+
+
+def transformer_net_cross_attention_tree(
+        sd: Mapping[str, Any], nlevels: int, prefix: str = "",
+        feature_map_size: str = "same",
+        feature_map_gen: str = "convolution_ul+l",
+        mixing: str = "U2L_and_L2U", concat_method: str = "concat",
+        fmri_type: str = "divided_frequency") -> Dict:
+    """Full ``Transformer_Net_Cross_Attention`` (reference model.py:341-552)
+    -> models/fmri_nets.TransformerNetCrossAttention. Only the encoders the
+    configured mixing/gen path instantiates are mapped (the reference always
+    constructs all of them; unused ones stay at init)."""
+    mem_layers = max(nlevels, 3)
+    p: Dict[str, Any] = {
+        "trans_l_with_u": mult_encoder_tree(sd, prefix + "trans_l_with_u.",
+                                            nlevels),
+        "trans_u_with_l": mult_encoder_tree(sd, prefix + "trans_u_with_l.",
+                                            nlevels),
+        "out_layer2": _dense(sd, prefix + "out_layer2"),
+    }
+    if feature_map_gen == "convolution_ul+l":
+        p["proj_l"] = time_proj_tree(sd, prefix + "proj_l")
+    if feature_map_size == "different":
+        p["proj_u"] = time_proj_tree(sd, prefix + "proj_u")
+    if feature_map_size == "different" or fmri_type == "timeseries_and_frequency":
+        p["deconv"] = time_proj_tree(sd, prefix + "deconv")
+    if mixing == "U2L_and_L2U" and concat_method == "concat":
+        p["trans_mem"] = mult_encoder_tree(sd, prefix + "trans_mem.",
+                                           mem_layers)
+        p["out_layer1"] = _dense(sd, prefix + "out_layer1")
+    elif mixing in ("U2L", "U2L_and_L2U"):
+        p["trans_l_mem"] = mult_encoder_tree(sd, prefix + "trans_l_mem.",
+                                             mem_layers)
+    else:
+        p["trans_u_mem"] = mult_encoder_tree(sd, prefix + "trans_u_mem.",
+                                             mem_layers)
+    return p
+
+
 def transformer_block_tree(sd: Mapping[str, Any], prefix: str,
                            num_layers: int) -> Dict:
     """Reference ``Transformer_Block`` (model.py:154-192: learned-CLS

@@ -48,30 +48,10 @@ def _load_ref_encoder(attn_mask: bool):
 
 
 def _flax_params(enc):
-    """torch state_dict -> nn/crossmodal.py MultTransformerEncoder tree."""
-    sd = {k: v.detach().cpu().numpy() for k, v in enc.state_dict().items()}
-    p = {}
-    for i in range(L):
-        pre = f"layers.{i}."
-        p[f"layer_{i}"] = {
-            "ln0": {"scale": sd[pre + "layer_norms.0.weight"],
-                    "bias": sd[pre + "layer_norms.0.bias"]},
-            "ln1": {"scale": sd[pre + "layer_norms.1.weight"],
-                    "bias": sd[pre + "layer_norms.1.bias"]},
-            "self_attn": {
-                "in_proj_weight": sd[pre + "self_attn.in_proj_weight"],
-                "in_proj_bias": sd[pre + "self_attn.in_proj_bias"],
-                "out_proj": {
-                    "kernel": sd[pre + "self_attn.out_proj.weight"].T,
-                    "bias": sd[pre + "self_attn.out_proj.bias"]}},
-            "fc1": {"kernel": sd[pre + "fc1.weight"].T,
-                    "bias": sd[pre + "fc1.bias"]},
-            "fc2": {"kernel": sd[pre + "fc2.weight"].T,
-                    "bias": sd[pre + "fc2.bias"]},
-        }
-    p["final_ln"] = {"scale": sd["layer_norm.weight"],
-                     "bias": sd["layer_norm.bias"]}
-    return jax.tree_util.tree_map(jnp.asarray, p)
+    """torch state_dict -> MultTransformerEncoder tree (package mapper)."""
+    from multimodal_neuroimage_tpu.utils.torch_import import mult_encoder_tree
+    return jax.tree_util.tree_map(
+        jnp.asarray, mult_encoder_tree(enc.state_dict(), "", L))
 
 
 import jax  # noqa: E402

@@ -396,6 +396,53 @@ def test_full_swinfusion_net_parity(ref_model):
 
 
 # ---------------------------------------------------------------------------
+# FULL Transformer_Net_Cross_Attention (reference model.py:341-552): the
+# step-2 MulT model — shared-proj_l quirk, bidirectional crossmodal
+# encoders, concat memory, last-step readout + head
+# ---------------------------------------------------------------------------
+
+def test_full_transformer_net_cross_attention_parity(ref_model):
+    from multimodal_neuroimage_tpu.models.fmri_nets import \
+        TransformerNetCrossAttention
+    from multimodal_neuroimage_tpu.utils.torch_import import \
+        transformer_net_cross_attention_tree
+    torch.manual_seed(61)
+    T, IV, NL = 32, 84, 2
+    ref = ref_model.Transformer_Net_Cross_Attention(
+        fine_tune_task="binary_classification", intermediate_vec=IV,
+        num_heads_mult=12, nlevels=NL, attn_dropout=0.0, attn_dropout_u=0.0,
+        relu_dropout=0.0, res_dropout=0.0, out_dropout=0.0,
+        embed_dropout=0.0, attn_mask=True, sequence_length=T,
+        feature_map_gen="convolution_ul+l", feature_map_size="same",
+        mixing="U2L_and_L2U", concat_method="concat",
+        fmri_type="divided_frequency", dataset_name="multimodal",
+        transformer_hidden_layers=NL, transformer_dropout_rate=0.0).eval()
+    _perturb(ref, std=0.02, seed=61)
+
+    x_l = torch.randn(2, T, IV) * 0.5
+    x_u = torch.randn(2, T, IV) * 0.5
+    with torch.no_grad():
+        want = _t2n(ref(x_l, x_u)["binary_classification"])
+
+    ours = TransformerNetCrossAttention(
+        intermediate_vec=IV, num_heads_mult=12, nlevels=NL,
+        sequence_length=T, attn_dropout=0.0, attn_dropout_u=0.0,
+        relu_dropout=0.0, res_dropout=0.0, embed_dropout=0.0,
+        attn_mask=True, feature_map_size="same",
+        feature_map_gen="convolution_ul+l", mixing="U2L_and_L2U",
+        concat_method="concat", fmri_type="divided_frequency")
+    params = jax.tree_util.tree_map(
+        jnp.asarray, transformer_net_cross_attention_tree(
+            ref.state_dict(), NL))
+    out = ours.apply({"params": params},
+                     {"fmri_lowfreq_sequence": jnp.asarray(_t2n(x_l)),
+                      "fmri_ultralowfreq_sequence": jnp.asarray(_t2n(x_u))},
+                     True)
+    got = np.asarray(out["binary_classification"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
 # FLAGSHIP Func_Struct_Cross (reference model.py:1558-2020): dual temporal
 # BERTs -> CLS concat + proj -> diag + FC embedding -> SwinFusion backbone
 # with struct -> SwinV2 head — end-to-end logits via funcstruct_cross_tree
