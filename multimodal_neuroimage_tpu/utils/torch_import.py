@@ -357,6 +357,53 @@ def transformer_block_tree(sd: Mapping[str, Any], prefix: str,
     }
 
 
+def _dual_bert_embed_tree(sd: Mapping[str, Any], num_layers: int,
+                          prefix: str = "") -> Dict:
+    """Dual low/ultralow Transformer_Blocks + CLS concat projection — the
+    shared front half of Two_Channels and every Func_Struct_* model
+    (model.py:241-339, 1598-1628) -> models/func_struct.FmriDiagEmbed."""
+    return {
+        "transformer_low": transformer_block_tree(
+            sd, prefix + "transformer_low.", num_layers),
+        "transformer_ultralow": transformer_block_tree(
+            sd, prefix + "transformer_ultralow.", num_layers),
+        "proj_layer": _dense(sd, prefix + "proj_layer"),
+    }
+
+
+def transformer_net_tree(sd: Mapping[str, Any], num_layers: int,
+                         prefix: str = "") -> Dict:
+    """``Transformer_Net`` (model.py:194-239) ->
+    models/fmri_nets.TransformerNet."""
+    return {
+        "transformer": transformer_block_tree(sd, prefix + "transformer.",
+                                              num_layers),
+        "regression_head": _dense(sd, prefix + "regression_head"),
+    }
+
+
+def transformer_net_two_channels_tree(sd: Mapping[str, Any], num_layers: int,
+                                      prefix: str = "") -> Dict:
+    """``Transformer_Net_Two_Channels`` (model.py:241-339) ->
+    models/fmri_nets.TransformerNetTwoChannels."""
+    tree = _dual_bert_embed_tree(sd, num_layers, prefix)
+    tree["regression_head"] = _dense(sd, prefix + "regression_head")
+    return tree
+
+
+def funcstruct_add_tree(sd: Mapping[str, Any], num_layers: int,
+                        swin_depths: Sequence[int],
+                        prefix: str = "") -> Dict:
+    """``Func_Struct_Add`` / ``Func_Struct_Transfer`` (model.py:3187-3552)
+    -> models/func_struct.FuncStruct{Add,Transfer}. The reference classes
+    ARE the swin model (patch_embed/layers/norm/head at top level), so the
+    swin tree maps from the same prefix."""
+    return {
+        "fmri_embed": _dual_bert_embed_tree(sd, num_layers, prefix),
+        "swin": swin_encoder_tree(sd, swin_depths, prefix=prefix),
+    }
+
+
 def funcstruct_cross_tree(sd: Mapping[str, Any], num_layers: int,
                           ex_depths: Sequence[int],
                           fusion_depths: Sequence[int],
@@ -368,13 +415,7 @@ def funcstruct_cross_tree(sd: Mapping[str, Any], num_layers: int,
     SwinFusion backbone with struct -> SwinV2 head) ->
     models/func_struct.FuncStructCross."""
     return {
-        "fmri_embed": {
-            "transformer_low": transformer_block_tree(
-                sd, prefix + "transformer_low.", num_layers),
-            "transformer_ultralow": transformer_block_tree(
-                sd, prefix + "transformer_ultralow.", num_layers),
-            "proj_layer": _dense(sd, prefix + "proj_layer"),
-        },
+        "fmri_embed": _dual_bert_embed_tree(sd, num_layers, prefix),
         "fusion": swinfusion_backbone_tree(sd, ex_depths, fusion_depths,
                                            re_depths, prefix),
         "swin": swin_encoder_tree(sd, swin_depths, prefix=prefix + "swin."),

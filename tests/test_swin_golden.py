@@ -226,6 +226,10 @@ def ref_model():
     """Load the reference's model.py itself (timm stub + sys.path)."""
     import sys
     _install_timm_stub()
+    # the BERT-family forwards call torch.cuda.nvtx.range_push/pop
+    # (model.py:221 etc.) — no-op them on the CPU build
+    torch.cuda.nvtx.range_push = lambda *_a, **_k: None
+    torch.cuda.nvtx.range_pop = lambda *_a, **_k: None
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
     spec = importlib.util.spec_from_file_location("ref_model",
@@ -440,6 +444,122 @@ def test_full_transformer_net_cross_attention_parity(ref_model):
                      True)
     got = np.asarray(out["binary_classification"])
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Transformer_Net (model.py:194-239) and Transformer_Net_Two_Channels
+# (model.py:241-339): the step-1/step-2 BERT family, full-model
+# ---------------------------------------------------------------------------
+
+_BERT_KW = dict(fine_tune_task="binary_classification",
+                transformer_dropout_rate=0.0, num_heads_2DBert=12,
+                num_heads_mult=12, concat_method="concat",
+                feature_map_size="same", feature_map_gen="no",
+                use_merge_loss=False, feature_squeeze=False)
+
+
+def test_full_transformer_net_parity(ref_model):
+    from multimodal_neuroimage_tpu.models.fmri_nets import TransformerNet
+    from multimodal_neuroimage_tpu.utils.torch_import import \
+        transformer_net_tree
+    torch.manual_seed(71)
+    T, IV, L = 32, 84, 2
+    ref = ref_model.Transformer_Net(
+        dataset_name="fMRI_timeseries", fmri_type="timeseries",
+        sequence_length=T, intermediate_vec=IV,
+        transformer_hidden_layers=L, **_BERT_KW).eval()
+    _perturb(ref, std=0.02, seed=71)
+
+    x = torch.randn(2, T, IV) * 0.5
+    with torch.no_grad():
+        want = ref(x)
+    ours = TransformerNet(intermediate_vec=IV, transformer_hidden_layers=L,
+                          num_heads_2DBert=12, sequence_length=T,
+                          transformer_dropout_rate=0.0)
+    params = jax.tree_util.tree_map(
+        jnp.asarray, transformer_net_tree(ref.state_dict(), L))
+    out = ours.apply({"params": params},
+                     {"fmri_sequence": jnp.asarray(_t2n(x))}, True)
+    np.testing.assert_allclose(np.asarray(out["binary_classification"]),
+                               _t2n(want["binary_classification"]),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(out["reconstructed_fmri_sequence"]),
+        _t2n(want["reconstructed_fmri_sequence"]), rtol=5e-4, atol=5e-4)
+
+
+def test_full_two_channels_parity(ref_model):
+    from multimodal_neuroimage_tpu.models.fmri_nets import \
+        TransformerNetTwoChannels
+    from multimodal_neuroimage_tpu.utils.torch_import import \
+        transformer_net_two_channels_tree
+    torch.manual_seed(72)
+    T, IV, L = 32, 84, 2
+    ref = ref_model.Transformer_Net_Two_Channels(
+        dataset_name="multimodal", fmri_type="divided_frequency",
+        sequence_length=T, intermediate_vec=IV,
+        transformer_hidden_layers=L, **_BERT_KW).eval()
+    _perturb(ref, std=0.02, seed=72)
+
+    x_l = torch.randn(2, T, IV) * 0.5
+    x_u = torch.randn(2, T, IV) * 0.5
+    with torch.no_grad():
+        want = _t2n(ref(None, x_l, x_u)["binary_classification"])
+    ours = TransformerNetTwoChannels(
+        intermediate_vec=IV, transformer_hidden_layers=L,
+        num_heads_2DBert=12, sequence_length=T,
+        transformer_dropout_rate=0.0, concat_method="concat",
+        feature_map_size="same")
+    params = jax.tree_util.tree_map(
+        jnp.asarray, transformer_net_two_channels_tree(ref.state_dict(), L))
+    out = ours.apply({"params": params},
+                     {"fmri_lowfreq_sequence": jnp.asarray(_t2n(x_l)),
+                      "fmri_ultralowfreq_sequence": jnp.asarray(_t2n(x_u))},
+                     True)
+    np.testing.assert_allclose(np.asarray(out["binary_classification"]),
+                               want, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("variant", ["add", "transfer"])
+def test_full_funcstruct_add_transfer_parity(ref_model, variant):
+    from multimodal_neuroimage_tpu.models.func_struct import (FuncStructAdd,
+                                                              FuncStructTransfer)
+    from multimodal_neuroimage_tpu.utils.torch_import import \
+        funcstruct_add_tree
+    torch.manual_seed(73)
+    T, IV, L = 32, 84, 2
+    cls = (ref_model.Func_Struct_Add if variant == "add"
+           else ref_model.Func_Struct_Transfer)
+    ref = cls(img_size_w=IV, img_size_h=IV, patch_size=7, embed_dim=DIM,
+              depths=[2], num_heads_swin=[3], window_size=WS,
+              drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0,
+              dataset_name="multimodal", fmri_type="divided_frequency",
+              sequence_length=T, intermediate_vec=IV,
+              transformer_hidden_layers=L, **_BERT_KW).eval()
+    _perturb(ref, std=0.02, seed=73)
+
+    x_l = torch.randn(2, T, IV) * 0.5
+    x_u = torch.randn(2, T, IV) * 0.5
+    struct = torch.randn(2, IV, IV) * 0.5
+    with torch.no_grad():
+        want = _t2n((ref(x_l, x_u, struct) if variant == "add"
+                     else ref(x_l, x_u))["binary_classification"])
+
+    our_cls = FuncStructAdd if variant == "add" else FuncStructTransfer
+    ours = our_cls(intermediate_vec=IV, transformer_hidden_layers=L,
+                   num_heads_2DBert=12, sequence_length=T,
+                   transformer_dropout_rate=0.0, concat_method="concat",
+                   feature_map_size="same", use_FC=False,
+                   fusion_drop=0.0, fusion_drop_path=0.0, window_size=WS,
+                   size_of_model="small", swin_embed_dim=DIM, patch_size=7)
+    params = jax.tree_util.tree_map(
+        jnp.asarray, funcstruct_add_tree(ref.state_dict(), L, (2,)))
+    batch = {"fmri_lowfreq_sequence": jnp.asarray(_t2n(x_l)),
+             "fmri_ultralowfreq_sequence": jnp.asarray(_t2n(x_u)),
+             "struct": jnp.asarray(_t2n(struct))}
+    out = ours.apply({"params": params}, batch, True)
+    np.testing.assert_allclose(np.asarray(out["binary_classification"]),
+                               want, rtol=5e-4, atol=5e-4)
 
 
 # ---------------------------------------------------------------------------
