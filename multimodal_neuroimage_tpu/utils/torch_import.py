@@ -347,6 +347,53 @@ def transformer_net_cross_attention_tree(
     return p
 
 
+def _double_conv_tree(sd: Mapping[str, Any], prefix: str) -> Dict:
+    """``DoubleConv`` (model.py:731-749: conv3x3 -> BN -> relu, twice) ->
+    nn/unet.DoubleConv. BatchNorm running stats are intentionally dropped:
+    our BatchStatNorm normalizes by batch statistics (train-mode BN)."""
+    conv = lambda n: {"kernel": _t(sd[n + ".weight"]).transpose(2, 3, 1, 0)}
+    bn = lambda n: {"scale": _t(sd[n + ".weight"]), "bias": _t(sd[n + ".bias"])}
+    return {
+        "conv1": conv(prefix + "double_conv.0"),
+        "bn1": bn(prefix + "double_conv.1"),
+        "conv2": conv(prefix + "double_conv.3"),
+        "bn2": bn(prefix + "double_conv.4"),
+    }
+
+
+def unet_tree(sd: Mapping[str, Any], prefix: str = "") -> Dict:
+    """Reference 4-down/4-up UNet (model.py:731-800, 846-859) ->
+    nn/unet.UNet2D."""
+    p: Dict[str, Any] = {"inc": _double_conv_tree(sd, prefix + "inc.")}
+    for i in range(1, 5):
+        p[f"down{i}"] = _double_conv_tree(
+            sd, f"{prefix}down{i}.maxpool_conv.1.")
+    for i in range(1, 5):
+        # torch ConvTranspose2d weight (in, out, kh, kw) -> flax
+        # (kh, kw, in, out), SPATIALLY FLIPPED: lax.conv_transpose applies
+        # the kernel as a fractionally-strided correlation, torch as the
+        # conv adjoint — verified equivalent under [::-1, ::-1]
+        up = {"kernel": _t(sd[f"{prefix}up{i}.up.weight"])
+              .transpose(2, 3, 0, 1)[::-1, ::-1].copy()}
+        if f"{prefix}up{i}.up.bias" in sd:
+            up["bias"] = _t(sd[f"{prefix}up{i}.up.bias"])
+        p[f"up{i}"] = {"up": up,
+                       "conv": _double_conv_tree(sd, f"{prefix}up{i}.conv.")}
+    return p
+
+
+def swin_unet_classifier_tree(sd: Mapping[str, Any],
+                              swin_depths: Sequence[int],
+                              prefix: str = "") -> Dict:
+    """``SwinTransformerV2_UNet`` (model.py:802-967: UNet denoiser -> SwinV2
+    -> head, swin members at top level) ->
+    models/struct_nets.SwinClassifierUNet."""
+    return {
+        "unet": unet_tree(sd, prefix),
+        "swin": swin_encoder_tree(sd, swin_depths, prefix=prefix),
+    }
+
+
 def transformer_block_tree(sd: Mapping[str, Any], prefix: str,
                            num_layers: int) -> Dict:
     """Reference ``Transformer_Block`` (model.py:154-192: learned-CLS

@@ -563,6 +563,43 @@ def test_full_funcstruct_add_transfer_parity(ref_model, variant):
 
 
 # ---------------------------------------------------------------------------
+# FULL SwinTransformerV2_UNet (model.py:802-967): UNet denoiser -> SwinV2.
+# The torch model runs in TRAIN mode with all dropout rates 0 so BatchNorm
+# normalizes by batch statistics — matching our BatchStatNorm semantics
+# (running-average eval stats are intentionally not carried, nn/unet.py).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_full_swin_unet_classifier_parity(ref_model):
+    from multimodal_neuroimage_tpu.models.struct_nets import \
+        SwinClassifierUNet
+    from multimodal_neuroimage_tpu.utils.torch_import import \
+        swin_unet_classifier_tree
+    torch.manual_seed(81)
+    ref = ref_model.SwinTransformerV2_UNet(
+        img_size_w=84, img_size_h=84, patch_size=7, embed_dim=DIM,
+        depths=[2], num_heads_swin=[3], window_size=WS,
+        drop_path_rate=0.0, fine_tune_task="binary_classification",
+        drop_rate=0.0, attn_drop_rate=0.0).train()
+    _perturb(ref, std=0.02, seed=81)
+
+    x = torch.randn(3, 84, 84) * 0.5
+    with torch.no_grad():
+        want = _t2n(ref(x)["binary_classification"])
+
+    ours = SwinClassifierUNet(size_of_model="small", patch_size=7,
+                              swin_embed_dim=DIM, window_size=WS,
+                              drop_rate=0.0, attn_drop_rate=0.0,
+                              drop_path_rate=0.0, dataset_name="sMRI")
+    params = jax.tree_util.tree_map(
+        jnp.asarray, swin_unet_classifier_tree(ref.state_dict(), (2,)))
+    out = ours.apply({"params": params},
+                     {"smri": jnp.asarray(_t2n(x))}, True)
+    np.testing.assert_allclose(np.asarray(out["binary_classification"]),
+                               want, rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
 # FLAGSHIP Func_Struct_Cross (reference model.py:1558-2020): dual temporal
 # BERTs -> CLS concat + proj -> diag + FC embedding -> SwinFusion backbone
 # with struct -> SwinV2 head — end-to-end logits via funcstruct_cross_tree
