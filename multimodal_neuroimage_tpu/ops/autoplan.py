@@ -20,9 +20,50 @@ jit tracing — the canary executes eagerly and cannot run inside a trace).
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Optional, Tuple
 
 _RESOLVED = False
+
+# Measured-plan cache: bench.py's execution-plan race writes the winners
+# here (keyed by TPU device kind); later boots on the same hardware skip
+# the canaries and use the measured-best plans directly. Machine-local,
+# gitignored.
+_PLAN_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".plan_cache.json")
+
+
+def _device_kind() -> str:
+    import jax
+    try:
+        return getattr(jax.devices()[0], "device_kind", "unknown")
+    except Exception:
+        return "unknown"
+
+
+def save_plan_cache(fusion_layout: str, bert_attn: str,
+                    race_results: Optional[dict] = None) -> None:
+    """Record hardware-measured plan winners (called by bench.py)."""
+    try:
+        with open(_PLAN_CACHE, "w") as f:
+            json.dump({"device_kind": _device_kind(),
+                       "fusion_layout": fusion_layout,
+                       "bert_attn": bert_attn,
+                       "race": race_results or {}}, f, indent=1)
+    except OSError:                                  # pragma: no cover
+        pass
+
+
+def _load_plan_cache() -> Optional[dict]:
+    try:
+        with open(_PLAN_CACHE) as f:
+            cache = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if cache.get("device_kind") != _device_kind():
+        return None
+    return cache
 
 
 def _on_tpu() -> bool:
@@ -112,6 +153,18 @@ def resolve_plans(batch_size: int = 8) -> Tuple[str, str]:
         # unless forced for tests, which pin layouts themselves)
         if sf._LAYOUT is None:
             sf._LAYOUT = "std"
+        return sf._LAYOUT, bl._ATTN_MODE
+
+    cache = _load_plan_cache()
+    if cache is not None:
+        if sf._LAYOUT is None:
+            sf._LAYOUT = cache["fusion_layout"]
+            print(f"[autoplan] fusion layout: {sf._LAYOUT} "
+                  f"(measured, .plan_cache.json)")
+        if not bl._ATTN_PINNED:
+            bl._ATTN_MODE = cache["bert_attn"]
+            print(f"[autoplan] bert attention: {bl._ATTN_MODE} "
+                  f"(measured, .plan_cache.json)")
         return sf._LAYOUT, bl._ATTN_MODE
 
     if sf._LAYOUT is None:                         # no env override

@@ -261,12 +261,57 @@ def test_flattened_optimizer_matches_per_tensor_updates():
                                        rtol=0, atol=1e-6)
 
 
-def test_autoplan_fallback(monkeypatch):
+def test_autoplan_plan_cache(monkeypatch, tmp_path):
+    """A measured-plan cache written by bench.py's race short-circuits the
+    canaries on matching hardware and is ignored on different hardware."""
+    import multimodal_neuroimage_tpu.nn.swinfusion as sf
+    from multimodal_neuroimage_tpu.ops import autoplan
+    from multimodal_neuroimage_tpu.ops import bert_layer as bl
+
+    cache_file = str(tmp_path / "plan_cache.json")
+    monkeypatch.setattr(autoplan, "_PLAN_CACHE", cache_file)
+    monkeypatch.setattr(autoplan, "_on_tpu", lambda: True)
+    monkeypatch.setattr(autoplan, "_device_kind", lambda: "TPU v5e")
+
+    def boom(b):
+        raise AssertionError("canary must not run when the cache matches")
+
+    autoplan.save_plan_cache("bp", "loop", {"fusion_ms_per_step": {"bp": 1.0}})
+    monkeypatch.setattr(autoplan, "_RESOLVED", False)
+    monkeypatch.setattr(autoplan, "_canary_fusion_bp", boom)
+    monkeypatch.setattr(autoplan, "_canary_bert_packed", boom)
+    monkeypatch.setattr(sf, "_LAYOUT", None)
+    monkeypatch.setattr(bl, "_ATTN_PINNED", False)
+    monkeypatch.setattr(bl, "_ATTN_MODE", "packed")
+    assert autoplan.resolve_plans(8) == ("bp", "loop")
+
+    # different hardware -> cache ignored, canaries decide
+    monkeypatch.setattr(autoplan, "_device_kind", lambda: "TPU v4")
+    monkeypatch.setattr(autoplan, "_RESOLVED", False)
+    monkeypatch.setattr(autoplan, "_canary_fusion_bp", lambda b: None)
+    monkeypatch.setattr(autoplan, "_canary_bert_packed", lambda b: None)
+    monkeypatch.setattr(sf, "_LAYOUT", None)
+    assert autoplan.resolve_plans(8) == ("bpr", "packed")
+
+    # env pins beat the cache
+    monkeypatch.setattr(autoplan, "_device_kind", lambda: "TPU v5e")
+    monkeypatch.setattr(autoplan, "_RESOLVED", False)
+    monkeypatch.setattr(sf, "_LAYOUT", "std")
+    monkeypatch.setattr(bl, "_ATTN_PINNED", True)
+    monkeypatch.setattr(bl, "_ATTN_MODE", "packed")
+    assert autoplan.resolve_plans(8) == ("std", "packed")
+
+
+def test_autoplan_fallback(monkeypatch, tmp_path):
     """resolve_plans picks the fast plans when the canaries compile and
     falls back (std / loop) when the hardware rejects them."""
     import multimodal_neuroimage_tpu.nn.swinfusion as sf
     from multimodal_neuroimage_tpu.ops import autoplan
     from multimodal_neuroimage_tpu.ops import bert_layer as bl
+
+    # isolate from any machine-local measured-plan cache
+    monkeypatch.setattr(autoplan, "_PLAN_CACHE",
+                        str(tmp_path / "absent.json"))
 
     # canaries succeed -> fast plans
     monkeypatch.setattr(autoplan, "_RESOLVED", False)
