@@ -150,7 +150,8 @@ class DataPipeline:
         cfg = self.cfg
         if split == "train" and cfg.augment_prob > 0:
             return False  # augmentation runs in the Python item path
-        if cfg.dataset_name in ("DTI", "sMRI", "DTI+sMRI", "struct"):
+        if cfg.dataset_name in ("DTI", "sMRI", "DTI+sMRI", "struct",
+                                "fMRI_image"):
             return True
         if cfg.dataset_name in ("multimodal", "multimodal_prs"):
             return cfg.feature_map_gen != "resample"
@@ -173,6 +174,15 @@ class DataPipeline:
             "subject": np.asarray([r.idx for r in recs], np.int64),
             "target": np.asarray([r.target for r in recs], np.float32),
         }
+        if cfg.dataset_name == "fMRI_image":
+            from multimodal_neuroimage_tpu.data.nifti import read_nifti_header
+            paths = [r.paths["fmri_image"] for r in recs]
+            vols = native.nifti_batch_native(
+                paths, read_nifti_header(paths[0]), cfg.workers)
+            if vols is None:
+                return None
+            batch["fmri_sequence"] = vols
+            return batch, names
         mat_key = {"DTI": ("dti", "dti"), "sMRI": ("smri", "smri"),
                    "DTI+sMRI": ("struct", "struct")}.get(cfg.dataset_name)
         if cfg.dataset_name == "struct":

@@ -31,7 +31,7 @@ def _build() -> Optional[str]:
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return _SO
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-pthread", "-o", _SO, _SRC]
+           "-pthread", "-o", _SO, _SRC, "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         return _SO
@@ -63,6 +63,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
             ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
+        lib.fastpipe_nifti_batch.restype = ctypes.c_int
+        lib.fastpipe_nifti_batch.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int]
         _LIB = lib
         return _LIB
 
@@ -109,6 +115,30 @@ def bandsplit_batch_native(
     if rc != 0:
         raise RuntimeError(f"fastpipe_bandsplit_batch: {errbuf.value.decode()}")
     return {"raw": raw, "low": low, "ultralow": ul, "lengths": lengths}
+
+
+def nifti_batch_native(paths: List[str], shape: Tuple[int, ...],
+                       nthreads: int = 0) -> Optional[np.ndarray]:
+    """Parallel NIfTI-1 (.nii/.nii.gz) load for a batch of equally-shaped
+    volumes; returns (n, *shape) float32 (C-order logical layout, matching
+    np.stack over data/nifti.read_nifti items), or None when the native
+    lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(paths)
+    blob, offsets = _pack_paths(paths)
+    shape_arr = np.asarray(shape, dtype=np.int64)
+    out = np.empty((n,) + tuple(int(s) for s in shape), np.float32)
+    errbuf = ctypes.create_string_buffer(512)
+    rc = lib.fastpipe_nifti_batch(
+        blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+        shape_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(shape_arr), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nthreads, errbuf, len(errbuf))
+    if rc != 0:
+        raise RuntimeError(f"fastpipe_nifti_batch: {errbuf.value.decode()}")
+    return out
 
 
 def matrix_batch_native(paths: List[str], rows: int = 84, cols: int = 84,

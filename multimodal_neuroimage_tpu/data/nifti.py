@@ -28,6 +28,22 @@ def _open(path: str):
     return open(path, "rb")
 
 
+def read_nifti_header(path: str) -> Tuple[int, ...]:
+    """Peek a NIfTI-1 file's logical shape without reading the data (used
+    by the native batch loader to size its output buffer)."""
+    with _open(path) as f:
+        header = f.read(348)
+    if len(header) < 348:
+        raise ValueError(f"{path}: truncated NIfTI header")
+    byteorder = "<"
+    if struct.unpack("<i", header[:4])[0] != 348:
+        if struct.unpack(">i", header[:4])[0] != 348:
+            raise ValueError(f"{path}: not a NIfTI-1 file")
+        byteorder = ">"
+    dim = struct.unpack(byteorder + "8h", header[40:56])
+    return tuple(int(d) for d in dim[1:1 + dim[0]])
+
+
 def read_nifti(path: str) -> np.ndarray:
     """Load a NIfTI-1 volume as float64 (nibabel ``get_fdata`` semantics)."""
     with _open(path) as f:

@@ -28,6 +28,8 @@
 #include <thread>
 #include <vector>
 
+#include <zlib.h>
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -214,6 +216,175 @@ struct Latch {
 
 thread_local std::vector<double> tl_scratch;
 
+// ---------------------------------------------------------------------------
+// NIfTI-1 volume loader (.nii / .nii.gz) — native twin of
+// multimodal_neuroimage_tpu/data/nifti.py:read_nifti (reference
+// datasets.py:130-169 loads these via nibabel). Whole-file slurp with
+// transparent zlib/gzip inflate, header parse (byteswap-aware), dtype
+// widening through double with scl_slope/scl_inter, and Fortran-to-C
+// reorder so the output matches what np.stack over the Python item path
+// produces.
+// ---------------------------------------------------------------------------
+bool read_file_maybe_gz(const char* path, std::vector<unsigned char>* out,
+                        std::string* err) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) { *err = std::string("open failed: ") + path; return false; }
+  std::fseek(f, 0, SEEK_END);
+  long fsize = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (fsize <= 0) { std::fclose(f); *err = "empty file"; return false; }
+  std::vector<unsigned char> comp((size_t(fsize)));
+  if (std::fread(comp.data(), 1, comp.size(), f) != comp.size()) {
+    std::fclose(f); *err = "short read"; return false;
+  }
+  std::fclose(f);
+  if (comp.size() >= 2 && comp[0] == 0x1f && comp[1] == 0x8b) {
+    z_stream s;
+    std::memset(&s, 0, sizeof(s));
+    if (inflateInit2(&s, 15 + 32) != Z_OK) {  // auto gzip/zlib
+      *err = "inflateInit2 failed"; return false;
+    }
+    out->resize(std::max<size_t>(comp.size() * 4, size_t(1) << 20));
+    s.next_in = comp.data();
+    s.avail_in = uInt(comp.size());
+    size_t have = 0;
+    int ret = Z_OK;
+    while (ret != Z_STREAM_END) {
+      if (have == out->size()) out->resize(out->size() * 2);
+      s.next_out = out->data() + have;
+      s.avail_out = uInt(out->size() - have);
+      ret = inflate(&s, Z_NO_FLUSH);
+      if (ret != Z_OK && ret != Z_STREAM_END) {
+        inflateEnd(&s);
+        *err = std::string("gzip inflate failed: ") + path;
+        return false;
+      }
+      have = out->size() - s.avail_out;
+    }
+    inflateEnd(&s);
+    out->resize(have);
+  } else {
+    *out = std::move(comp);
+  }
+  return true;
+}
+
+void bswap_inplace(unsigned char* p, int64_t count, int itemsize) {
+  for (int64_t i = 0; i < count; ++i, p += itemsize)
+    for (int a = 0, b = itemsize - 1; a < b; ++a, --b)
+      std::swap(p[a], p[b]);
+}
+
+template <typename T>
+void nifti_f2c(const unsigned char* src, float* dst, const int64_t* shape,
+               int ndim, int64_t count, double slope, double inter,
+               bool scale) {
+  // walk logical C order; fidx tracks the Fortran-order source offset
+  const T* s = reinterpret_cast<const T*>(src);
+  int64_t fstr[8], idx[8];
+  fstr[0] = 1;
+  for (int d = 1; d < ndim; ++d) fstr[d] = fstr[d - 1] * shape[d - 1];
+  for (int d = 0; d < ndim; ++d) idx[d] = 0;
+  int64_t fidx = 0;
+  for (int64_t i = 0; i < count; ++i) {
+    double v = double(s[fidx]);
+    if (scale) v = v * slope + inter;
+    dst[i] = float(v);
+    for (int d = ndim - 1; d >= 0; --d) {
+      ++idx[d];
+      fidx += fstr[d];
+      if (idx[d] < shape[d]) break;
+      fidx -= fstr[d] * shape[d];
+      idx[d] = 0;
+    }
+  }
+}
+
+int16_t rd_i16(const unsigned char* p, bool sw) {
+  uint16_t v;
+  std::memcpy(&v, p, 2);
+  if (sw) v = uint16_t((v >> 8) | (v << 8));
+  int16_t out;
+  std::memcpy(&out, &v, 2);
+  return out;
+}
+
+float rd_f32(const unsigned char* p, bool sw) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  if (sw) v = __builtin_bswap32(v);
+  float out;
+  std::memcpy(&out, &v, 4);
+  return out;
+}
+
+bool load_nifti(const char* path, const int64_t* want_shape, int want_ndim,
+                float* dst, std::string* err) {
+  std::vector<unsigned char> buf;
+  if (!read_file_maybe_gz(path, &buf, err)) return false;
+  if (buf.size() < 348) { *err = std::string("truncated header: ") + path;
+                          return false; }
+  int32_t sizeof_hdr;
+  std::memcpy(&sizeof_hdr, buf.data(), 4);
+  bool sw = false;
+  if (sizeof_hdr != 348) {
+    sw = true;
+    int32_t v = int32_t(__builtin_bswap32(uint32_t(sizeof_hdr)));
+    if (v != 348) { *err = std::string("not NIfTI-1: ") + path; return false; }
+  }
+  if (!(buf[344] == 'n' && (buf[345] == '+' || buf[345] == 'i'))) {
+    *err = std::string("bad NIfTI magic: ") + path; return false;
+  }
+  int16_t dim[8];
+  for (int d = 0; d < 8; ++d) dim[d] = rd_i16(buf.data() + 40 + 2 * d, sw);
+  int ndim = dim[0];
+  if (ndim < 1 || ndim > 7) { *err = "bad ndim"; return false; }
+  int16_t datatype = rd_i16(buf.data() + 70, sw);
+  double vox_offset = double(rd_f32(buf.data() + 108, sw));
+  double slope = double(rd_f32(buf.data() + 112, sw));
+  double inter = double(rd_f32(buf.data() + 116, sw));
+  bool scale = !((slope == 0.0 || slope == 1.0) && inter == 0.0);
+  if (slope == 0.0) slope = 1.0;
+
+  int64_t shape[8];
+  int64_t count = 1;
+  for (int d = 0; d < ndim; ++d) { shape[d] = dim[1 + d]; count *= shape[d]; }
+  if (ndim != want_ndim ||
+      std::memcmp(shape, want_shape, sizeof(int64_t) * ndim) != 0) {
+    *err = std::string("volume shape mismatch: ") + path;
+    return false;
+  }
+  int itemsize;
+  switch (datatype) {
+    case 2: case 256: itemsize = 1; break;            // u8 / i8
+    case 4: case 512: itemsize = 2; break;            // i16 / u16
+    case 8: case 768: case 16: itemsize = 4; break;   // i32 / u32 / f32
+    case 64: case 1024: case 1280: itemsize = 8; break;  // f64 / i64 / u64
+    default:
+      *err = "unsupported NIfTI datatype " + std::to_string(datatype);
+      return false;
+  }
+  size_t off = size_t(vox_offset);
+  if (buf.size() < off + size_t(count) * itemsize) {
+    *err = std::string("truncated data: ") + path; return false;
+  }
+  unsigned char* data = buf.data() + off;
+  if (sw && itemsize > 1) bswap_inplace(data, count, itemsize);
+  switch (datatype) {
+    case 2:    nifti_f2c<uint8_t>(data, dst, shape, ndim, count, slope, inter, scale); break;
+    case 256:  nifti_f2c<int8_t>(data, dst, shape, ndim, count, slope, inter, scale); break;
+    case 4:    nifti_f2c<int16_t>(data, dst, shape, ndim, count, slope, inter, scale); break;
+    case 512:  nifti_f2c<uint16_t>(data, dst, shape, ndim, count, slope, inter, scale); break;
+    case 8:    nifti_f2c<int32_t>(data, dst, shape, ndim, count, slope, inter, scale); break;
+    case 768:  nifti_f2c<uint32_t>(data, dst, shape, ndim, count, slope, inter, scale); break;
+    case 16:   nifti_f2c<float>(data, dst, shape, ndim, count, slope, inter, scale); break;
+    case 64:   nifti_f2c<double>(data, dst, shape, ndim, count, slope, inter, scale); break;
+    case 1024: nifti_f2c<int64_t>(data, dst, shape, ndim, count, slope, inter, scale); break;
+    case 1280: nifti_f2c<uint64_t>(data, dst, shape, ndim, count, slope, inter, scale); break;
+  }
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -329,6 +500,43 @@ int fastpipe_matrix_batch(
       float* dst = out + int64_t(i) * rows * cols;
       for (int64_t j = 0; j < int64_t(rows) * cols; ++j)
         dst[j] = float(arr.data[j]);
+      latch.done();
+    });
+  }
+  latch.wait();
+  if (failed.load()) {
+    std::snprintf(errbuf, errbuf_len, "%s", first_err.c_str());
+    return 1;
+  }
+  return 0;
+}
+
+// Load a batch of NIfTI-1 volumes (.nii / .nii.gz) into a
+// (n, *shape) float32 C-order buffer (the 4-D fMRI_image path, reference
+// datasets.py:130-169). Every volume must match the expected logical
+// `shape` (ndim ints) — the caller peeks the first header for it.
+int fastpipe_nifti_batch(
+    const char* paths, const int64_t* path_offsets, int n,
+    const int64_t* shape, int ndim, float* out, int nthreads,
+    char* errbuf, int errbuf_len) {
+  std::atomic<int> failed{0};
+  std::mutex err_mu;
+  std::string first_err;
+  Latch latch(n);
+  Pool* p = pool(nthreads);
+  int64_t count = 1;
+  for (int d = 0; d < ndim; ++d) count *= shape[d];
+  for (int i = 0; i < n; ++i) {
+    p->submit([&, i] {
+      std::string err;
+      std::string path(paths + path_offsets[i],
+                       paths + path_offsets[i + 1] - 1);
+      if (!load_nifti(path.c_str(), shape, ndim, out + int64_t(i) * count,
+                      &err)) {
+        failed.store(1);
+        std::lock_guard<std::mutex> g(err_mu);
+        if (first_err.empty()) first_err = err;
+      }
       latch.done();
     });
   }

@@ -72,6 +72,56 @@ def bench_python(paths, reps=1):
     return best
 
 
+def make_nifti_cohort(root: str, n: int, shape=(32, 38, 30, 24), gz=True):
+    from multimodal_neuroimage_tpu.data.nifti import write_nifti
+    rng = np.random.default_rng(1)
+    paths, nbytes = [], 0
+    for i in range(n):
+        p = os.path.join(root, f"img{i:04d}.nii" + (".gz" if gz else ""))
+        write_nifti(p, rng.normal(size=shape).astype(np.float32))
+        paths.append(p)
+        nbytes += int(np.prod(shape)) * 4
+    return paths, nbytes
+
+
+def bench_nifti(n: int):
+    """NIfTI(.nii.gz) -> float32 volumes -> HBM (the literal
+    'NIfTI->HBM GB/s' of BASELINE.json metric #2; 4-D fMRI_image path)."""
+    from multimodal_neuroimage_tpu.data.native import nifti_batch_native
+    from multimodal_neuroimage_tpu.data.nifti import (read_nifti,
+                                                      read_nifti_header)
+    with tempfile.TemporaryDirectory() as root:
+        paths, nbytes = make_nifti_cohort(root, n)
+        shape = read_nifti_header(paths[0])
+        native_s = None
+        out = None
+        if native_available():
+            native_s = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = nifti_batch_native(paths, shape, 0)
+                native_s = min(native_s, time.perf_counter() - t0)
+        d2h_s = 0.0
+        try:
+            import jax
+            if out is not None:
+                t0 = time.perf_counter()
+                jax.block_until_ready(jax.device_put(out))
+                d2h_s = time.perf_counter() - t0
+        except Exception:
+            pass
+        n_py = min(n, max(8, n // 8))
+        t0 = time.perf_counter()
+        for p in paths[:n_py]:
+            np.ascontiguousarray(read_nifti(p).astype(np.float32))
+        py_s = (time.perf_counter() - t0) * (n / n_py)
+        return {
+            "nifti_native_GBps": (round(nbytes / (native_s + d2h_s) / 1e9, 3)
+                                  if native_s is not None else None),
+            "nifti_python_GBps": round(nbytes / py_s / 1e9, 3),
+        }
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     taps = filters.design_highpass_fir()
@@ -108,6 +158,7 @@ def main():
                     f"({n} subjects, incl. device_put)",
             "vs_baseline": round((native_gbps or py_gbps) / py_gbps, 2),
             "python_path_GBps": round(py_gbps, 3),
+            **bench_nifti(n),
         }))
 
 

@@ -49,3 +49,73 @@ def test_native_matrix_datasets(cohort):
     hb, nb = _pipes(cohort, "struct")
     np.testing.assert_allclose(nb["dti"].astype(np.float16), hb["dti"],
                                atol=2e-3, rtol=2e-3)
+
+
+def test_native_nifti_bitcompat(tmp_path):
+    """fastpipe_nifti_batch is bit-identical to data/nifti.read_nifti for
+    f32 volumes, int16 volumes with scl_slope/scl_inter, .nii and .nii.gz."""
+    import gzip
+    import struct
+
+    from multimodal_neuroimage_tpu.data.native import nifti_batch_native
+    from multimodal_neuroimage_tpu.data.nifti import (read_nifti,
+                                                      read_nifti_header,
+                                                      write_nifti)
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"v{i}.nii") + (".gz" if i % 2 else "")
+        write_nifti(p, rng.normal(size=(7, 6, 5, 9)).astype(np.float32))
+        paths.append(p)
+    shape = read_nifti_header(paths[0])
+    assert shape == (7, 6, 5, 9)
+    out = nifti_batch_native(paths, shape, 2)
+    ref = np.stack([read_nifti(p).astype(np.float32) for p in paths])
+    np.testing.assert_array_equal(out, ref)
+
+    # int16 + scl scaling (nibabel get_fdata semantics), gz and plain
+    def write_i16(path, data, slope, inter, gz):
+        h = bytearray(352)
+        struct.pack_into("<i", h, 0, 348)
+        dim = [data.ndim] + list(data.shape) + [1] * (7 - data.ndim)
+        struct.pack_into("<8h", h, 40, *dim)
+        struct.pack_into("<h", h, 70, 4)          # int16
+        struct.pack_into("<h", h, 72, 16)
+        struct.pack_into("<f", h, 108, 352.0)
+        struct.pack_into("<f", h, 112, slope)
+        struct.pack_into("<f", h, 116, inter)
+        h[344:348] = b"n+1\x00"
+        with (gzip.open if gz else open)(path, "wb") as f:
+            f.write(bytes(h))
+            f.write(np.asfortranarray(data).tobytes(order="F"))
+
+    d = rng.integers(-300, 300, size=(5, 4, 3)).astype(np.int16)
+    ps = [str(tmp_path / "i16.nii"), str(tmp_path / "i16.nii.gz")]
+    write_i16(ps[0], d, 2.5, -1.25, gz=False)
+    write_i16(ps[1], d, 2.5, -1.25, gz=True)
+    out = nifti_batch_native(ps, read_nifti_header(ps[0]), 2)
+    ref = np.stack([read_nifti(p).astype(np.float32) for p in ps])
+    np.testing.assert_array_equal(out, ref)
+
+    with pytest.raises(RuntimeError, match="shape mismatch"):
+        nifti_batch_native(paths, (7, 6, 5, 8), 2)
+
+
+def test_native_fmri_image_matches_host(tmp_path):
+    """The native fMRI_image batch path equals the Python item path."""
+    from multimodal_neuroimage_tpu.data.loader import DataPipeline
+
+    root = generate_synthetic_cohort(str(tmp_path / "c"), n_subjects=10,
+                                     seed=3, include_fmri_image=True)
+    base = dict(dataset_name="fMRI_image", target="sex", batch_size=2,
+                workers=2)
+    host = DataPipeline(synthetic_config(root, preprocess="host",
+                                         **base).validate())
+    nat = DataPipeline(synthetic_config(root, preprocess="native",
+                                        **base).validate())
+    hb, hn = next(host.epoch("train", 0, shuffle=False, to_device=False))
+    nb, nn = next(nat.epoch("train", 0, shuffle=False, to_device=False))
+    assert hn == nn
+    np.testing.assert_array_equal(nb["fmri_sequence"], hb["fmri_sequence"])
+    np.testing.assert_array_equal(nb["target"], hb["target"])
