@@ -254,10 +254,15 @@ def make_train_step(model, loss_specs: Dict[str, LossSpec],
         core = grad_core
         if shard:
             from jax.sharding import PartitionSpec as P
+            # check_vma=False: the fused Pallas kernels' internal
+            # ShapeDtypeStructs carry no varying-mesh-axes annotation, and
+            # jax's default vma validation rejects a pallas_call inside
+            # shard_map (the whole point of this path). Per-shard semantics
+            # are unchanged; the explicit out_specs/pmean still govern.
             core = jax.shard_map(
                 grad_core, mesh=mesh,
                 in_specs=(P(), _batch_pspecs(batch, data_axis), P()),
-                out_specs=(P(), P(), P(data_axis)))
+                out_specs=(P(), P(), P(data_axis)), check_vma=False)
         grads, losses, preds = core(state.params, batch, rng)
         norms = None
         if with_norms:
@@ -320,7 +325,7 @@ def make_eval_step(model, loss_specs: Dict[str, LossSpec],
             core = jax.shard_map(
                 eval_core, mesh=mesh,
                 in_specs=(P(), _batch_pspecs(batch, data_axis)),
-                out_specs=(P(), P(data_axis)))
+                out_specs=(P(), P(data_axis)), check_vma=False)
         return core(params, batch)
 
     return eval_step

@@ -114,6 +114,43 @@ def test_shard_map_step_matches_gspmd():
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=5e-5)
 
 
+@pytest.mark.slow
+def test_shard_map_step_fused_bp(monkeypatch):
+    """The multi-chip shard_map decomposition composed with the FAST fusion
+    plan (FUSION_LAYOUT=bp, fused kernels in interpret mode on CPU) matches
+    the gspmd/std step — the exact combination a real TPU pod runs when
+    autoplan picks the bp layout."""
+    if jax.device_count() < 2:
+        pytest.skip("needs a multi-device mesh")
+    import multimodal_neuroimage_tpu.nn.swinfusion as sf
+    from multimodal_neuroimage_tpu.ops.attention import set_fused_attention
+
+    cfg = _tiny_cfg()
+    mesh = build_mesh()
+    batch = _batch(jax.device_count())
+    model, state0, specs = _setup(cfg, mesh, batch, sgd=True)
+    dev_batch = shard_batch(batch, mesh)
+
+    monkeypatch.setattr(sf, "_LAYOUT", "std")
+    step = make_train_step(model, specs, compute_dtype="float32",
+                           mesh=mesh, spmd="gspmd", donate=False)
+    _, losses_ref, _ = step(state0, dev_batch)
+
+    monkeypatch.setattr(sf, "_LAYOUT", "bp")
+    set_fused_attention(True)
+    try:
+        step_bp = make_train_step(model, specs, compute_dtype="float32",
+                                  mesh=mesh, spmd="shard_map", donate=False)
+        state, losses, _ = step_bp(state0, dev_batch)
+    finally:
+        set_fused_attention(None)
+    np.testing.assert_allclose(float(losses["total"]),
+                               float(losses_ref["total"]),
+                               rtol=1e-5, atol=1e-6)
+    for leaf in jax.tree_util.tree_leaves(jax.device_get(state.params)):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
 def test_shard_map_eval_matches_gspmd():
     if jax.device_count() < 2:
         pytest.skip("needs a multi-device mesh")
