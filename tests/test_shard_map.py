@@ -115,14 +115,18 @@ def test_shard_map_step_matches_gspmd():
 
 
 @pytest.mark.slow
-def test_shard_map_step_fused_bp(monkeypatch):
-    """The multi-chip shard_map decomposition composed with the FAST fusion
-    plan (FUSION_LAYOUT=bp, fused kernels in interpret mode on CPU) matches
-    the gspmd/std step — the exact combination a real TPU pod runs when
-    autoplan picks the bp layout."""
+@pytest.mark.parametrize("layout", ["bp", "bpr"])
+def test_shard_map_step_fused_bp(layout, monkeypatch):
+    """The multi-chip shard_map decomposition composed with the FAST plans
+    (FUSION_LAYOUT=bp/bpr + BERT_ATTN=packed, fused kernels in interpret
+    mode on CPU) matches the gspmd/std step — the exact combination a real
+    TPU pod runs when autoplan picks the fast plans. Guards the
+    check_vma=False requirement: jax's default vma validation rejects any
+    pallas_call inside shard_map."""
     if jax.device_count() < 2:
         pytest.skip("needs a multi-device mesh")
     import multimodal_neuroimage_tpu.nn.swinfusion as sf
+    from multimodal_neuroimage_tpu.ops import bert_layer as bl
     from multimodal_neuroimage_tpu.ops.attention import set_fused_attention
 
     cfg = _tiny_cfg()
@@ -136,7 +140,8 @@ def test_shard_map_step_fused_bp(monkeypatch):
                            mesh=mesh, spmd="gspmd", donate=False)
     _, losses_ref, _ = step(state0, dev_batch)
 
-    monkeypatch.setattr(sf, "_LAYOUT", "bp")
+    monkeypatch.setattr(sf, "_LAYOUT", layout)
+    monkeypatch.setattr(bl, "_ATTN_MODE", "packed")
     set_fused_attention(True)
     try:
         step_bp = make_train_step(model, specs, compute_dtype="float32",
