@@ -156,6 +156,47 @@ def test_shard_map_step_fused_bp(layout, monkeypatch):
         assert np.all(np.isfinite(np.asarray(leaf)))
 
 
+@pytest.mark.slow
+def test_shard_map_fused_bp_bf16_smoke(monkeypatch):
+    """bfloat16 compute (the TPU flagship policy) through shard_map + the
+    fast plans: runs and produces a loss close to the std/gspmd bf16 step.
+    The autoplan canaries trace f32, so without this the bf16 trace of the
+    fast plans would first run on real hardware."""
+    if jax.device_count() < 2:
+        pytest.skip("needs a multi-device mesh")
+    import multimodal_neuroimage_tpu.nn.swinfusion as sf
+    from multimodal_neuroimage_tpu.ops import bert_layer as bl
+    from multimodal_neuroimage_tpu.ops.attention import set_fused_attention
+
+    cfg = _tiny_cfg()
+    mesh = build_mesh()
+    batch = _batch(jax.device_count())
+    model, state0, specs = _setup(cfg, mesh, batch, sgd=True)
+    dev_batch = shard_batch(batch, mesh)
+
+    monkeypatch.setattr(sf, "_LAYOUT", "std")
+    step = make_train_step(model, specs, compute_dtype="bfloat16",
+                           mesh=mesh, spmd="gspmd", donate=False)
+    _, losses_ref, _ = step(state0, dev_batch)
+
+    monkeypatch.setattr(sf, "_LAYOUT", "bp")
+    monkeypatch.setattr(bl, "_ATTN_MODE", "packed")
+    set_fused_attention(True)
+    try:
+        step_bp = make_train_step(model, specs, compute_dtype="bfloat16",
+                                  mesh=mesh, spmd="shard_map", donate=False)
+        state, losses, _ = step_bp(state0, dev_batch)
+    finally:
+        set_fused_attention(None)
+    ref, got = float(losses_ref["total"]), float(losses["total"])
+    assert np.isfinite(ref) and np.isfinite(got)
+    # bf16 kernels legitimately reorder reductions; just require agreement
+    # at bf16 grain
+    np.testing.assert_allclose(got, ref, rtol=2e-2)
+    for leaf in jax.tree_util.tree_leaves(jax.device_get(state.params)):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
 def test_shard_map_eval_matches_gspmd():
     if jax.device_count() < 2:
         pytest.skip("needs a multi-device mesh")
