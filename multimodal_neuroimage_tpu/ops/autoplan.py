@@ -91,7 +91,9 @@ def _canary_fusion_bp(batch: int) -> None:
     NP = fb.round_up(N, 8)
     nW = (res // ws) ** 2
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(nW, NP, batch * C)), jnp.float32)
+    # bf16 streams: match the flagship compute policy so the canary proves
+    # the same kernel instantiation the real train step will trace
+    x = jnp.asarray(rng.normal(size=(nW, NP, batch * C)), jnp.bfloat16)
     table = jnp.asarray(rng.normal(size=((2 * ws - 1) ** 2, heads)) * 0.1,
                         jnp.float32)
     rel = relative_position_index(ws, ws)
