@@ -191,6 +191,8 @@ class Config:
     experiment_title: str = ""
     model_weights_path: Optional[str] = None  # previous-phase weights (phase chaining)
     load_cls_embedding: bool = True
+    save_last_epoch: bool = True   # rolling *_last_epoch.ckpt for per-epoch
+    # crash recovery (reference model.py:111-151); BEST files are unaffected
 
     # ---- HPO / logging --------------------------------------------------------------
     use_optuna: bool = False

@@ -22,7 +22,7 @@ import numpy as np
 
 from multimodal_neuroimage_tpu.ckpt.checkpoint import (
     BestCheckpointPolicy, latest_checkpoint, load_checkpoint, load_raw_params,
-    partial_restore)
+    partial_restore, save_checkpoint)
 from multimodal_neuroimage_tpu.data.loader import DataPipeline
 from multimodal_neuroimage_tpu.evaluation.metrics import SubjectAccumulator
 from multimodal_neuroimage_tpu.models.registry import create_model
@@ -154,9 +154,11 @@ class Trainer:
                 params=loaded["params"],
                 opt_state=loaded.get("opt_state", self.state.opt_state),
                 step=np.asarray(loaded["step"]))
-            self.epoch0 = loaded["epoch"]
+            # checkpoints are written AFTER an epoch completes, so resume
+            # at the next one (reference trainer.py:144 st_epoch = epoch+1)
+            self.epoch0 = loaded["epoch"] + 1
             self.val_threshold = loaded["metadata"].get("val_threshold")
-            print(f"resumed from {resume} (epoch {self.epoch0})")
+            print(f"resumed from {resume} (next epoch {self.epoch0})")
         elif cfg.model_weights_path:
             src = load_raw_params(cfg.model_weights_path)
             merged, stats = partial_restore(
@@ -320,6 +322,19 @@ class Trainer:
             step=int(self.state.step), epoch=epoch,
             metadata={"val_threshold": self.val_threshold,
                       "metrics": metrics})
+        if self.cfg.save_last_epoch and self.cfg.experiment_folder:
+            # rolling per-epoch checkpoint (reference model.py:111-151):
+            # a crash mid-run resumes from the last COMPLETED epoch, not
+            # from the last best-metric improvement. latest_checkpoint
+            # resumes by mtime, so this file wins unless a BEST file was
+            # written later this same epoch (identical state either way).
+            save_checkpoint(
+                os.path.join(self.cfg.experiment_folder,
+                             f"{self.ckpt_policy.title}_last_epoch.ckpt"),
+                params=self.state.params, opt_state=self.state.opt_state,
+                step=int(self.state.step), epoch=epoch,
+                metadata={"val_threshold": self.val_threshold,
+                          "metrics": metrics})
 
     def _optuna_report(self, epoch: int, metrics: Dict[str, float]) -> None:
         """Per-epoch pruning report (trainer.py:319-331). Works with real

@@ -78,6 +78,32 @@ def test_train_sex_classification_smri(cohort, tmp_path):
     assert "test_Balanced_Accuracy" in tm
 
 
+def test_last_epoch_checkpoint_and_resume(cohort, tmp_path):
+    """A rolling *_last_epoch.ckpt is written every epoch (reference
+    model.py:111-151) and a crash resumes at the NEXT epoch (reference
+    trainer.py:144 st_epoch = epoch + 1), even if the best-metric
+    checkpoint is older."""
+    from multimodal_neuroimage_tpu.train.trainer import Trainer
+    cfg = make_cfg(cohort, tmp_path, nEpochs=2)
+    Trainer(cfg).training()
+    last = os.path.join(cfg.experiment_folder, "e2e_last_epoch.ckpt")
+    assert os.path.exists(last)
+
+    # a fresh Trainer in the same folder resumes after the last completed
+    # epoch — with nEpochs=2 and epochs 0..1 done, nothing re-runs
+    resumed = Trainer(cfg)
+    assert resumed.epoch0 == 2
+    metrics = resumed.training()
+    assert metrics == {}  # no epochs left; no work repeated
+
+    # save_last_epoch=False suppresses the rolling file
+    cfg2 = make_cfg(cohort, tmp_path, nEpochs=1, save_last_epoch=False,
+                    experiment_folder=str(tmp_path / "exp2"))
+    Trainer(cfg2).training()
+    assert not any("last_epoch" in c
+                   for c in os.listdir(cfg2.experiment_folder))
+
+
 def test_regression_path(cohort, tmp_path):
     from multimodal_neuroimage_tpu.train.trainer import Trainer
     cfg = make_cfg(cohort, tmp_path, target="BMI",
