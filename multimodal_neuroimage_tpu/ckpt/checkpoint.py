@@ -77,6 +77,13 @@ def load_checkpoint(path: str, params_template, opt_state_template=None
     return out
 
 
+def load_metadata(path: str) -> Dict[str, Any]:
+    """Read only a checkpoint's metadata dict."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    return payload.get("metadata", {})
+
+
 def load_raw_params(path: str):
     """Load a checkpoint's params as a plain nested dict (no template) —
     needed for partial restore across architectures."""
@@ -141,6 +148,22 @@ class BestCheckpointPolicy:
         self.best_acc = 0.0
         self.best_loss = float("inf")
         os.makedirs(folder, exist_ok=True)
+
+    def resume(self) -> None:
+        """Restore best-so-far metrics from BEST files already on disk
+        (reference trainer.py:145 restores best_loss on resume), so a
+        post-crash epoch cannot overwrite a better pre-crash BEST
+        checkpoint with a worse one."""
+        for fname, attr, better in (
+                (f"{self.title}_BEST_val_AUROC.ckpt", "best_auroc", max),
+                (f"{self.title}_BEST_val_accuracy.ckpt", "best_acc", max),
+                (f"{self.title}_BEST_val_loss.ckpt", "best_loss", min)):
+            path = os.path.join(self.folder, fname)
+            if not os.path.exists(path):
+                continue
+            val = load_metadata(path).get(attr)
+            if val is not None:
+                setattr(self, attr, better(getattr(self, attr), float(val)))
 
     def update(self, *, val_auroc: Optional[float] = None,
                val_acc: Optional[float] = None,

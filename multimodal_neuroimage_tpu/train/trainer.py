@@ -136,6 +136,9 @@ class Trainer:
         self.accumulator = SubjectAccumulator(cfg.fine_tune_task)
         self.ckpt_policy = BestCheckpointPolicy(
             log_dir, cfg.experiment_title or cfg.exp_name, cfg.fine_tune_task)
+        # pick up best-so-far metrics from BEST files already in the folder
+        # (resume case — reference trainer.py:145); no-op on a fresh folder
+        self.ckpt_policy.resume()
         self.pred_key = cfg.fine_tune_task
         self.optuna_trial = None  # set by hpo harness
         self.nan_subjects: Dict[str, set] = {}

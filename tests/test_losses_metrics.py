@@ -108,6 +108,23 @@ def test_checkpoint_best_policy(tmp_path):
     p2 = pol.update(val_auroc=0.5, val_acc=0.9, params={"w": np.zeros(2)})
     assert p2 and "BEST_val_accuracy" in p2
 
+    # resume: a fresh policy over the same folder restores best-so-far and
+    # refuses to overwrite the 0.6-AUROC file with a worse post-crash epoch
+    pol2 = BestCheckpointPolicy(str(tmp_path), "t")
+    pol2.resume()
+    assert pol2.best_auroc == 0.6 and pol2.best_acc == 0.9
+    assert pol2.update(val_auroc=0.55, params={"w": np.zeros(2)}) is None
+    p3 = pol2.update(val_auroc=0.7, params={"w": np.zeros(2)})
+    assert p3 and "BEST_val_AUROC" in p3
+
+    # regression flavor
+    pr = BestCheckpointPolicy(str(tmp_path), "r", "regression")
+    assert pr.update(val_loss=1.0, params={"w": np.zeros(2)})
+    pr2 = BestCheckpointPolicy(str(tmp_path), "r", "regression")
+    pr2.resume()
+    assert pr2.best_loss == 1.0
+    assert pr2.update(val_loss=1.5, params={"w": np.zeros(2)}) is None
+
 
 def test_nifti_roundtrip(tmp_path):
     from multimodal_neuroimage_tpu.data.nifti import read_nifti, write_nifti
