@@ -175,6 +175,10 @@ def run_phase(cfg: Config) -> dict:
             apply_best_params
         cfg = apply_best_params(cfg)
 
+    if cfg.predict_only:
+        from multimodal_neuroimage_tpu.serve.predictor import run_predict
+        return run_predict(cfg)
+
     if cfg.task == "test" or cfg.step == 4:
         trainer = Trainer(cfg, sets=["test"])
         return trainer.testing()

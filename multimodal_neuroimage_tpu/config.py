@@ -193,6 +193,9 @@ class Config:
     load_cls_embedding: bool = True
     save_last_epoch: bool = True   # rolling *_last_epoch.ckpt for per-epoch
     # crash recovery (reference model.py:111-151); BEST files are unaffected
+    predict_only: bool = False     # serving mode: score the cohort with the
+    # best checkpoint and write predictions.csv (serve/predictor.py) — no
+    # training, labels optional
 
     # ---- HPO / logging --------------------------------------------------------------
     use_optuna: bool = False

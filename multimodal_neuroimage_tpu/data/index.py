@@ -117,11 +117,16 @@ def build_hcp_index(cfg) -> List[SubjectRecord]:
     return records
 
 
-def build_subject_index(cfg) -> List[SubjectRecord]:
+def build_subject_index(cfg, require_target: bool = True
+                        ) -> List[SubjectRecord]:
     """Scan metadata, intersect cohorts, encode targets.
 
     Regression targets are z-scored with the mean/std of the FULL non-NA
     metadata cohort (before intersection), matching datasets.py:193-196.
+
+    ``require_target=False`` (serving): subjects whose target is missing
+    or NA stay in the index with a dummy 0.0 target — the deterministic
+    predict forward never reads it.
     """
     if cfg.dataset_name == "hcp":
         return build_hcp_index(cfg)
@@ -129,7 +134,14 @@ def build_subject_index(cfg) -> List[SubjectRecord]:
         cfg.base_path, "data", "metadata", "ABCD_phenotype_total.csv")
     meta = pd.read_csv(meta_csv)
     key_col = "subjectkey" if "subjectkey" in meta.columns else meta.columns[0]
-    non_na = meta[[key_col, cfg.target]].dropna(axis=0)
+    if cfg.target in meta.columns:
+        non_na = meta[[key_col, cfg.target]]
+        non_na = (non_na.dropna(axis=0) if require_target
+                  else non_na.fillna({cfg.target: 0.0}))
+    elif require_target:
+        raise KeyError(f"target column {cfg.target!r} not in {meta_csv}")
+    else:
+        non_na = meta[[key_col]].assign(**{cfg.target: 0.0})
 
     subjects = list(non_na[key_col].astype(str))
     sub_list = cfg.subject_list_path or os.path.join(cfg.base_path,
@@ -144,6 +156,8 @@ def build_subject_index(cfg) -> List[SubjectRecord]:
     if cfg.fine_tune_task == "regression":
         cont_mean = float(non_na[cfg.target].mean())
         cont_std = float(non_na[cfg.target].std())
+        if not np.isfinite(cont_std) or cont_std == 0.0:
+            cont_mean, cont_std = 0.0, 1.0   # unlabeled serving cohort
 
     prs_table = None
     if cfg.dataset_name == "multimodal_prs":

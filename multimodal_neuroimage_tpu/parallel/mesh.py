@@ -60,6 +60,23 @@ def build_mesh(
     return Mesh(dev_array, axis_names)
 
 
+def mesh_for_batch(cfg) -> Mesh:
+    """Mesh honouring ``cfg.mesh_shape``/``cfg.mesh_axes``, shrunk so the
+    data axis divides the per-host batch (e.g. batch 4 on 8 chips -> 4-chip
+    mesh). Shared by Trainer and Predictor."""
+    import math
+
+    n_local = jax.local_device_count()
+    usable = math.gcd(cfg.batch_size, n_local)
+    if (cfg.mesh_shape is None and usable != n_local
+            and len(cfg.mesh_axes) == 1):
+        print(f"[mesh] batch_size {cfg.batch_size} not divisible by "
+              f"{n_local} local devices; using {usable}")
+        return build_mesh((usable,), cfg.mesh_axes,
+                          devices=jax.devices()[:usable])
+    return build_mesh(cfg.mesh_shape, cfg.mesh_axes)
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Sharding for a batch-leading array: dim 0 split across ``axis``."""
     return NamedSharding(mesh, P(axis))

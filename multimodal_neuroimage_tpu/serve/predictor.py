@@ -1,0 +1,148 @@
+"""Production inference: checkpoint -> per-subject predictions.
+
+The reference's only inference path is phase 4 (``--step 4``), which
+evaluates the labeled TEST SPLIT with metrics (reference main.py:569-590,
+trainer.py:571-582); scoring new, unlabeled subjects required code edits.
+This module serves that case first-class: ``Predictor`` loads a trained
+checkpoint, builds the jitted deterministic forward once (autoplan-resolved
+fused kernels, bf16 policy, batch sharded over the mesh), streams any
+cohort through the prefetching pipeline, ensembles repeated windows per
+subject (loss_writer.py:75-128 semantics), applies the checkpoint's frozen
+validation threshold (metrics.py:21-33) for hard labels, and writes
+``predictions.csv``.
+
+Unlabeled cohorts: ``build_subject_index(cfg, require_target=False)``
+keeps subjects whose target is missing/NA (scored with a dummy target the
+model never reads in deterministic forward mode).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_neuroimage_tpu.ckpt.checkpoint import (latest_checkpoint,
+                                                       load_metadata,
+                                                       load_raw_params)
+from multimodal_neuroimage_tpu.data.index import build_subject_index
+from multimodal_neuroimage_tpu.data.loader import DataPipeline
+from multimodal_neuroimage_tpu.models.registry import create_model
+from multimodal_neuroimage_tpu.parallel.mesh import mesh_for_batch, replicate
+from multimodal_neuroimage_tpu.train.state import _cast_tree
+
+
+def make_predict_step(model, compute_dtype: str = "bfloat16"):
+    """Deterministic forward returning only the prediction heads — no
+    losses, so unlabeled batches work."""
+    cdtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+
+    @jax.jit
+    def predict_step(params, batch):
+        p = _cast_tree(params, cdtype)
+        b = _cast_tree(batch, cdtype)
+        outputs = model.apply({"params": p}, b, deterministic=True)
+        return {k: outputs[k].astype(jnp.float32)
+                for k in ("binary_classification", "regression")
+                if k in outputs}
+
+    return predict_step
+
+
+class Predictor:
+    """Load once, predict many."""
+
+    def __init__(self, cfg, checkpoint: Optional[str] = None,
+                 records: Optional[List] = None,
+                 require_target: bool = False):
+        from multimodal_neuroimage_tpu.ops.autoplan import resolve_plans
+        resolve_plans(cfg.batch_size)
+        self.cfg = cfg
+        self.mesh = mesh_for_batch(cfg)
+        self.model = create_model(cfg)
+        if records is None:
+            records = build_subject_index(cfg, require_target=require_target)
+        self.records = records
+        self.pipe = DataPipeline(cfg, mesh=self.mesh, records=records)
+        path = checkpoint or self._default_checkpoint()
+        if path is None:
+            raise FileNotFoundError(
+                f"no checkpoint found in {cfg.experiment_folder!r}; pass "
+                f"checkpoint= or set cfg.model_weights_path")
+        self.checkpoint_path = path
+        self.params = replicate(load_raw_params(path), self.mesh)
+        meta = load_metadata(path)
+        self.threshold = float(meta.get("val_threshold") or 0.5)
+        self._step = make_predict_step(self.model, cfg.compute_dtype)
+        self.head = ("regression"
+                     if cfg.fine_tune_task == "regression"
+                     else "binary_classification")
+
+    def _default_checkpoint(self) -> Optional[str]:
+        cfg = self.cfg
+        if cfg.model_weights_path:
+            return cfg.model_weights_path
+        folder = cfg.experiment_folder
+        if not folder:
+            return None
+        title = cfg.experiment_title or cfg.exp_name
+        best = ("BEST_val_loss" if cfg.fine_tune_task == "regression"
+                else "BEST_val_AUROC")
+        preferred = os.path.join(folder, f"{title}_{best}.ckpt")
+        if os.path.exists(preferred):
+            return preferred
+        return latest_checkpoint(folder)
+
+    def predict(self, write_csv: Optional[str] = None
+                ) -> Dict[str, Dict[str, float]]:
+        """Score every record; returns {subject: {"score", "label"?}} with
+        repeated windows per subject mean-ensembled. Classification scores
+        are sigmoid probabilities; "label" thresholds them at the
+        checkpoint's frozen g-mean validation threshold."""
+        self.pipe.splits["predict"] = list(self.records)
+        scores: Dict[str, List[float]] = {}
+        for batch, names in self.pipe.epoch("predict", shuffle=False):
+            logits = np.asarray(
+                self._step(self.params, batch)[self.head]).reshape(-1)
+            for name, v in zip(names, logits):
+                if name is None:        # tail padding
+                    continue
+                scores.setdefault(str(name), []).append(float(v))
+        out: Dict[str, Dict[str, float]] = {}
+        for subject, vals in scores.items():
+            raw = float(np.mean(vals))
+            if self.head == "binary_classification":
+                prob = float(1.0 / (1.0 + np.exp(-raw)))
+                out[subject] = {"score": prob,
+                                "label": float(prob > self.threshold)}
+            else:
+                out[subject] = {"score": raw}
+        if write_csv:
+            self._write_csv(write_csv, out)
+        return out
+
+    def _write_csv(self, path: str, out: Dict[str, Dict[str, float]]) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        cols = ["subject", "score"] + (
+            ["label"] if self.head == "binary_classification" else [])
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(cols)
+            for subject in sorted(out):
+                w.writerow([subject] + [out[subject][c] for c in cols[1:]])
+
+
+def run_predict(cfg) -> Dict[str, Dict[str, float]]:
+    """CLI entry (``--predict_only``): score the full cohort and write
+    predictions.csv into the experiment folder."""
+    pred = Predictor(cfg)
+    dest = os.path.join(cfg.experiment_folder or ".", "predictions.csv")
+    out = pred.predict(write_csv=dest)
+    print(f"[predict] {len(out)} subjects -> {dest} "
+          f"(checkpoint {pred.checkpoint_path}, "
+          f"threshold {pred.threshold:.4f})")
+    return out

@@ -27,8 +27,8 @@ from multimodal_neuroimage_tpu.data.loader import DataPipeline
 from multimodal_neuroimage_tpu.evaluation.metrics import SubjectAccumulator
 from multimodal_neuroimage_tpu.models.registry import create_model
 from multimodal_neuroimage_tpu.obs.writer import Writer
-from multimodal_neuroimage_tpu.parallel.mesh import (build_mesh,
-                                                     maybe_initialize_distributed,
+from multimodal_neuroimage_tpu.parallel.mesh import (maybe_initialize_distributed,
+                                                     mesh_for_batch,
                                                      replicate)
 from multimodal_neuroimage_tpu.train.losses import active_losses
 from multimodal_neuroimage_tpu.train.state import (create_train_state,
@@ -51,19 +51,9 @@ class Trainer:
             # nn/common.py set_scan_remat for the perf tradeoff)
             from multimodal_neuroimage_tpu.nn.common import set_scan_remat
             set_scan_remat(True)
-        # the data axis must divide the per-host batch; shrink the mesh to
-        # the largest divisor when they mismatch (e.g. batch 4 on 8 chips)
-        import math
-        n_local = jax.local_device_count()
-        usable = math.gcd(cfg.batch_size, n_local)
-        if (cfg.mesh_shape is None and usable != n_local
-                and len(cfg.mesh_axes) == 1):
-            print(f"[mesh] batch_size {cfg.batch_size} not divisible by "
-                  f"{n_local} local devices; using {usable}")
-            self.mesh = build_mesh((usable,), cfg.mesh_axes,
-                                   devices=jax.devices()[:usable])
-        else:
-            self.mesh = build_mesh(cfg.mesh_shape, cfg.mesh_axes)
+        # the data axis must divide the per-host batch; mesh_for_batch
+        # shrinks it to the largest divisor (e.g. batch 4 on 8 chips)
+        self.mesh = mesh_for_batch(cfg)
 
         # kernel execution plans (fusion layout / bert attention): resolved
         # once per process BEFORE any jit tracing — canary-compiles the fast
