@@ -101,6 +101,36 @@ def test_unlabeled_cohort_index(trained):
         meta2.to_csv(meta_csv, index=False)
 
 
+def test_export_roundtrip(trained, tmp_path):
+    """jax.export artifact: same scores as the live Predictor, no model
+    code / checkpoint / config needed at load time."""
+    import numpy as np
+    from multimodal_neuroimage_tpu.serve.export import (export_model,
+                                                        load_exported)
+    from multimodal_neuroimage_tpu.serve.predictor import Predictor
+    root, cfg = trained
+    pred = Predictor(cfg)
+    dest = str(tmp_path / "model.stablehlo")
+    export_model(pred, dest)
+    assert os.path.exists(dest) and os.path.exists(dest + ".json")
+
+    exp = load_exported(dest)
+    assert exp.threshold == pred.threshold
+    # one real batch through both paths
+    pred.pipe.splits["x"] = list(pred.records)
+    batch, names = next(iter(pred.pipe.epoch("x", shuffle=False)))
+    live = np.asarray(pred._step(pred.params, batch)[pred.head]).reshape(-1)
+    aot = exp(batch)
+    np.testing.assert_allclose(aot, live, rtol=1e-5, atol=1e-5)
+    post = exp.predict(batch)
+    assert set(post) == {"score", "label"}
+    assert np.all((post["score"] > 0) & (post["score"] < 1))
+    # missing input key is a clear error
+    short = {k: v for k, v in batch.items() if k != sorted(batch)[0]}
+    with pytest.raises(KeyError):
+        exp(short)
+
+
 def test_predict_only_cli_branch(trained):
     """run_phase(cfg with predict_only) routes into run_predict and writes
     predictions.csv into the experiment folder."""
