@@ -196,6 +196,57 @@ def window_perm_indices(H: int, W: int, ws: int, shift: int, NP: int):
 
 
 @functools.lru_cache(maxsize=None)
+def transition_permutation_fn(H: int, W: int, ws: int, s_from: int,
+                              s_to: int, NP: int):
+    """Window-resident block transition as a BIJECTION with a gather-only
+    VJP.
+
+    :func:`window_transition_indices` maps pad rows to the row holding flat
+    token 0, so its autodiff transpose is a scatter-ADD (the jaxpr census
+    counted 104 of them per flagship step — one per bpr block transition
+    fwd+bwd). Here pad rows map to THEMSELVES instead, making the index a
+    full permutation of the nW*NP rows, and the returned function carries a
+    custom VJP that applies the inverse permutation — both directions are
+    single static gathers; no scatter anywhere.
+
+    Semantics vs the token-0 convention: pad-row VALUES now carry the
+    previous block's pad-row outputs instead of token-0 copies. The fused
+    kernels only require pad rows to be finite (pad keys are bias-masked
+    out of every softmax; pad rows never reach a valid output), and
+    row-wise LN keeps them bounded across a stack. Gradients are identical:
+    pad-row cotangents are zero throughout a resident stack (pad rows
+    influence no valid output, and the stack exit slices them away), which
+    is the same invariant the scatter-add path needed to keep token-0's
+    gradient unpolluted.
+
+    lru_cached per geometry so the custom_vjp identity is stable across
+    scan traces (one primitive per geometry, not per call site).
+    """
+    N = ws * ws
+    base = np.asarray(
+        window_transition_indices(H, W, ws, s_from, s_to, NP)).copy()
+    rows = np.arange(base.shape[0], dtype=np.int32)
+    pad = (rows % NP) >= N
+    base[pad] = rows[pad]                      # self-map pads -> bijection
+    inv = np.argsort(base).astype(np.int32)
+    idx_j = jnp.asarray(base)
+    inv_j = jnp.asarray(inv)
+
+    @jax.custom_vjp
+    def permute(x):
+        return jnp.take(x, idx_j, axis=0)
+
+    def fwd(x):
+        return permute(x), None
+
+    def bwd(_, g):
+        return (jnp.take(g, inv_j, axis=0),)
+
+    permute.defvjp(fwd, bwd)
+    return permute
+
+
+@functools.lru_cache(maxsize=None)
 def window_transition_indices(H: int, W: int, ws: int, s_from: int,
                               s_to: int, NP: int):
     """COMPOSED inter-block glue: padded-window layout at shift

@@ -33,11 +33,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from multimodal_neuroimage_tpu.nn.common import (LayerNorm, scan_body,
+                                                 transition_permutation_fn,
                                                  trunc_normal_init,
                                                  window_partition,
                                                  window_perm_indices,
-                                                 window_reverse,
-                                                 window_transition_indices)
+                                                 window_reverse)
 from multimodal_neuroimage_tpu.nn.swin2d import (relative_position_index,
                                                  shift_attn_mask)
 
@@ -69,12 +69,14 @@ _LAYOUT = os.environ.get("FUSION_LAYOUT")
 
 def _win_trans(xw, H: int, W: int, ws: int, s_from: int, s_to: int):
     """(nW, NP, B*C) windows at shift s_from -> windows at shift s_to via
-    one composed gather. No-op when the shifts agree."""
+    one composed bijective gather whose VJP is the inverse gather — no
+    scatter-add in the backward (transition_permutation_fn docstring).
+    No-op when the shifts agree."""
     if s_from == s_to:
         return xw
     nW, NP, BC = xw.shape
-    idx = jnp.asarray(window_transition_indices(H, W, ws, s_from, s_to, NP))
-    return jnp.take(xw.reshape(-1, BC), idx, axis=0).reshape(nW, NP, BC)
+    permute = transition_permutation_fn(H, W, ws, s_from, s_to, NP)
+    return permute(xw.reshape(-1, BC)).reshape(nW, NP, BC)
 
 
 def _bp_enter(x):

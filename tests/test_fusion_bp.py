@@ -295,3 +295,39 @@ def test_stack_odd_depth_matches_std(layout, monkeypatch):
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_transition_permutation_gather_only_vjp():
+    """transition_permutation_fn must (a) be a bijection whose valid rows
+    reproduce window_transition_indices exactly, (b) have a VJP that is the
+    inverse gather — identical to the scatter-add VJP of the jnp.take path
+    whenever pad-row cotangents are zero (the resident-stack invariant),
+    and (c) contain no scatter in its backward jaxpr."""
+    from multimodal_neuroimage_tpu.nn.common import (
+        transition_permutation_fn, window_transition_indices)
+
+    Hh, Ww, s_from, s_to = RES, RES, 0, WS // 2
+    permute = transition_permutation_fn(Hh, Ww, WS, s_from, s_to, NP)
+    idx_old = np.asarray(window_transition_indices(Hh, Ww, WS,
+                                                   s_from, s_to, NP))
+    rows = np.arange(NW * NP)
+    valid = (rows % NP) < N
+
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(NW * NP, 8)),
+                    jnp.float32)
+    new = np.asarray(permute(x))
+    old = np.asarray(jnp.take(x, jnp.asarray(idx_old), axis=0))
+    np.testing.assert_array_equal(new[valid], old[valid])
+
+    # VJP parity under zero pad cotangent
+    g = np.random.default_rng(8).normal(size=new.shape).astype(np.float32)
+    g[~valid] = 0.0
+    g = jnp.asarray(g)
+    (dx_new,) = jax.vjp(permute, x)[1](g)
+    (dx_old,) = jax.vjp(
+        lambda t: jnp.take(t, jnp.asarray(idx_old), axis=0), x)[1](g)
+    np.testing.assert_array_equal(np.asarray(dx_new), np.asarray(dx_old))
+
+    jaxpr = str(jax.make_jaxpr(
+        lambda t: jax.vjp(permute, t)[1](g))(x))
+    assert "scatter" not in jaxpr
