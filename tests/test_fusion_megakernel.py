@@ -139,6 +139,7 @@ def test_module_fused_vs_plain(shift):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_module_grad_fused_vs_plain():
     v, apply_f, x = _module_apply(True)
 
@@ -270,6 +271,7 @@ def test_cross_module_fused_vs_plain(shift):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_block_stochastic_grad_is_true_gradient():
     """With a FIXED seed the stochastic forward is deterministic, so the
     custom VJP must match its directional numerical derivative. Catches

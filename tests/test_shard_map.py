@@ -197,6 +197,7 @@ def test_shard_map_fused_bp_bf16_smoke(monkeypatch):
         assert np.all(np.isfinite(np.asarray(leaf)))
 
 
+@pytest.mark.slow
 def test_shard_map_eval_matches_gspmd():
     if jax.device_count() < 2:
         pytest.skip("needs a multi-device mesh")

@@ -29,6 +29,7 @@ def cohort(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_fmri_step1_device_preprocess(cohort, tmp_path):
     """Step-1 2DBERT over fMRI timeseries with the fused on-device FIR path
     (cfg.preprocess='device')."""
@@ -77,6 +78,7 @@ def test_hcp_age_regression_index(cohort):
     assert abs(targets.mean()) < 0.5 and 0.5 < targets.std() < 2.0
 
 
+@pytest.mark.slow
 def test_hcp_step1_training(cohort, tmp_path):
     """Step-1 2DBERT over the HCP cohort (1200 TRs, 22 ROIs): validate()
     defaults intermediate_vec/sequence_length/heads for hcp (the reference
