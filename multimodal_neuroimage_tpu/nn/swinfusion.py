@@ -112,7 +112,9 @@ def _from_padded_windows(t, H: int, W: int, ws: int, shift: int, NP: int):
     if _GLUE_MODE == "perm":
         _, exit_ = window_perm_indices(H, W, ws, shift, NP)
         return jnp.take(t.reshape(B, -1, C), jnp.asarray(exit_), axis=1)
-    t = window_reverse(t[:, :, :N, :], ws, H, W)
+    # lax.slice_in_dim, NOT t[:, :, :N, :]: numpy-style indexing lowers to
+    # gather whose VJP is a scatter-add; the explicit slice's VJP is a pad
+    t = window_reverse(jax.lax.slice_in_dim(t, 0, N, axis=2), ws, H, W)
     if shift > 0:
         t = jnp.roll(t, shift=(shift, shift), axis=(1, 2))
     return t.reshape(B, H * W, C)
@@ -139,7 +141,8 @@ def _from_padded_windows_bp(t, H: int, W: int, ws: int, shift: int, NP: int):
     if _GLUE_MODE == "perm":
         _, exit_ = window_perm_indices(H, W, ws, shift, NP)
         return jnp.take(t.reshape(-1, BC), jnp.asarray(exit_), axis=0)
-    t = window_reverse(t[None, :, :N, :], ws, H, W)
+    # explicit slice: gather-free forward, pad (not scatter-add) VJP
+    t = window_reverse(jax.lax.slice_in_dim(t, 0, N, axis=1)[None], ws, H, W)
     if shift > 0:
         t = jnp.roll(t, shift=(shift, shift), axis=(1, 2))
     return t.reshape(H * W, BC)
