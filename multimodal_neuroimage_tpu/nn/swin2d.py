@@ -231,10 +231,13 @@ class PatchMerging(nn.Module):
     def __call__(self, x):
         H, W = self.input_resolution
         B, L, C = x.shape
-        x = x.reshape(B, H, W, C)
+        # reshape + integer indexing, NOT x[:, 0::2, 0::2]: strided slices
+        # lower to lax.gather (VJP: scatter-add); y[:, :, r, :, c] is a plain
+        # slice+squeeze (VJP: pad). y[b, i, r, j, c] == x[b, 2i+r, 2j+c].
+        y = x.reshape(B, H // 2, 2, W // 2, 2, C)
         x = jnp.concatenate(
-            [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2],
-             x[:, 1::2, 1::2]], axis=-1).reshape(B, (H // 2) * (W // 2), 4 * C)
+            [y[:, :, 0, :, 0], y[:, :, 1, :, 0], y[:, :, 0, :, 1],
+             y[:, :, 1, :, 1]], axis=-1).reshape(B, (H // 2) * (W // 2), 4 * C)
         x = nn.Dense(2 * self.dim, use_bias=False,
                      kernel_init=trunc_normal_init, name="reduction")(x)
         return LayerNorm(name="norm")(x)
