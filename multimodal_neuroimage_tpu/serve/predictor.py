@@ -53,6 +53,18 @@ def make_predict_step(model, compute_dtype: str = "bfloat16"):
     return predict_step
 
 
+def _global_reduce(sums: np.ndarray, counts: np.ndarray):
+    """Sum fixed-shape per-record (sum, count) arrays over all processes
+    (no-op single-process). Exercised across real processes by
+    scripts/multihost_rehearsal.py."""
+    if jax.process_count() > 1:
+        from multimodal_neuroimage_tpu.parallel.mesh import process_allgather
+        pc = jax.process_count()
+        sums = process_allgather(sums).reshape(pc, -1).sum(axis=0)
+        counts = process_allgather(counts).reshape(pc, -1).sum(axis=0)
+    return sums, counts
+
+
 class Predictor:
     """Load once, predict many."""
 
@@ -102,26 +114,39 @@ class Predictor:
         """Score every record; returns {subject: {"score", "label"?}} with
         repeated windows per subject mean-ensembled. Classification scores
         are sigmoid probabilities; "label" thresholds them at the
-        checkpoint's frozen g-mean validation threshold."""
+        checkpoint's frozen g-mean validation threshold.
+
+        Multi-host: each process scores its pipeline shard; per-subject
+        (sum, count) are reduced over a fixed-shape record-index array via
+        ``process_allgather``, so every process returns the FULL cohort
+        (same global-metrics discipline as evaluation/metrics.py)."""
         self.pipe.splits["predict"] = list(self.records)
-        scores: Dict[str, List[float]] = {}
+        pos = {str(r.subject): i for i, r in enumerate(self.records)}
+        sums = np.zeros(len(self.records), np.float64)
+        counts = np.zeros(len(self.records), np.float64)
         for batch, names in self.pipe.epoch("predict", shuffle=False):
             logits = np.asarray(
                 self._step(self.params, batch)[self.head]).reshape(-1)
             for name, v in zip(names, logits):
                 if name is None:        # tail padding
                     continue
-                scores.setdefault(str(name), []).append(float(v))
+                i = pos[str(name)]
+                sums[i] += float(v)
+                counts[i] += 1.0
+        sums, counts = _global_reduce(sums, counts)
         out: Dict[str, Dict[str, float]] = {}
-        for subject, vals in scores.items():
-            raw = float(np.mean(vals))
+        for i, rec in enumerate(self.records):
+            if counts[i] == 0:          # dropped by global drop_last
+                continue
+            subject = str(rec.subject)
+            raw = float(sums[i] / counts[i])
             if self.head == "binary_classification":
                 prob = float(1.0 / (1.0 + np.exp(-raw)))
                 out[subject] = {"score": prob,
                                 "label": float(prob > self.threshold)}
             else:
                 out[subject] = {"score": raw}
-        if write_csv:
+        if write_csv and jax.process_index() == 0:
             self._write_csv(write_csv, out)
         return out
 

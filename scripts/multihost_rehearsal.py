@@ -147,6 +147,20 @@ def worker(pid: int, port: int) -> None:
         assert msg.get("stop") is True, msg
     print(f"[worker {pid}] hpo abort protocol ok", flush=True)
 
+    # serving reduction (serve/predictor._global_reduce): each process
+    # scored a disjoint shard of a 6-record cohort; the merged (sum, count)
+    # must be identical on every process
+    from multimodal_neuroimage_tpu.serve.predictor import _global_reduce
+    s = np.zeros(6); c = np.zeros(6)
+    mine = range(pid * 3, pid * 3 + 3)
+    for i in mine:
+        s[i] = float(10 * i)
+        c[i] = 1.0 + (i % 2)        # some subjects have repeated windows
+    gs, gc = _global_reduce(s, c)
+    assert np.allclose(gs, [0., 10., 20., 30., 40., 50.]), gs
+    assert np.allclose(gc, [1., 2., 1., 2., 1., 2.]), gc
+    print(f"[worker {pid}] predict reduction ok", flush=True)
+
 
 def main() -> None:
     port = int(os.environ.get("REHEARSAL_PORT", "12577"))
