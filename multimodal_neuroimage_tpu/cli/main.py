@@ -127,31 +127,48 @@ def weight_loader(cfg: Config) -> Optional[str]:
     chain_from = {2: 1, 4: 3, 5: 3, 6: 3}.get(cfg.step)
     if chain_from is None:
         return None
-    want_task = PHASE_TASKS[chain_from]
-    # (same_target, same_title, mtime, path) — sorted ascending, last wins:
-    # a same-target candidate always beats a cross-target one (decoy
-    # experiments for other targets lose), but a task-matched checkpoint
-    # trained on a different target is still usable for transfer (the
-    # reference keys only by explicit phase path, utils.py:95-128) — fall
-    # back to it with a warning rather than silently training from scratch.
+    return _best_checkpoint_for(PHASE_TASKS[chain_from], cfg)
+
+
+def _best_checkpoint_for(want_task: str, cfg: Config,
+                         best_only: bool = True) -> Optional[str]:
+    """Newest BEST checkpoint among experiment folders whose archived
+    arguments match ``want_task``, preferring this run's target, then its
+    experiment title. ``best_only=False`` (serving) also accepts folders
+    with only a rolling ``*_last_epoch.ckpt`` — a BEST-bearing folder
+    always outranks them."""
+    # (same_target, same_title, has_best, mtime, path) — sorted ascending,
+    # last wins: a same-target candidate always beats a cross-target one
+    # (decoy experiments for other targets lose), but a task-matched
+    # checkpoint trained on a different target is still usable for transfer
+    # (the reference keys only by explicit phase path, utils.py:95-128) —
+    # fall back to it with a warning rather than silently training from
+    # scratch.
     candidates = []
     for folder in glob.glob(os.path.join(cfg.base_path, "experiments", "*")):
         meta = _experiment_meta(folder)
         if not meta or meta.get("task") != want_task:
             continue
         ckpts = glob.glob(os.path.join(folder, "*BEST*.ckpt"))
+        has_best = bool(ckpts)
+        if not ckpts and not best_only:
+            ckpts = glob.glob(os.path.join(folder, "*.ckpt"))
         if not ckpts:
             continue
         best = max(ckpts, key=os.path.getmtime)
         candidates.append((meta.get("target") == cfg.target,
                            meta.get("exp_name") == cfg.exp_name,
-                           os.path.getmtime(best), best))
+                           has_best, os.path.getmtime(best), best))
     if not candidates:
         return None
-    same_target, _, _, path = sorted(candidates)[-1]
+    same_target, _, has_best, _, path = sorted(candidates)[-1]
     if not same_target:
         print(f"[weight_loader] no {want_task} checkpoint for target "
               f"'{cfg.target}'; chaining cross-target from {path}")
+    if not has_best:
+        print(f"[weight_loader] WARNING: no BEST checkpoint for task "
+              f"'{want_task}'; using {os.path.basename(path)} (likely "
+              f"last-epoch weights, not validation-selected)")
     return path
 
 
@@ -177,6 +194,26 @@ def run_phase(cfg: Config) -> dict:
 
     if cfg.predict_only:
         from multimodal_neuroimage_tpu.serve.predictor import run_predict
+        # resolve the checkpoint BEFORE handing off: with a default
+        # (freshly minted, empty) experiment folder there is nothing to
+        # serve from — find the newest same-task (preferably same-target)
+        # BEST checkpoint across past experiments instead. predictions.csv
+        # still lands in THIS run's folder; the source run's arguments.pkl
+        # is never touched.
+        from multimodal_neuroimage_tpu.ckpt.checkpoint import \
+            latest_checkpoint
+        if not cfg.model_weights_path and not latest_checkpoint(
+                cfg.experiment_folder):
+            found = _best_checkpoint_for(cfg.task, cfg, best_only=False)
+            if found is None:
+                raise FileNotFoundError(
+                    f"--predict_only: no checkpoint in "
+                    f"{cfg.experiment_folder!r} and no previous "
+                    f"'{cfg.task}' experiment with a BEST checkpoint under "
+                    f"{os.path.join(cfg.base_path, 'experiments')!r}; pass "
+                    f"--model_weights_path or --experiment_folder")
+            print(f"[predict] serving checkpoint {found}")
+            cfg = dataclasses.replace(cfg, model_weights_path=found)
         return run_predict(cfg)
 
     if cfg.task == "test" or cfg.step == 4:

@@ -10,6 +10,7 @@ Booleans that the reference made ON-by-default through ``action='store_false'``
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass, field, replace
 from typing import Any, Dict, Optional, Tuple
 
@@ -242,6 +243,17 @@ class Config:
             f"unknown lr policy {self.lr_policy}"
         assert self.preprocess in {"device", "host", "native"}, \
             f"unknown preprocess placement {self.preprocess}"
+        # data-path defaults are base_path-rooted: `--base_path /data/abcd`
+        # alone must find /data/abcd/data/... (README flow); explicit
+        # absolute or non-"./" paths are left untouched
+        if self.base_path not in (".", ""):
+            for attr in ("fmri_timeseries_path", "fmri_image_path",
+                         "dti_path", "smri_path", "dti_smri_path",
+                         "prs_path", "hcp_path"):
+                v = getattr(self, attr)
+                if v.startswith("./"):
+                    object.__setattr__(self, attr,
+                                       os.path.join(self.base_path, v[2:]))
         return self
 
 

@@ -77,7 +77,8 @@ def resolve_paths(dataset_name: str, subject: str, cfg) -> Dict[str, str]:
     return paths
 
 
-def build_hcp_index(cfg) -> List[SubjectRecord]:
+def build_hcp_index(cfg, require_target: bool = True
+                    ) -> List[SubjectRecord]:
     """HCP cohort (reference datasets.py:60-108): sex from
     HCP_1200_gender.csv (Subject/Gender, M->1), age from
     HCP_1200_precise_age.csv (subject/age, z-scored); subjects come from the
@@ -105,8 +106,10 @@ def build_hcp_index(cfg) -> List[SubjectRecord]:
         subject = fname.split("_")[0]
         key = int(subject)
         if key not in lookup.index:
-            continue
-        if cfg.target == "age":
+            if require_target:
+                continue
+            target = 0.0       # unlabeled serving subject, never read
+        elif cfg.target == "age":
             target = (float(lookup.loc[key]) - mean) / std
         else:
             target = 1.0 if str(lookup.loc[key]) == "M" else 0.0
@@ -129,18 +132,19 @@ def build_subject_index(cfg, require_target: bool = True
     predict forward never reads it.
     """
     if cfg.dataset_name == "hcp":
-        return build_hcp_index(cfg)
+        return build_hcp_index(cfg, require_target=require_target)
     meta_csv = cfg.metadata_csv or os.path.join(
         cfg.base_path, "data", "metadata", "ABCD_phenotype_total.csv")
     meta = pd.read_csv(meta_csv)
     key_col = "subjectkey" if "subjectkey" in meta.columns else meta.columns[0]
     if cfg.target in meta.columns:
-        non_na = meta[[key_col, cfg.target]]
-        non_na = (non_na.dropna(axis=0) if require_target
-                  else non_na.fillna({cfg.target: 0.0}))
+        labeled = meta[[key_col, cfg.target]].dropna(axis=0)
+        non_na = (labeled if require_target
+                  else meta[[key_col, cfg.target]].fillna({cfg.target: 0.0}))
     elif require_target:
         raise KeyError(f"target column {cfg.target!r} not in {meta_csv}")
     else:
+        labeled = meta[[key_col]].assign(**{cfg.target: 0.0}).iloc[:0]
         non_na = meta[[key_col]].assign(**{cfg.target: 0.0})
 
     subjects = list(non_na[key_col].astype(str))
@@ -154,8 +158,11 @@ def build_subject_index(cfg, require_target: bool = True
         subjects = sorted(set(subjects))
 
     if cfg.fine_tune_task == "regression":
-        cont_mean = float(non_na[cfg.target].mean())
-        cont_std = float(non_na[cfg.target].std())
+        # stats over the genuinely-labeled rows ONLY: under
+        # require_target=False the fillna(0.0) dummies must not shift the
+        # z-scoring away from the training-time encoding
+        cont_mean = float(labeled[cfg.target].mean())
+        cont_std = float(labeled[cfg.target].std())
         if not np.isfinite(cont_std) or cont_std == 0.0:
             cont_mean, cont_std = 0.0, 1.0   # unlabeled serving cohort
 

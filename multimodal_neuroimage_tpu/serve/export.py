@@ -60,19 +60,29 @@ def export_model(predictor, dest: str, portable: bool = False) -> str:
         sf._LAYOUT = "std"
 
     example = _example_batch(predictor.pipe, predictor.records)
-    params = jax.device_get(predictor.params)  # bake as constants
     model = predictor.model
     cdtype = (jnp.bfloat16 if predictor.cfg.compute_dtype == "bfloat16"
               else jnp.float32)
     head = predictor.head
 
+    # Bake the params as constants PRE-CAST to the compute dtype: device_get
+    # yields numpy leaves, which _cast_tree (jnp.ndarray-only) would skip —
+    # the artifact must apply the same bf16 policy as the live Predictor
+    # (and bf16 constants halve the artifact size).
+    def _cast_leaf(a):
+        a = np.asarray(a)
+        if np.issubdtype(a.dtype, np.floating):
+            return jnp.asarray(a, cdtype)
+        return jnp.asarray(a)
+
+    params = jax.tree.map(_cast_leaf, jax.device_get(predictor.params))
+
     from multimodal_neuroimage_tpu.train.state import _cast_tree
 
     @jax.jit
     def forward(batch):
-        p = _cast_tree(params, cdtype)
         b = _cast_tree(batch, cdtype)
-        out = model.apply({"params": p}, b, deterministic=True)
+        out = model.apply({"params": params}, b, deterministic=True)
         return out[head].astype(jnp.float32).reshape(-1)
 
     specs = jax.tree.map(

@@ -31,24 +31,40 @@ from multimodal_neuroimage_tpu.ckpt.checkpoint import (latest_checkpoint,
                                                        load_raw_params)
 from multimodal_neuroimage_tpu.data.index import build_subject_index
 from multimodal_neuroimage_tpu.data.loader import DataPipeline
+from multimodal_neuroimage_tpu.parallel.mesh import (
+    maybe_initialize_distributed, mesh_for_batch, replicate)
 from multimodal_neuroimage_tpu.models.registry import create_model
-from multimodal_neuroimage_tpu.parallel.mesh import mesh_for_batch, replicate
-from multimodal_neuroimage_tpu.train.state import _cast_tree
+from multimodal_neuroimage_tpu.train.state import (_batch_pspecs, _cast_tree,
+                                                   use_shard_map)
 
 
-def make_predict_step(model, compute_dtype: str = "bfloat16"):
+def make_predict_step(model, compute_dtype: str = "bfloat16", mesh=None,
+                      spmd: str = "auto", data_axis: str = "data"):
     """Deterministic forward returning only the prediction heads — no
-    losses, so unlabeled batches work."""
+    losses, so unlabeled batches work. Multi-chip TPU meshes run through
+    ``shard_map`` like make_eval_step (train/state.py): GSPMD cannot
+    partition a ``pallas_call``, so plain jit would gather the fused
+    kernels' operands onto every chip."""
     cdtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    shard = use_shard_map(spmd, mesh, data_axis)
 
-    @jax.jit
-    def predict_step(params, batch):
+    def core(params, batch):
         p = _cast_tree(params, cdtype)
         b = _cast_tree(batch, cdtype)
         outputs = model.apply({"params": p}, b, deterministic=True)
         return {k: outputs[k].astype(jnp.float32)
                 for k in ("binary_classification", "regression")
                 if k in outputs}
+
+    @jax.jit
+    def predict_step(params, batch):
+        f = core
+        if shard:
+            from jax.sharding import PartitionSpec as P
+            f = jax.shard_map(core, mesh=mesh,
+                              in_specs=(P(), _batch_pspecs(batch, data_axis)),
+                              out_specs=P(data_axis), check_vma=False)
+        return f(params, batch)
 
     return predict_step
 
@@ -72,6 +88,7 @@ class Predictor:
                  records: Optional[List] = None,
                  require_target: bool = False):
         from multimodal_neuroimage_tpu.ops.autoplan import resolve_plans
+        maybe_initialize_distributed(cfg.distributed)
         resolve_plans(cfg.batch_size)
         self.cfg = cfg
         self.mesh = mesh_for_batch(cfg)
@@ -89,7 +106,9 @@ class Predictor:
         self.params = replicate(load_raw_params(path), self.mesh)
         meta = load_metadata(path)
         self.threshold = float(meta.get("val_threshold") or 0.5)
-        self._step = make_predict_step(self.model, cfg.compute_dtype)
+        self._step = make_predict_step(self.model, cfg.compute_dtype,
+                                       mesh=self.mesh,
+                                       spmd=getattr(cfg, "spmd_mode", "auto"))
         self.head = ("regression"
                      if cfg.fine_tune_task == "regression"
                      else "binary_classification")
@@ -102,12 +121,25 @@ class Predictor:
         if not folder:
             return None
         title = cfg.experiment_title or cfg.exp_name
-        best = ("BEST_val_loss" if cfg.fine_tune_task == "regression"
-                else "BEST_val_AUROC")
-        preferred = os.path.join(folder, f"{title}_{best}.ckpt")
-        if os.path.exists(preferred):
-            return preferred
-        return latest_checkpoint(folder)
+        order = (("BEST_val_loss",)
+                 if cfg.fine_tune_task == "regression"
+                 else ("BEST_val_AUROC", "BEST_val_accuracy"))
+        for best in order:
+            preferred = os.path.join(folder, f"{title}_{best}.ckpt")
+            if os.path.exists(preferred):
+                return preferred
+        # any BEST checkpoint beats the rolling *_last_epoch.ckpt crash-
+        # recovery file, which is always the mtime-newest after training
+        import glob as _glob
+        bests = _glob.glob(os.path.join(folder, "*BEST*.ckpt"))
+        if bests:
+            return max(bests, key=os.path.getmtime)
+        fallback = latest_checkpoint(folder)
+        if fallback is not None:
+            print(f"[predict] WARNING: no BEST checkpoint in {folder!r}; "
+                  f"serving {os.path.basename(fallback)} (likely last-epoch "
+                  f"weights, not validation-selected)")
+        return fallback
 
     def predict(self, write_csv: Optional[str] = None
                 ) -> Dict[str, Dict[str, float]]:
@@ -119,15 +151,24 @@ class Predictor:
         Multi-host: each process scores its pipeline shard; per-subject
         (sum, count) are reduced over a fixed-shape record-index array via
         ``process_allgather``, so every process returns the FULL cohort
-        (same global-metrics discipline as evaluation/metrics.py)."""
+        (same global-metrics discipline as evaluation/metrics.py).
+
+        Ensembling matches evaluation exactly (metrics.py per_subject /
+        reference loss_writer.py:85-90): classification sigmoids EACH
+        window's logit and averages the probabilities — the frozen
+        val_threshold was fit on mean-of-sigmoids, so sigmoid-of-mean-logit
+        would label subjects inconsistently with phase-4 testing."""
         self.pipe.splits["predict"] = list(self.records)
         pos = {str(r.subject): i for i, r in enumerate(self.records)}
         sums = np.zeros(len(self.records), np.float64)
         counts = np.zeros(len(self.records), np.float64)
+        classify = self.head == "binary_classification"
         for batch, names in self.pipe.epoch("predict", shuffle=False):
-            logits = np.asarray(
+            vals = np.asarray(
                 self._step(self.params, batch)[self.head]).reshape(-1)
-            for name, v in zip(names, logits):
+            if classify:
+                vals = 1.0 / (1.0 + np.exp(-vals))   # per-window sigmoid
+            for name, v in zip(names, vals):
                 if name is None:        # tail padding
                     continue
                 i = pos[str(name)]
@@ -139,13 +180,12 @@ class Predictor:
             if counts[i] == 0:          # dropped by global drop_last
                 continue
             subject = str(rec.subject)
-            raw = float(sums[i] / counts[i])
-            if self.head == "binary_classification":
-                prob = float(1.0 / (1.0 + np.exp(-raw)))
-                out[subject] = {"score": prob,
-                                "label": float(prob > self.threshold)}
+            mean = float(sums[i] / counts[i])
+            if classify:
+                out[subject] = {"score": mean,
+                                "label": float(mean > self.threshold)}
             else:
-                out[subject] = {"score": raw}
+                out[subject] = {"score": mean}
         if write_csv and jax.process_index() == 0:
             self._write_csv(write_csv, out)
         return out

@@ -76,6 +76,7 @@ def test_unlabeled_cohort_index(trained):
     meta_csv = os.path.join(root, "data", "metadata",
                             "ABCD_phenotype_total.csv")
     meta = pd.read_csv(meta_csv)
+    orig_col = meta[cfg.target].copy()      # exact snapshot for restore
     labeled = build_subject_index(cfg)
     # blank half the targets
     meta.loc[: len(meta) // 2, cfg.target] = np.nan
@@ -93,11 +94,11 @@ def test_unlabeled_cohort_index(trained):
         assert len(lax2) == len(labeled)
         assert all(r.target == 0.0 for r in lax2)
     finally:
-        pd.read_csv(meta_csv)  # leave file readable
-        # restore original labels for other tests in the module
+        # restore the EXACT original column (row order is preserved by the
+        # read/write round trip) so later tests in the module-scoped
+        # fixture see the unmodified cohort
         meta2 = pd.read_csv(meta_csv)
-        meta2[cfg.target] = [r.target for r in labeled] + [np.nan] * (
-            len(meta2) - len(labeled))
+        meta2[cfg.target] = orig_col.values
         meta2.to_csv(meta_csv, index=False)
 
 
@@ -130,6 +131,24 @@ def test_export_roundtrip(trained, tmp_path):
     with pytest.raises(KeyError):
         exp(short)
 
+    # bf16 policy survives export: artifact params are baked pre-cast, so
+    # the exported forward matches a live bf16 Predictor (not the f32 one)
+    cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    pred16 = Predictor(cfg16)
+    dest16 = str(tmp_path / "model16.stablehlo")
+    export_model(pred16, dest16)
+    exp16 = load_exported(dest16)
+    live16 = np.asarray(
+        pred16._step(pred16.params, batch)[pred16.head]).reshape(-1)
+    np.testing.assert_allclose(exp16(batch), live16, rtol=2e-2, atol=2e-2)
+    # and the bf16 policy genuinely reached the artifact (guards the
+    # numpy-params cast no-op bug): smaller blob (bf16 constants) and
+    # numerics that differ from the f32 artifact's
+    blob16 = os.path.getsize(dest16)
+    blob32 = os.path.getsize(dest)
+    assert blob16 < blob32, (blob16, blob32)
+    assert float(np.max(np.abs(exp16(batch) - aot))) > 0.0
+
 
 def test_predict_only_cli_branch(trained):
     """run_phase(cfg with predict_only) routes into run_predict and writes
@@ -140,3 +159,32 @@ def test_predict_only_cli_branch(trained):
     assert len(out) == 24
     assert os.path.exists(os.path.join(cfg.experiment_folder,
                                        "predictions.csv"))
+
+
+def test_predict_only_resolves_past_experiment(trained):
+    """Without --experiment_folder the CLI mints a fresh empty folder; the
+    predict branch must then resolve the newest same-task BEST checkpoint
+    from past experiments instead of failing (README-advertised flow)."""
+    import shutil
+    from multimodal_neuroimage_tpu.cli.main import args_logger, run_phase
+    root, cfg = trained
+    # register the trained run as a past experiment under base_path,
+    # with the arguments.pkl a CLI run would have archived
+    past = os.path.join(root, "experiments", "serve_sex_2026")
+    if not os.path.exists(past):
+        shutil.copytree(cfg.experiment_folder, past)
+        args_logger(dataclasses.replace(cfg, experiment_folder=past))
+    fresh = dataclasses.replace(cfg, predict_only=True,
+                                experiment_folder="", experiment_title="")
+    out = run_phase(fresh)
+    assert len(out) == 24
+    # and a clear error when nothing can be found
+    empty_base = os.path.join(root, "empty_base")
+    os.makedirs(os.path.join(empty_base, "experiments"), exist_ok=True)
+    with pytest.raises(FileNotFoundError):
+        run_phase(dataclasses.replace(
+            fresh, base_path=empty_base,
+            metadata_csv=os.path.join(root, "data", "metadata",
+                                      "ABCD_phenotype_total.csv"),
+            subject_list_path=os.path.join(root,
+                                           "multimodal_sub_list.txt")))
