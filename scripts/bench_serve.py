@@ -49,7 +49,7 @@ def main() -> None:
     params = model.init(jax.random.PRNGKey(0), batch,
                         deterministic=True)["params"]
     params = replicate(params, mesh)
-    step = make_predict_step(model, cfg.compute_dtype)
+    step = make_predict_step(model, cfg.compute_dtype, mesh=mesh)
     head = "binary_classification"
 
     # a few input variants so the tunnel cannot dedupe repeated executions
