@@ -180,16 +180,22 @@ class BestCheckpointPolicy:
                     self.folder, f"{self.title}_BEST_val_loss.ckpt"),
                     **save_kwargs)
             return None
+        wrote = None
         if val_auroc is not None and val_auroc > self.best_auroc:
             self.best_auroc = val_auroc
             meta["best_auroc"] = val_auroc
-            return save_checkpoint(os.path.join(
+            wrote = save_checkpoint(os.path.join(
                 self.folder, f"{self.title}_BEST_val_AUROC.ckpt"),
                 **save_kwargs)
+        # track best_acc EVERY epoch (an all-time-best accuracy that
+        # coincides with an AUROC improvement must still raise the bar);
+        # the secondary accuracy FILE is only written when AUROC didn't
+        # improve (reference trainer.py:660-690 policy)
         if val_acc is not None and val_acc > self.best_acc:
             self.best_acc = val_acc
             meta["best_acc"] = val_acc
-            return save_checkpoint(os.path.join(
-                self.folder, f"{self.title}_BEST_val_accuracy.ckpt"),
-                **save_kwargs)
-        return None
+            if wrote is None:
+                wrote = save_checkpoint(os.path.join(
+                    self.folder, f"{self.title}_BEST_val_accuracy.ckpt"),
+                    **save_kwargs)
+        return wrote

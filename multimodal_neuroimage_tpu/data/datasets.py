@@ -78,8 +78,10 @@ class ItemLoader:
             self.augment = brain_gaussian(augment_prob=cfg.augment_prob,
                                           seed=cfg.seed)
         # device-preprocess mode defers FIR/zscore/pad to the fused TPU kernel
-        # (the sinc-resampled ultralow variant stays on host)
+        # (the sinc-resampled ultralow variant and the Boxcar filter — the
+        # fused kernel implements only the FIR-taps split — stay on host)
         self.device_fmri = (cfg.preprocess == "device"
+                            and cfg.filtering_type == "FIR"
                             and cfg.feature_map_gen != "resample"
                             and cfg.dataset_name in ("fMRI_timeseries",
                                                      "multimodal",
@@ -94,8 +96,14 @@ class ItemLoader:
 
     # -- fMRI ---------------------------------------------------------------
     def _raw_fmri_item(self, record: SubjectRecord) -> Dict[str, np.ndarray]:
-        """Device-preprocess payload: zero-padded raw series + native length."""
+        """Device-preprocess payload: zero-padded raw series + native length.
+
+        Train-time augmentation applies HERE, to the raw series before the
+        on-device FIR — the same point in the chain as the host path
+        (which augments y before preprocess_fmri_host)."""
         y = _load_abcd_fmri_raw(record.paths["fmri"])
+        if self.augment is not None:
+            y = self.augment(y)
         R, T = y.shape
         buf = np.zeros((R, ABCD_SEQ_LEN), dtype=np.float32)
         buf[:, :T] = y

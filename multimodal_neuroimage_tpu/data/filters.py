@@ -46,8 +46,13 @@ def filtfilt_fir(x: np.ndarray, taps: np.ndarray) -> np.ndarray:
 
 
 def boxcar_smooth(x: np.ndarray, n_points: int, iterations: int = 2) -> np.ndarray:
-    """Iterated moving-average lowpass (nitime boxcar_filter)."""
-    n_points = max(int(n_points), 1)
+    """Iterated moving-average lowpass (nitime boxcar_filter).
+
+    The window is clamped to the series length: at the default 0.0035 Hz
+    cutoff the one-period window is 357 samples, LONGER than typical ABCD
+    series (350-361) — ``np.convolve(mode='same')`` would then return the
+    kernel's length and crash the band split."""
+    n_points = max(min(int(n_points), x.shape[-1]), 1)
     kern = np.ones(n_points) / n_points
     out = x
     for _ in range(iterations):
@@ -91,6 +96,13 @@ def bandsplit(y: np.ndarray, filtering_type: str = "FIR", lb_hz: float = 0.0035,
         "raw": zscore(y.astype(np.float64), axis=1),
         "low": zscore(high, axis=1),
         "ultralow": zscore(y - high, axis=1),
+        # un-zscored components: the frequency-domain modes FFT the raw
+        # filtered signal, not the z-scored one (datasets.py:314-319,
+        # 331-336) — returned here so they use the SAME configured filter
+        # (a separate recompute once hardcoded FIR defaults regardless of
+        # filtering_type/lb_hz/tr_seconds/fir_order)
+        "low_unscored": high,
+        "ultralow_unscored": y - high,
     }
 
 
@@ -199,18 +211,18 @@ def preprocess_fmri_host(
                                                             sequence_length)
     elif fmri_type == "frequency_domain_low":
         bands = bandsplit(y, filtering_type, lb_hz, tr_seconds, fir_order)
-        low_unscored = filt_component(y, bands, "low")
+        low_unscored = bands["low_unscored"]
         out["fmri_sequence"] = _finish(spectrum_magnitude(low_unscored,
                                                           drop_dc=True), 184)
     elif fmri_type == "frequency_domain_ultralow":
         bands = bandsplit(y, filtering_type, lb_hz, tr_seconds, fir_order)
-        ul_unscored = filt_component(y, bands, "ultralow")
+        ul_unscored = bands["ultralow_unscored"]
         out["fmri_sequence"] = _finish(spectrum_magnitude(ul_unscored,
                                                           drop_dc=True), 184)
     elif fmri_type == "timeseries_and_frequency":
         bands = bandsplit(y, filtering_type, lb_hz, tr_seconds, fir_order)
         out["fmri_lowfreq_sequence"] = _finish(bands["low"], sequence_length)
-        ul_unscored = filt_component(y, bands, "ultralow")
+        ul_unscored = bands["ultralow_unscored"]
         out["fmri_ultralowfreq_sequence"] = _finish(
             spectrum_magnitude(ul_unscored, drop_dc=True), 184)
     else:
@@ -218,11 +230,3 @@ def preprocess_fmri_host(
     return out
 
 
-def filt_component(y: np.ndarray, bands: Dict[str, np.ndarray], which: str,
-                   lb_hz: float = 0.0035, tr_seconds: float = 0.8,
-                   fir_order: int = 64) -> np.ndarray:
-    """Un-zscored band component (the frequency-domain modes FFT the raw
-    filtered signal, not the z-scored one — datasets.py:314-319, 331-336)."""
-    taps = design_highpass_fir(fir_order, lb_hz, 1.0 / tr_seconds)
-    high = filtfilt_fir(y.astype(np.float64), taps)
-    return high if which == "low" else y - high

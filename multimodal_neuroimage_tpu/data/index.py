@@ -105,14 +105,18 @@ def build_hcp_index(cfg, require_target: bool = True
             continue
         subject = fname.split("_")[0]
         key = int(subject)
-        if key not in lookup.index:
+        val = lookup.loc[key] if key in lookup.index else None
+        if val is None or pd.isna(val):
+            # absent OR NaN-valued metadata row: a NaN age would poison the
+            # loss, a NaN gender would silently encode as 0.0 (the ABCD
+            # path dropna()s; mirror that here)
             if require_target:
                 continue
             target = 0.0       # unlabeled serving subject, never read
         elif cfg.target == "age":
-            target = (float(lookup.loc[key]) - mean) / std
+            target = (float(val) - mean) / std
         else:
-            target = 1.0 if str(lookup.loc[key]) == "M" else 0.0
+            target = 1.0 if str(val) == "M" else 0.0
         records.append(SubjectRecord(
             idx=i, subject=subject,
             paths=resolve_paths("hcp", subject, cfg), target=target))

@@ -153,6 +153,8 @@ class DataPipeline:
         if cfg.dataset_name in ("DTI", "sMRI", "DTI+sMRI", "struct",
                                 "fMRI_image"):
             return True
+        if cfg.filtering_type != "FIR":
+            return False  # fastpipe implements only the FIR-taps band split
         if cfg.dataset_name in ("multimodal", "multimodal_prs"):
             return cfg.feature_map_gen != "resample"
         if cfg.dataset_name == "fMRI_timeseries":

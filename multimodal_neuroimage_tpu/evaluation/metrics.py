@@ -73,13 +73,43 @@ def roc_threshold_metrics(truth, score, *, frozen_threshold: Optional[float]
     return best
 
 
+def gather_ragged(v: np.ndarray) -> np.ndarray:
+    """Concatenate per-process 1-D arrays of DIFFERENT lengths across all
+    processes. ``multihost_utils.process_allgather`` requires identical
+    shapes, but hosts legitimately disagree here: the padded eval tail
+    batch leaves different valid-subject counts per host. Lengths are
+    gathered first, values NaN-padded to the max, gathered, and trimmed.
+    Single-process: identity. Exercised across two real processes in
+    scripts/multihost_rehearsal.py."""
+    import jax
+    pc = jax.process_count()
+    v = np.asarray(v).reshape(-1)
+    if pc == 1:
+        return v
+    lengths = process_allgather(
+        np.asarray([len(v)], np.int64)).reshape(-1)
+    m = int(lengths.max()) if len(lengths) else 0
+    if m == 0:
+        return v
+    padded = np.full(m, np.nan, np.float64)
+    padded[:len(v)] = v
+    stacked = process_allgather(padded).reshape(pc, m)
+    return np.concatenate([stacked[i, :int(lengths[i])]
+                           for i in range(pc)])
+
+
 def regression_metrics(truth, pred) -> Dict[str, float]:
     truth = np.asarray(truth, dtype=np.float64)
     pred = np.asarray(pred, dtype=np.float64)
     return {
         "MAE": float(np.mean(np.abs(pred - truth))),
         "MSE": float(np.mean((pred - truth) ** 2)),
-        "NMSE": float(np.mean((pred - truth) ** 2 / truth ** 2)),
+        # per-element form for reference parity (metrics.py:61-63); the
+        # eps guard only prevents inf on z-scored targets that are
+        # EXACTLY 0 — note the reference metric is inherently unstable
+        # for |truth| near 0 (a sum-ratio NMSE would be robust)
+        "NMSE": float(np.mean((pred - truth) ** 2
+                              / np.maximum(truth ** 2, 1e-12))),
         "R2_score": float(r2_score(truth, pred)),
     }
 
@@ -138,8 +168,8 @@ class SubjectAccumulator:
         metrics: Dict[str, float] = {}
         for mode in modes:
             subs, pred, _, truth = self.per_subject(mode)
-            pred = process_allgather(pred).reshape(-1)
-            truth = process_allgather(truth).reshape(-1)
+            pred = gather_ragged(pred)
+            truth = gather_ragged(truth)
             if len(pred) == 0:
                 continue
             if self.fine_tune_task == "regression":

@@ -128,6 +128,22 @@ def local_batch_slice(n_items: int) -> slice:
     return slice(pi * per, (pi + 1) * per)
 
 
+def host_local_rows(arr) -> np.ndarray:
+    """This process's rows of a batch-dim-sharded GLOBAL array.
+
+    Multi-host, a data-sharded jax.Array is not fully addressable —
+    ``jax.device_get`` raises. Each host's valid rows are exactly its
+    addressable shards (the loader feeds host ``pi`` rows
+    ``[pi*bs, (pi+1)*bs)`` via ``make_array_from_process_local_data``, so
+    shard order by global row offset reconstructs the host slice).
+    Single-process (or non-jax input): plain device_get."""
+    if jax.process_count() == 1 or not hasattr(arr, "addressable_shards"):
+        return np.asarray(jax.device_get(arr))
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: (s.index[0].start or 0))
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
 def process_allgather(x: np.ndarray) -> np.ndarray:
     """Gather host arrays from every process (identity on one process).
 

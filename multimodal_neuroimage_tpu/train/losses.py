@@ -145,8 +145,10 @@ def intensity_voxel_mask(y: jnp.ndarray, low_quantile: float = 0.9) -> jnp.ndarr
     flat = v.transpose(0, 4, 1, 2, 3).reshape(B * T, H * W * D)
     n_pos = jnp.sum(flat > flat[:, 0:1], axis=1)
     q = 1.0 - (n_pos / flat.shape[1]) * (1.0 - low_quantile)
-    thresh = jnp.quantile(flat, q, axis=1)
-    thresh = jnp.diagonal(thresh) if thresh.ndim == 2 else thresh
+    # one quantile per row at that row's own level — vmap, NOT
+    # jnp.quantile(flat, q, axis=1), which would materialize a
+    # (B*T, B*T) cross product and take its diagonal
+    thresh = jax.vmap(lambda row, qq: jnp.quantile(row, qq))(flat, q)
     mask = flat > thresh[:, None]
     return mask.reshape(B, T, H, W, D).transpose(0, 2, 3, 4, 1)
 

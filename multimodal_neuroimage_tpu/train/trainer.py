@@ -185,7 +185,17 @@ class Trainer:
         self._flush_nan_audit()
         if not self._pending:
             return
-        arrays = jax.device_get([(p[1], p[2]) for p in self._pending])
+        if jax.process_count() == 1:
+            arrays = jax.device_get([(p[1], p[2]) for p in self._pending])
+        else:
+            # multi-host: preds/targets are global data-sharded arrays —
+            # device_get would raise on non-addressable shards, and the
+            # stored names are HOST-LOCAL. Take this host's rows; the
+            # accumulator summary allgathers subject scores globally.
+            from multimodal_neuroimage_tpu.parallel.mesh import \
+                host_local_rows
+            arrays = [(host_local_rows(p[1]), host_local_rows(p[2]))
+                      for p in self._pending]
         for (names, _, _, mode), (scores, targets) in zip(self._pending,
                                                           arrays):
             names, scores, targets = self._drop_padded(
@@ -298,15 +308,18 @@ class Trainer:
         return metrics
 
     def _checkpoint(self, epoch: int, metrics: Dict[str, float]) -> None:
+        # freeze the validation threshold on EVERY process (metrics are
+        # global via allgather): a non-zero rank that later runs testing()
+        # must reuse it, not re-optimize the threshold on test data
+        threshold = metrics.get("val_best_threshold")
+        if threshold is not None:
+            self.val_threshold = threshold
         if jax.process_index() != 0:
             return
         val_loss = None
         hist = self.writer.loss_history.get("total_val_loss_history")
         if hist:
             val_loss = hist[-1]
-        threshold = metrics.get("val_best_threshold")
-        if threshold is not None:
-            self.val_threshold = threshold
         self.ckpt_policy.update(
             val_auroc=metrics.get("val_AUROC"),
             val_acc=metrics.get("val_Balanced_Accuracy"),

@@ -161,6 +161,27 @@ def worker(pid: int, port: int) -> None:
     assert np.allclose(gc, [1., 2., 1., 2., 1., 2.]), gc
     print(f"[worker {pid}] predict reduction ok", flush=True)
 
+    # ragged metric gather (evaluation/metrics.gather_ragged): hosts hold
+    # DIFFERENT valid-subject counts after padded eval tails — the global
+    # stack must concatenate exactly the valid entries, in process order
+    from multimodal_neuroimage_tpu.evaluation.metrics import gather_ragged
+    mine = (np.asarray([1.0, 2.0, 3.0]) if pid == 0
+            else np.asarray([10.0]))
+    got = gather_ragged(mine)
+    assert np.allclose(got, [1.0, 2.0, 3.0, 10.0]), got
+    print(f"[worker {pid}] ragged gather ok", flush=True)
+
+    # host-local rows of a data-sharded GLOBAL array (train/trainer.py
+    # _flush_pending): device_get would raise on non-addressable shards;
+    # host_local_rows must return exactly THIS host's loader slice
+    from multimodal_neuroimage_tpu.parallel.mesh import host_local_rows
+    local_rows = np.arange(8.0).reshape(4, 2) + 100.0 * pid
+    gpred = shard_batch({"p": local_rows}, mesh)["p"]
+    assert gpred.shape[0] == 8            # global batch assembled
+    rows = host_local_rows(gpred)
+    assert np.allclose(rows, local_rows), (pid, rows)
+    print(f"[worker {pid}] host-local rows ok", flush=True)
+
 
 def main() -> None:
     port = int(os.environ.get("REHEARSAL_PORT", "12577"))

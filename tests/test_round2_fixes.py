@@ -342,3 +342,121 @@ def test_autoplan_fallback(monkeypatch, tmp_path):
 
     # idempotent: a second call returns the cached decision
     assert autoplan.resolve_plans(8) == ("bp", "loop")
+
+
+# ---- review-pass regressions (round 2, second sweep) -------------------------
+
+
+def test_best_acc_tracked_even_when_auroc_improves(tmp_path):
+    """An all-time-best accuracy that coincides with an AUROC improvement
+    must still raise the accuracy bar: a later, worse accuracy may not
+    claim the BEST_val_accuracy file."""
+    from multimodal_neuroimage_tpu.ckpt.checkpoint import (
+        BestCheckpointPolicy, load_metadata)
+    pol = BestCheckpointPolicy(str(tmp_path), "t", "binary_classification")
+    params = {"w": np.zeros(1)}
+
+    def upd(auroc, acc, epoch):
+        return pol.update(val_auroc=auroc, val_acc=acc, params=params,
+                          opt_state=None, step=epoch, epoch=epoch,
+                          metadata={})
+
+    upd(0.6, 0.75, 1)                      # AUROC file, acc bar -> 0.75
+    upd(0.7, 0.85, 2)                      # AUROC improves AND best acc
+    assert pol.best_acc == 0.85
+    p = upd(0.65, 0.80, 3)                 # worse than epoch 2's accuracy
+    assert p is None, "0.80 must not beat the tracked 0.85"
+    acc_file = os.path.join(str(tmp_path), "t_BEST_val_accuracy.ckpt")
+    assert not os.path.exists(acc_file)
+
+
+def test_bandsplit_unscored_components_honor_filter_type():
+    """frequency_domain modes must FFT the component from the CONFIGURED
+    filter — the old filt_component recomputed with hardcoded FIR defaults
+    regardless of filtering_type/lb_hz/tr_seconds."""
+    from multimodal_neuroimage_tpu.data.filters import bandsplit
+    rng = np.random.default_rng(3)
+    y = rng.normal(size=(4, 200))
+    fir = bandsplit(y, "FIR")
+    box = bandsplit(y, "Boxcar")
+    # unscored low == the filtered high-pass component of THAT filter
+    assert not np.allclose(fir["low_unscored"], box["low_unscored"])
+    for b in (fir, box):
+        np.testing.assert_allclose(
+            b["low_unscored"] + b["ultralow_unscored"], y, atol=1e-9)
+
+
+def test_gather_ragged_single_process_identity():
+    from multimodal_neuroimage_tpu.evaluation.metrics import gather_ragged
+    v = np.asarray([1.0, 2.0, 3.0])
+    np.testing.assert_array_equal(gather_ragged(v), v)
+    assert gather_ragged(np.zeros(0)).size == 0
+
+
+def test_host_local_rows_single_process():
+    import jax.numpy as jnp
+    from multimodal_neuroimage_tpu.parallel.mesh import host_local_rows
+    x = jnp.arange(12.0).reshape(6, 2)
+    np.testing.assert_array_equal(host_local_rows(x), np.asarray(x))
+
+
+def test_device_preprocess_path_applies_augmentation(tmp_path):
+    """cfg.preprocess='device' must not silently skip train augmentation:
+    the raw series is augmented BEFORE the on-device FIR, like the host
+    path augments before preprocess_fmri_host."""
+    from multimodal_neuroimage_tpu.data.datasets import ItemLoader
+    from multimodal_neuroimage_tpu.data.index import SubjectRecord
+    fpath = str(tmp_path / "x.npy")
+    np.save(fpath, np.random.default_rng(0).normal(size=(84, 360)))
+    rec = SubjectRecord(idx=0, subject="s", paths={"fmri": fpath},
+                        target=1.0)
+    cfg = Config(dataset_name="fMRI_timeseries", target="sex",
+                 fmri_type="divided_frequency", preprocess="device",
+                 augment_prob=1.0).validate()
+    plain = ItemLoader(cfg, augment=False)(rec)
+    auged = ItemLoader(cfg, augment=True)(rec)
+    assert set(plain) == set(auged)
+    assert not np.allclose(plain["fmri_raw"], auged["fmri_raw"])
+
+
+def test_device_path_disabled_for_boxcar():
+    """The fused device kernel implements only the FIR split; Boxcar must
+    fall back to the host path (which implements it) instead of silently
+    FIR-filtering."""
+    from multimodal_neuroimage_tpu.data.datasets import ItemLoader
+    fir_cfg = Config(dataset_name="fMRI_timeseries", target="sex",
+                     fmri_type="divided_frequency",
+                     preprocess="device").validate()
+    box_cfg = dataclasses.replace(fir_cfg, filtering_type="Boxcar")
+    assert ItemLoader(fir_cfg).device_fmri
+    assert not ItemLoader(box_cfg).device_fmri
+
+
+def test_hcp_nan_metadata_rows_dropped(tmp_path):
+    from multimodal_neuroimage_tpu.data.index import build_hcp_index
+    hcp = tmp_path / "hcp"
+    hcp.mkdir()
+    for s in ("100001", "100002", "100003"):
+        np.save(str(hcp / f"{s}_cortex.npy"), np.zeros((22, 8)))
+    meta_dir = tmp_path / "data" / "metadata"
+    meta_dir.mkdir(parents=True)
+    import pandas as pd
+    pd.DataFrame({"subject": [100001, 100002, 100003],
+                  "age": [10.0, np.nan, 12.0]}).to_csv(
+        meta_dir / "HCP_1200_precise_age.csv", index=False)
+    pd.DataFrame({"Subject": [100001, 100002],
+                  "Gender": ["M", np.nan]}).to_csv(
+        meta_dir / "HCP_1200_gender.csv", index=False)
+    cfg = Config(dataset_name="hcp", target="age",
+                 fine_tune_task="regression",
+                 base_path=str(tmp_path), hcp_path=str(hcp)).validate()
+    recs = build_hcp_index(cfg)
+    assert [r.subject for r in recs] == ["100001", "100003"]
+    assert all(np.isfinite(r.target) for r in recs)
+    lax = build_hcp_index(cfg, require_target=False)
+    assert [r.subject for r in lax] == ["100001", "100002", "100003"]
+    # NaN gender must not silently encode as female
+    cfg_sex = dataclasses.replace(cfg, target="sex",
+                                  fine_tune_task="binary_classification")
+    recs_sex = build_hcp_index(cfg_sex)
+    assert [r.subject for r in recs_sex] == ["100001"]
