@@ -534,6 +534,9 @@ def _fbl_fwd(x, params, seed, heads, t_valid, rates, training, interpret):
             scratch_shapes=[pltpu.VMEM((TP, H), jnp.float32)]),
         out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype)] * 2,
         interpret=interpret,
+        # packed attention's head-packed score pass needs ~17.7 MB of scoped
+        # vmem — just over the 16 MB Mosaic default; use the shared 64 MB cap
+        compiler_params=_fb._compiler_params(),
     )(seed_arr, x, *[f32(p) for p in params])
     return out, (x, x1, params, seed_arr)
 
@@ -585,6 +588,7 @@ def _fbl_bwd(heads, t_valid, rates, training, interpret, res, g):
                    + [jax.ShapeDtypeStruct(s, jnp.float32)
                       for s in ffn_shapes]),
         interpret=interpret,
+        compiler_params=_fb._compiler_params(),
     )(seed_arr, x1, jnp.asarray(g, x.dtype), *[f32(p) for p in ffn_p])
     dx1, dffn = ffn_outs[0], ffn_outs[1:]
 
@@ -602,6 +606,7 @@ def _fbl_bwd(heads, t_valid, rates, training, interpret, res, g):
                    + [jax.ShapeDtypeStruct(s, jnp.float32)
                       for s in attn_shapes]),
         interpret=interpret,
+        compiler_params=_fb._compiler_params(),
     )(seed_arr, x, dx1, *[f32(p) for p in attn_p])
     dx = attn_outs[0]
     dparams = tuple(d.astype(jnp.asarray(p).dtype)
