@@ -163,6 +163,16 @@ def _best_checkpoint_for(want_task: str, cfg: Config,
         return None
     same_target, _, has_best, _, path = sorted(candidates)[-1]
     if not same_target:
+        if cfg.strict_chaining:
+            listing = "\n  ".join(
+                f"{'same' if st else 'CROSS'}-target "
+                f"{'BEST' if hb else 'last-epoch'}: {p}"
+                for st, _, hb, _, p in sorted(candidates, reverse=True))
+            raise FileNotFoundError(
+                f"--strict_chaining: no '{want_task}' checkpoint trained on "
+                f"target '{cfg.target}' found; only cross-target candidates "
+                f"exist (check --target for typos, or drop --strict_chaining "
+                f"to transfer cross-target):\n  {listing}")
         print(f"[weight_loader] no {want_task} checkpoint for target "
               f"'{cfg.target}'; chaining cross-target from {path}")
     if not has_best:

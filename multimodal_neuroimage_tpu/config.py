@@ -191,6 +191,9 @@ class Config:
     experiment_folder: str = ""
     experiment_title: str = ""
     model_weights_path: Optional[str] = None  # previous-phase weights (phase chaining)
+    strict_chaining: bool = False  # raise instead of falling back to a
+    # cross-target checkpoint when phase chaining finds no same-target BEST
+    # (guards against a typo'd --target silently training from wrong weights)
     load_cls_embedding: bool = True
     save_last_epoch: bool = True   # rolling *_last_epoch.ckpt for per-epoch
     # crash recovery (reference model.py:111-151); BEST files are unaffected

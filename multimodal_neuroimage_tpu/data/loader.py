@@ -127,12 +127,18 @@ class DataPipeline:
 
         for step in range(n_steps):
             start = step * global_bs + pi * bs
-            yield load(order[start:start + bs])
+            batch, names = load(order[start:start + bs])
+            if split != "train":
+                # constant-shape validity vector: every eval batch carries
+                # one so the tail batch below doesn't retrace the eval step
+                batch["valid"] = np.ones(len(names), np.float32)
+            yield batch, names
 
         # pad-and-mask final partial batch for eval splits — the reference
         # only drops the last batch for TRAIN (dataloaders.py:139); without
         # this a val split smaller than one global batch would produce no
-        # metrics and no BEST checkpoint at all
+        # metrics and no BEST checkpoint at all. batch['valid'] zeros the
+        # pad rows so compute_losses excludes them EXACTLY (train/losses.py)
         tail = len(recs) - n_steps * global_bs
         if split != "train" and tail > 0:
             start = n_steps * global_bs + pi * bs
@@ -142,6 +148,8 @@ class DataPipeline:
                 idxs.append(order[k] if k < len(recs) else order[k % len(recs)])
                 pad.append(k >= len(recs))
             batch, names = load(np.asarray(idxs))
+            batch["valid"] = np.asarray(
+                [0.0 if p else 1.0 for p in pad], np.float32)
             names = [None if p else n for n, p in zip(names, pad)]
             yield batch, names
 

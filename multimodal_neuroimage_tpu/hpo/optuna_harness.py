@@ -186,10 +186,14 @@ def run_study(cfg) -> Dict[str, Any]:
         # of the study is a {kind: stop} sentinel, so the follower loop can
         # NEVER drift from the leader's trial count (a leader-only failure
         # before the announce simply skips to the next announce).
+        # the announce carries trial.number so follower trial_N artifact
+        # folders always mirror the leader's numbering, even after a
+        # leader-side pre-announce failure skipped a number
         overrides = _suggest(trial, cfg)
         if multi:
             msg = _broadcast_obj({"kind": "trial", "stop": False,
-                                  "params": overrides})
+                                  "params": overrides,
+                                  "number": trial.number})
             overrides = msg["params"]
         try:
             return _run_trial_cfg(overrides, trial.number, trial)
@@ -219,7 +223,8 @@ def run_study(cfg) -> Dict[str, Any]:
             if msg.get("stop", False):
                 break
             try:
-                _run_trial_cfg(msg["params"], next(follower_count), None)
+                _run_trial_cfg(msg["params"],
+                               msg.get("number", next(follower_count)), None)
             except TrialAborted as e:
                 print(f"follower trial aborted by leader: {e}")
             except Exception as e:
@@ -251,13 +256,22 @@ def run_study(cfg) -> Dict[str, Any]:
 
 class _FallbackTrial:
     """Minimal optuna.Trial stand-in: suggest_* + report/should_prune with
-    median pruning against completed trials."""
+    optuna MedianPruner semantics (reference main.py:453 uses the default
+    MedianPruner): no pruning until ``n_startup_trials`` trials COMPLETED
+    (optuna default 5) and the trial has passed ``n_warmup_steps`` (default
+    0); then prune when the trial's BEST intermediate value so far is worse
+    than the median of completed trials' intermediate values at this step."""
+
+    N_STARTUP_TRIALS = 5   # optuna.pruners.MedianPruner defaults
+    N_WARMUP_STEPS = 0
 
     def __init__(self, number: int, rng: np.random.Generator,
-                 history: Dict[int, Dict[int, float]], maximize: bool):
+                 history: Dict[int, Dict[int, float]], maximize: bool,
+                 completed: Optional[set] = None):
         self.number = number
         self._rng = rng
         self._history = history
+        self._completed = completed if completed is not None else set()
         self._maximize = maximize
         self.params: Dict[str, Any] = {}
         self._reports: Dict[int, float] = {}
@@ -282,13 +296,19 @@ class _FallbackTrial:
     def should_prune(self) -> bool:
         if not self._reports:
             return False
-        step, value = max(self._reports.items())
-        peers = [h[step] for n, h in self._history.items()
-                 if n != self.number and step in h]
-        if len(peers) < 2:
+        step = max(self._reports)
+        if step < self.N_WARMUP_STEPS:
             return False
-        med = float(np.median(peers))
-        return value < med if self._maximize else value > med
+        peers = [n for n in self._completed if n != self.number]
+        if len(peers) < self.N_STARTUP_TRIALS:
+            return False
+        at_step = [self._history[n][step] for n in peers
+                   if step in self._history.get(n, {})]
+        if not at_step:
+            return False
+        med = float(np.median(at_step))
+        best = (max if self._maximize else min)(self._reports.values())
+        return best < med if self._maximize else best > med
 
 
 class _Pruned(Exception):
@@ -299,16 +319,18 @@ def _fallback_random_search(cfg, train_trial) -> Dict[str, Any]:
     maximize = cfg.fine_tune_task == "binary_classification"
     rng = np.random.default_rng(cfg.seed)
     history: Dict[int, Dict[int, float]] = {}
+    completed: set = set()
     best_value = -np.inf if maximize else np.inf
     best_params: Dict[str, Any] = {}
     for n in range(cfg.num_trials):
-        trial = _FallbackTrial(n, rng, history, maximize)
+        trial = _FallbackTrial(n, rng, history, maximize, completed)
         try:
             value = train_trial(trial)
         except Exception as e:  # pruned or failed trial
             if type(e).__name__ not in ("TrialPruned", "_Pruned"):
                 print(f"trial {n} failed: {e}")
             continue
+        completed.add(n)
         better = value > best_value if maximize else value < best_value
         if better:
             best_value, best_params = value, dict(trial.params)

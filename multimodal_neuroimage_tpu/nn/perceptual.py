@@ -90,10 +90,13 @@ class PerceptualLoss:
         return x
 
     def __call__(self, pred: jnp.ndarray, target: jnp.ndarray,
-                 rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                 rng: Optional[jax.Array] = None,
+                 valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """pred/target: (B, C, W, H, D, T) volumes (reference layout,
         losses.py:340-344) or the 3-D/5-D shapes handled by ``_as_volume``.
-        Random depth-slices are scored in feature space."""
+        Random depth-slices are scored in feature space. ``valid`` (a (B,)
+        0/1 vector) weights each drawn slice by its source batch row's
+        validity, so pad-and-mask eval tail rows drop out exactly."""
         assert pred.shape == target.shape and pred.ndim in (3, 5, 6)
         pred = self._as_volume(pred)
         target = self._as_volume(target)
@@ -110,7 +113,17 @@ class PerceptualLoss:
 
         pf = self.model.apply(self.variables, slices(pred.astype(jnp.float32)))
         tf = self.model.apply(self.variables, slices(target.astype(jnp.float32)))
+        if valid is None:
+            loss = 0.0
+            for a, b in zip(pf, tf):
+                loss = loss + jnp.mean((a - b) ** 2)
+            return loss
+        # transpose above orders flat slices as (B, T, C, D): row = idx//(TCD)
+        w = jnp.take(valid.astype(jnp.float32), idx // (T * C * D))
+        denom = jnp.maximum(jnp.sum(w), 1.0)
         loss = 0.0
         for a, b in zip(pf, tf):
-            loss = loss + jnp.mean((a - b) ** 2)
+            per_slice = jnp.mean((a - b) ** 2,
+                                 axis=tuple(range(1, a.ndim)))
+            loss = loss + jnp.sum(per_slice * w) / denom
         return loss

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from multimodal_neuroimage_tpu.ops.fusion_block import _compiler_params
+
 
 def _softmax_p(q, k):
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -137,6 +139,10 @@ def _fused_fwd(q, k, v, seed, dropout_rate, interpret):
         grid_spec=_pallas_grid_spec(B, H, T, D, 3),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
+        # shared 64 MB scoped-vmem cap (see fusion_block): the default
+        # 16 MB Mosaic budget is close to these kernels' live set and a
+        # silent compile-failure fallback cost round 2 a plan (ADVICE r2)
+        compiler_params=_compiler_params(),
     )(seed_arr, q, k, v)
     return out, (q, k, v, seed_arr)
 
@@ -155,6 +161,10 @@ def _fused_bwd(dropout_rate, interpret, res, g):
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
         interpret=interpret,
+        # shared 64 MB scoped-vmem cap (see fusion_block): the default
+        # 16 MB Mosaic budget is close to these kernels' live set and a
+        # silent compile-failure fallback cost round 2 a plan (ADVICE r2)
+        compiler_params=_compiler_params(),
     )(seed_arr, q, k, v, g)
     return dq, dk, dv, None
 
@@ -301,6 +311,10 @@ def _fab_fwd(q, k, v, bias, mask, n_windows, seed, dropout_rate, interpret):
                                    memory_space=pltpu.VMEM)),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
+        # shared 64 MB scoped-vmem cap (see fusion_block): the default
+        # 16 MB Mosaic budget is close to these kernels' live set and a
+        # silent compile-failure fallback cost round 2 a plan (ADVICE r2)
+        compiler_params=_compiler_params(),
     )(*args)
     return out, (q, k, v, bias, mask, seed_arr)
 
@@ -324,6 +338,10 @@ def _fab_bwd(n_windows, dropout_rate, interpret, res, g):
         out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3
         + [jax.ShapeDtypeStruct(bias.shape, jnp.float32)],
         interpret=interpret,
+        # shared 64 MB scoped-vmem cap (see fusion_block): the default
+        # 16 MB Mosaic budget is close to these kernels' live set and a
+        # silent compile-failure fallback cost round 2 a plan (ADVICE r2)
+        compiler_params=_compiler_params(),
     )(*args)
     dmask = None
     return dq, dk, dv, dbias.astype(bias.dtype), dmask, None

@@ -33,36 +33,60 @@ import jax.numpy as jnp
 # Elementary criteria
 # ---------------------------------------------------------------------------
 
-def l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    """torch.nn.L1Loss (mean reduction)."""
-    return jnp.mean(jnp.abs(pred - target))
+def _row_mean(per_elem: jnp.ndarray) -> jnp.ndarray:
+    """Mean over all non-batch axes -> (B,)."""
+    return per_elem.reshape(per_elem.shape[0], -1).mean(axis=1)
 
 
-def mse_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    return jnp.mean((pred - target) ** 2)
+def _masked_mean(per_row: jnp.ndarray, valid: Optional[jnp.ndarray]
+                 ) -> jnp.ndarray:
+    """Mean of per-row values over VALID rows only. ``valid`` is a (B,) 0/1
+    weight vector (pad-and-mask eval tails, data/loader.py); None means all
+    rows count — the train path and full eval batches."""
+    if valid is None:
+        return jnp.mean(per_row)
+    v = valid.astype(per_row.dtype)
+    return jnp.sum(per_row * v) / jnp.maximum(jnp.sum(v), 1.0)
 
 
-def bce_with_logits(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+def l1_loss(pred: jnp.ndarray, target: jnp.ndarray,
+            valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """torch.nn.L1Loss (mean reduction); pad rows excluded when ``valid``."""
+    return _masked_mean(_row_mean(jnp.abs(pred - target)), valid)
+
+
+def mse_loss(pred: jnp.ndarray, target: jnp.ndarray,
+             valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    return _masked_mean(_row_mean((pred - target) ** 2), valid)
+
+
+def bce_with_logits(logits: jnp.ndarray, target: jnp.ndarray,
+                    valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """torch.nn.BCEWithLogitsLoss (mean), numerically stable form."""
     logits = logits.astype(jnp.float32)
     target = target.astype(jnp.float32)
     # log(1+exp(-|x|)) + max(x,0) - x*y
-    return jnp.mean(jnp.maximum(logits, 0.0) - logits * target
-                    + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    per = (jnp.maximum(logits, 0.0) - logits * target
+           + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    return _masked_mean(_row_mean(per), valid)
 
 
 # ---------------------------------------------------------------------------
 # Reference's auxiliary losses, vectorized
 # ---------------------------------------------------------------------------
 
-def contrastive_loss(seq: jnp.ndarray, margin: float = 60000.0) -> jnp.ndarray:
+def contrastive_loss(seq: jnp.ndarray, margin: float = 60000.0,
+                     valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Cont_Loss (losses.py:128-156): over all ordered timestep pairs a>b,
     squared distance summed over (batch, embedding); adjacent pairs (a-b==1)
     pull together, the rest push apart to ``margin``; scaled by T(T-1)*1000.
 
     Vectorized: one (T, T) pairwise Gram computation instead of the
-    reference's Python double loop.
+    reference's Python double loop. The reduction is a batch SUM, so zeroing
+    pad rows (``valid``) removes their contribution exactly.
     """
+    if valid is not None:
+        seq = seq * valid.astype(seq.dtype)[:, None, None]
     B, T, E = seq.shape
     x = seq.astype(jnp.float32).transpose(1, 0, 2).reshape(T, B * E)
     sq = jnp.sum(x * x, axis=1)
@@ -76,10 +100,12 @@ def contrastive_loss(seq: jnp.ndarray, margin: float = 60000.0) -> jnp.ndarray:
 
 
 def merge_loss(processed_raw: jnp.ndarray, merged: jnp.ndarray,
-               margin: float = 1.0) -> jnp.ndarray:
+               margin: float = 1.0,
+               valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Merge_Loss (losses.py:190-219): all-pairs cosine similarity between the
     merged low+ultralow CLS (rows) and the raw CLS (columns); diagonal pairs
-    contribute cos, off-diagonal contribute max(0, margin - cos); mean over B^2.
+    contribute cos, off-diagonal contribute max(0, margin - cos); mean over B^2
+    (over nvalid^2 pairs of valid rows when ``valid`` masks a padded tail).
     """
     a = merged.astype(jnp.float32)
     b = processed_raw.astype(jnp.float32)
@@ -89,11 +115,16 @@ def merge_loss(processed_raw: jnp.ndarray, merged: jnp.ndarray,
     B = cos.shape[0]
     eye = jnp.eye(B, dtype=cos.dtype)
     per_pair = eye * cos + (1.0 - eye) * jnp.maximum(0.0, margin - cos)
-    return jnp.sum(per_pair) / (B * B)
+    if valid is None:
+        return jnp.sum(per_pair) / (B * B)
+    v = valid.astype(cos.dtype)
+    nv = jnp.maximum(jnp.sum(v), 1.0)
+    return jnp.sum(per_pair * v[:, None] * v[None, :]) / (nv * nv)
 
 
 def mask_loss(encoded: jnp.ndarray, mask_idx: jnp.ndarray,
-              reconstructed: jnp.ndarray, margin: float = 15000.0) -> jnp.ndarray:
+              reconstructed: jnp.ndarray, margin: float = 15000.0,
+              valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Mask_Loss (losses.py:223-279): for each masked timestep, contrast the
     reconstructed vector against every encoded timestep — neighbors within
     distance 1 pull, others push to ``margin``. Intended batch sum (the
@@ -110,7 +141,10 @@ def mask_loss(encoded: jnp.ndarray, mask_idx: jnp.ndarray,
     per = jnp.where(near, d2, jnp.maximum(0.0, margin - d2))
     per = per / (T * (T - 1))
     per_item = jnp.sum(per, axis=2).mean(axis=1)      # mean over K, sum over T
-    return jnp.sum(per_item) / (B * 100.0)
+    if valid is None:
+        return jnp.sum(per_item) / (B * 100.0)
+    v = valid.astype(per_item.dtype)
+    return jnp.sum(per_item * v) / (jnp.maximum(jnp.sum(v), 1.0) * 100.0)
 
 
 def _minmax01(x: jnp.ndarray) -> jnp.ndarray:
@@ -120,9 +154,11 @@ def _minmax01(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def unet_loss(fmri_in: jnp.ndarray, fmri_out: jnp.ndarray,
-              struct_in: jnp.ndarray, struct_out: jnp.ndarray) -> jnp.ndarray:
+              struct_in: jnp.ndarray, struct_out: jnp.ndarray,
+              valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """UNet_Loss (losses.py:282-312): per-item MSE between the UNet output and
-    the min-max-normalized input, both modalities, summed then /(10*B)."""
+    the min-max-normalized input, both modalities, summed then /(10*B)
+    (/(10*nvalid) over valid rows when ``valid`` masks a padded tail)."""
     B = fmri_in.shape[0]
     fo = fmri_out.reshape(fmri_in.shape).astype(jnp.float32)
     so = struct_out.reshape(struct_in.shape).astype(jnp.float32)
@@ -130,7 +166,11 @@ def unet_loss(fmri_in: jnp.ndarray, fmri_out: jnp.ndarray,
                  axis=(-2, -1))
     s = jnp.mean((so - _minmax01(struct_in.astype(jnp.float32))) ** 2,
                  axis=(-2, -1))
-    return (jnp.sum(f) + jnp.sum(s)) / (10.0 * B)
+    per_item = (f + s).reshape(B, -1).sum(axis=1)
+    if valid is None:
+        return jnp.sum(per_item) / (10.0 * B)
+    v = valid.astype(per_item.dtype)
+    return jnp.sum(per_item * v) / (10.0 * jnp.maximum(jnp.sum(v), 1.0))
 
 
 def intensity_voxel_mask(y: jnp.ndarray, low_quantile: float = 0.9) -> jnp.ndarray:
@@ -153,16 +193,22 @@ def intensity_voxel_mask(y: jnp.ndarray, low_quantile: float = 0.9) -> jnp.ndarr
     return mask.reshape(B, T, H, W, D).transpose(0, 2, 3, 4, 1)
 
 
-def intensity_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+def intensity_loss(pred: jnp.ndarray, target: jnp.ndarray,
+                   valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """L1 restricted to the intense-voxel mask of the target
-    (trainer.py:698-717 semantics)."""
-    mask = intensity_voxel_mask(target)
-    denom = jnp.maximum(jnp.sum(mask), 1)
+    (trainer.py:698-717 semantics). Pad rows (``valid``=0) are zeroed out of
+    both the mask numerator and the voxel-count denominator — exact."""
+    mask = intensity_voxel_mask(target).astype(jnp.float32)
+    if valid is not None:
+        v = valid.astype(jnp.float32)
+        mask = mask * v.reshape((v.shape[0],) + (1,) * (mask.ndim - 1))
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
     return jnp.sum(jnp.abs(pred - target) * mask) / denom
 
 
-def reconstruction_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    return l1_loss(pred, target)
+def reconstruction_loss(pred: jnp.ndarray, target: jnp.ndarray,
+                        valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    return l1_loss(pred, target, valid)
 
 
 # ---------------------------------------------------------------------------
@@ -220,32 +266,42 @@ def compute_losses(outputs: Dict[str, jnp.ndarray],
     built by the Trainer when the registry activates it. ``rng`` feeds its
     random slice subsampling (the reference draws host-side random.sample
     per call, losses.py:351-355).
+
+    ``batch['valid']`` (a (B,) 0/1 vector, emitted by the loader for eval
+    splits) EXACTLY excludes pad-and-mask tail rows from every loss — the
+    reference never pads (dataloaders.py:139 drops the tail for train and
+    evaluates ragged tails natively on GPU; XLA needs static shapes, so we
+    pad and mask instead).
     """
     target = batch.get("target")
+    valid = batch.get("valid")
     vals: Dict[str, jnp.ndarray] = {}
     for name, spec in specs.items():
         if name == "binary_classification":
             v = bce_with_logits(outputs["binary_classification"].squeeze(-1),
-                                target)
+                                target, valid)
         elif name == "regression":
             v = l1_loss(outputs["regression"].squeeze(-1).astype(jnp.float32),
-                        target.astype(jnp.float32))
+                        target.astype(jnp.float32), valid)
         elif name == "merge":
-            v = merge_loss(outputs["processed_raw"], outputs["embedding_per_ROIs"])
+            v = merge_loss(outputs["processed_raw"],
+                           outputs["embedding_per_ROIs"], valid=valid)
         elif name == "unet":
             v = unet_loss(outputs["fMRI_input"], outputs["fMRI_output"],
-                          outputs["struct_input"], outputs["struct_output"])
+                          outputs["struct_input"], outputs["struct_output"],
+                          valid=valid)
         elif name == "contrastive":
-            v = contrastive_loss(outputs["reconstructed_fmri_sequence"])
+            v = contrastive_loss(outputs["reconstructed_fmri_sequence"],
+                                 valid=valid)
         elif name == "mask":
             v = mask_loss(outputs["encoded_inputs"], outputs["mask_list"],
-                          outputs["reconstructed_fmri_sequence"])
+                          outputs["reconstructed_fmri_sequence"], valid=valid)
         elif name == "reconstruction":
             v = reconstruction_loss(outputs["reconstructed_fmri_sequence"],
-                                    batch["fmri_sequence"])
+                                    batch["fmri_sequence"], valid)
         elif name == "intensity":
             v = intensity_loss(outputs["reconstructed_fmri_sequence"],
-                               batch["fmri_sequence"])
+                               batch["fmri_sequence"], valid)
         elif name == "perceptual":
             if not extra_fns or "perceptual" not in extra_fns:
                 raise KeyError(
@@ -255,7 +311,7 @@ def compute_losses(outputs: Dict[str, jnp.ndarray],
                     "(the Trainer wires this automatically)")
             v = extra_fns["perceptual"](
                 outputs["reconstructed_fmri_sequence"],
-                batch["fmri_sequence"], rng)
+                batch["fmri_sequence"], rng, valid=valid)
         else:
             raise KeyError(f"unknown loss {name}")
         vals[name] = v * spec.factor

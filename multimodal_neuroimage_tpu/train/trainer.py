@@ -63,7 +63,19 @@ class Trainer:
 
         # 1. data (trainer.py:58)
         self.pipeline = DataPipeline(cfg, self.mesh)
-        steps = max(self.pipeline.steps_per_epoch("train"), 1)
+        steps = self.pipeline.steps_per_epoch("train")
+        if steps == 0 and "train" in self.sets:
+            # drop_last semantics (dataloaders.py:139) mean a train split
+            # smaller than one GLOBAL batch yields zero steps — every epoch
+            # would silently train nothing. Fail loudly instead.
+            n_train = len(self.pipeline.splits["train"])
+            raise ValueError(
+                f"train split has {n_train} subjects but one global batch "
+                f"needs {cfg.batch_size * jax.process_count()} "
+                f"(batch_size={cfg.batch_size} x {jax.process_count()} "
+                f"process(es)) — zero train steps per epoch. Shrink "
+                f"batch_size or enlarge the cohort/train_split.")
+        steps = max(steps, 1)
 
         # 2-3. schedule + model (trainer.py:59, 78)
         self.tx, self.schedule = optimizer_from_config(cfg, steps)
@@ -263,10 +275,11 @@ class Trainer:
         for i, (batch, names) in enumerate(
                 self.pipeline.epoch(mode, epoch, shuffle=False)):
             losses, preds = self.eval_step(self.state.params, batch)
-            # padded tail batches (names=None slots) carry duplicated
-            # subjects — weight the recorded loss by the valid fraction so
-            # they don't bias val-loss averages (metrics are pad-cleaned
-            # separately in _drop_padded)
+            # padded tail rows are EXCLUDED from the losses exactly inside
+            # compute_losses via batch['valid'] (train/losses.py); ``w``
+            # only weights the cross-batch running average by each batch's
+            # valid-row count so per-batch means combine into the true
+            # split-level mean (metrics are pad-cleaned in _drop_padded)
             w = sum(n is not None for n in names) / max(len(names), 1)
             self.writer.write_losses(self._audit_nans(losses, names), mode,
                                      weight=w)

@@ -69,9 +69,10 @@ def run_micro(which: str):
 
 
 def run_step():
-    import dataclasses
+    import time
     from __graft_entry__ import _example_batch, _flagship_cfg
     from multimodal_neuroimage_tpu.models.registry import create_model
+    from multimodal_neuroimage_tpu.ops.autoplan import resolve_plans
     from multimodal_neuroimage_tpu.parallel.mesh import (build_mesh,
                                                          replicate,
                                                          shard_batch)
@@ -79,26 +80,36 @@ def run_step():
     from multimodal_neuroimage_tpu.train.state import (create_train_state,
                                                        make_train_step,
                                                        optimizer_from_config)
+    t0 = time.perf_counter()
+
+    def mark(what):
+        print(f"[{time.perf_counter() - t0:7.1f}s] {what}", flush=True)
+
     cfg = _flagship_cfg()
+    resolve_plans(8)
+    mark("plans resolved")
     mesh = build_mesh()
     model = create_model(cfg)
     batch = _example_batch(8 * jax.local_device_count())
     tx, _ = optimizer_from_config(cfg, steps_per_epoch=100)
     state = create_train_state(model, batch, tx, cfg.seed)
+    mark("state initialized")
     state = state.replace(params=replicate(state.params, mesh),
                           opt_state=replicate(state.opt_state, mesh))
     specs = active_losses(cfg.task, cfg.fine_tune_task)
     step = make_train_step(model, specs, compute_dtype=cfg.compute_dtype,
                            mesh=mesh)
     dev_batch = shard_batch(batch, mesh)
-    for _ in range(3):
+    for i in range(3):
         state, losses, _ = step(state, dev_batch)
         float(losses["total"])
+        mark(f"warmup step {i} done")
     logdir = tempfile.mkdtemp(prefix="prof_")
     with jax.profiler.trace(logdir):
         for _ in range(2):
             state, losses, _ = step(state, dev_batch)
         float(losses["total"])
+    mark(f"trace captured -> {logdir}")
     summarize(logdir, top=40)
 
 

@@ -39,7 +39,10 @@ def test_bert_layer_forward_parity():
                                rtol=2e-5, atol=2e-5)
 
 
-def test_bert_layer_grad_parity():
+@pytest.mark.parametrize("bwd_mode", ["merged", "split"])
+def test_bert_layer_grad_parity(bwd_mode, monkeypatch):
+    # both backward plans stay covered (BERT_BWD env pin, ADVICE r2)
+    monkeypatch.setattr(bl, "_BWD_MODE", bwd_mode)
     x = _x(3)
     params = _params(jax.random.PRNGKey(2))
     cot = jnp.asarray(np.random.default_rng(7).normal(

@@ -72,20 +72,24 @@ def test_gbt_baseline_runs(cohort):
 
 
 def test_hpo_fallback_trial_pruning():
+    """MedianPruner semantics (reference main.py:453): pruning only engages
+    after n_startup_trials COMPLETED trials; then a below-median trial is
+    pruned (fuller coverage in tests/test_round3_hpo_cli.py)."""
     from multimodal_neuroimage_tpu.hpo.optuna_harness import _FallbackTrial
     import numpy as np
     rng = np.random.default_rng(0)
-    history = {}
-    t0 = _FallbackTrial(0, rng, history, maximize=True)
-    t0.report(0.9, 0)
-    t1 = _FallbackTrial(1, rng, history, maximize=True)
-    t1.report(0.8, 0)
-    t2 = _FallbackTrial(2, rng, history, maximize=True)
+    history, completed = {}, set()
+    for n in range(_FallbackTrial.N_STARTUP_TRIALS):
+        t = _FallbackTrial(n, rng, history, maximize=True,
+                           completed=completed)
+        t.report(0.8 + 0.02 * n, 0)
+        completed.add(n)
+    t2 = _FallbackTrial(9, rng, history, maximize=True, completed=completed)
     t2.report(0.1, 0)
     assert t2.should_prune()           # well below the median of peers
-    v = t0.suggest_float("lr", 1e-5, 1e-3, log=True)
+    v = t2.suggest_float("lr", 1e-5, 1e-3, log=True)
     assert 1e-5 <= v <= 1e-3
-    c = t0.suggest_categorical("bs", [4, 8])
+    c = t2.suggest_categorical("bs", [4, 8])
     assert c in (4, 8)
 
 
