@@ -53,8 +53,54 @@ def _cache_dir() -> str:
 jax.config.update("jax_compilation_cache_dir", _cache_dir())
 
 
-def main() -> None:
+def _bench_setup(name: str, batch_size: int, platform: str):
+    """(cfg, host batch, model label) for a BASELINE.md benchmark config.
+
+    BENCH_CONFIG selects which of the reference's headline configs to
+    measure (BASELINE.md 'Benchmark configs'):
+      flagship          — #3 Func_Struct_Cross (default; what the driver's
+                          BENCH_rN.json records)
+      smri_swin         — #1 sMRI -> SwinV2 (reference trainer.py:228-239)
+      fmri_bert         — #2 fMRI temporal BERT (trainer.py:225-227)
+      swinfusion_struct — #4 SwinFusion over sMRI+DTI (model.py:1131)
+    """
     from __graft_entry__ import _example_batch, _flagship_cfg
+    from multimodal_neuroimage_tpu.config import Config
+    rng = np.random.default_rng(0)
+
+    def f32(*shape):
+        return rng.normal(size=shape).astype(np.float32)
+
+    target = rng.integers(0, 2, batch_size).astype(np.float32)
+    if name == "flagship":
+        cfg = _flagship_cfg(tiny=(platform == "cpu"))
+        return (cfg, _example_batch(batch_size, r=cfg.intermediate_vec),
+                "Func_Struct_Cross")
+    if name == "smri_swin":
+        cfg = Config(task="VIT", dataset_name="sMRI", target="sex",
+                     fine_tune_task="binary_classification",
+                     batch_size=batch_size).validate()
+        return cfg, {"smri": f32(batch_size, 84, 84),
+                     "target": target}, "SwinV2_sMRI"
+    if name == "fmri_bert":
+        cfg = Config(task="2DBERT", dataset_name="fMRI_timeseries",
+                     target="ADHD_label", fmri_type="timeseries",
+                     fine_tune_task="binary_classification",
+                     batch_size=batch_size).validate()
+        t = cfg.sequence_length
+        return cfg, {"fmri_sequence": f32(batch_size, t, cfg.intermediate_vec),
+                     "target": target}, "fMRI_BERT"
+    if name == "swinfusion_struct":
+        cfg = Config(task="SwinFusion", dataset_name="struct", target="sex",
+                     fine_tune_task="binary_classification",
+                     batch_size=batch_size).validate()
+        return cfg, {"smri": f32(batch_size, 84, 84),
+                     "dti": f32(batch_size, 84, 84),
+                     "target": target}, "SwinFusion_struct"
+    raise ValueError(f"unknown BENCH_CONFIG {name!r}")
+
+
+def main() -> None:
     from multimodal_neuroimage_tpu.models.registry import create_model
     from multimodal_neuroimage_tpu.parallel.mesh import (build_mesh, replicate,
                                                          shard_batch)
@@ -67,13 +113,13 @@ def main() -> None:
     platform = jax.devices()[0].platform
     per_chip_batch = int(os.environ.get("BENCH_PER_CHIP_BATCH", "8"))
     batch_size = per_chip_batch * n_chips
+    bench_config = os.environ.get("BENCH_CONFIG", "flagship")
 
-    cfg = _flagship_cfg(tiny=(platform == "cpu"))
+    cfg, batch, model_label = _bench_setup(bench_config, batch_size, platform)
     from multimodal_neuroimage_tpu.ops.autoplan import resolve_plans
     resolve_plans(per_chip_batch)
     mesh = build_mesh()
     model = create_model(cfg)
-    batch = _example_batch(batch_size, r=cfg.intermediate_vec)
 
     tx, _ = optimizer_from_config(cfg, steps_per_epoch=100)
     state = create_train_state(model, batch, tx, cfg.seed)
@@ -97,7 +143,8 @@ def main() -> None:
     import multimodal_neuroimage_tpu.nn.swinfusion as sf
     from multimodal_neuroimage_tpu.ops import bert_layer as bl
     race_results: dict = {}
-    if platform == "tpu" and os.environ.get("BENCH_RACE", "1") != "0":
+    if (platform == "tpu" and bench_config == "flagship"
+            and os.environ.get("BENCH_RACE", "1") != "0"):
         def time_plan(st):
             stp = fresh_step()
             nonlocal_state = st
@@ -145,12 +192,29 @@ def main() -> None:
                 print(f"[bench] bert attention race: "
                       f"{race_results['bert_ms_per_step']} -> {bl._ATTN_MODE}",
                       flush=True)
+        if "BERT_GRID" not in os.environ:
+            grid_times = {}
+            for mode in ("batched", "subject"):
+                bl._GRID_MODE = mode
+                try:
+                    grid_times[mode], state = time_plan(state)
+                except Exception as e:               # pragma: no cover - hw
+                    print(f"[bench] bert grid {mode} failed "
+                          f"({type(e).__name__}: {e})", flush=True)
+            if grid_times:
+                bl._GRID_MODE = min(grid_times, key=grid_times.get)
+                race_results["bert_grid_ms_per_step"] = {
+                    k: round(v * 1e3, 2) for k, v in grid_times.items()}
+                print(f"[bench] bert grid race: "
+                      f"{race_results['bert_grid_ms_per_step']} -> "
+                      f"{bl._GRID_MODE}", flush=True)
 
         if race_results:
             # persist the measured winners: autoplan consults this cache so
             # real training runs boot with the measured-best plans too.
             from multimodal_neuroimage_tpu.ops.autoplan import save_plan_cache
-            save_plan_cache(sf._LAYOUT, bl._ATTN_MODE, race_results)
+            save_plan_cache(sf._LAYOUT, bl._ATTN_MODE, race_results,
+                            bert_grid=bl._GRID_MODE)
 
     step = fresh_step()
 
@@ -223,17 +287,23 @@ def main() -> None:
 
     # analytic FLOPs for one flagship TRAIN step per subject (fwd+bwd ~ 3x
     # fwd): dual 16-layer BERTs (T=369, H=84, I=3072) + ~60 fusion blocks
-    # (7056 tokens, C=12) + SwinV2 head. Dense matmul = 2mkn.
-    T, Hd, I, L = 369, 84, 3072, int(getattr(cfg, "transformer_hidden_layers",
-                                             16))
-    bert = L * 2 * (2 * T * Hd * (4 * Hd + 2 * I) + 4 * T * T * Hd)
-    R, C = 84 * 84, 12
-    # Ex per modality (x2), CRSTB = 2 self per modality + 2 directed cross
-    # per depth (x4), Re on the single merged stream (x1)
-    n_blocks = (2 * sum(cfg.fusion_ex_depths) + 4 * sum(cfg.fusion_depths)
-                + sum(cfg.fusion_re_depths))
-    fusion = n_blocks * (2 * R * C * 12 * C + 4 * 196 * 6 * 1296 * (C // 6))
-    train_flops_per_subject = 3 * (bert + fusion) * 1.05   # +5% head/glue
+    # (7056 tokens, C=12) + SwinV2 head. Dense matmul = 2mkn. Non-flagship
+    # BENCH_CONFIGs carry no hand model — their MFU comes from XLA's own
+    # cost_analysis above (mfu_pct_compiled).
+    if bench_config == "flagship":
+        T, Hd, I, L = 369, 84, 3072, int(getattr(
+            cfg, "transformer_hidden_layers", 16))
+        bert = L * 2 * (2 * T * Hd * (4 * Hd + 2 * I) + 4 * T * T * Hd)
+        R, C = 84 * 84, 12
+        # Ex per modality (x2), CRSTB = 2 self per modality + 2 directed
+        # cross per depth (x4), Re on the single merged stream (x1)
+        n_blocks = (2 * sum(cfg.fusion_ex_depths) + 4 * sum(cfg.fusion_depths)
+                    + sum(cfg.fusion_re_depths))
+        fusion = n_blocks * (2 * R * C * 12 * C
+                             + 4 * 196 * 6 * 1296 * (C // 6))
+        train_flops_per_subject = 3 * (bert + fusion) * 1.05  # +5% head/glue
+    else:
+        train_flops_per_subject = compiled_flops_per_subject or 0.0
     tflops = per_chip * train_flops_per_subject / 1e12
     # bf16 peak TFLOP/s per chip by device kind (fallback: v5e)
     kind = getattr(jax.devices()[0], "device_kind", "").lower()
@@ -244,7 +314,8 @@ def main() -> None:
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BENCH_BASELINE.json")
-    key = f"{platform}_x{n_chips}"
+    key = (f"{platform}_x{n_chips}" if bench_config == "flagship"
+           else f"{platform}_x{n_chips}_{bench_config}")
     baselines = {}
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
@@ -262,7 +333,7 @@ def main() -> None:
         "metric": "train_step_subjects_per_sec_per_chip",
         "value": round(per_chip, 3),
         "unit": f"subjects/sec/chip ({platform}, bs={per_chip_batch}/chip, "
-                f"fwd+bwd+update, Func_Struct_Cross)",
+                f"fwd+bwd+update, {model_label})",
         "vs_baseline": round(vs_baseline, 3),
         "tflops_per_sec": round(tflops, 3),
         "mfu_pct_of_bf16_peak": round(mfu_pct, 3),
@@ -279,7 +350,7 @@ def main() -> None:
         "loss_last_window": round(last_mean, 5),
         "trajectory_ok": trajectory_ok,
         "plans": {"fusion_layout": sf._LAYOUT, "bert_attn": bl._ATTN_MODE,
-                  **race_results},
+                  "bert_grid": bl._GRID_MODE, **race_results},
     }))
 
 

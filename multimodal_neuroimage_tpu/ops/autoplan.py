@@ -43,13 +43,15 @@ def _device_kind() -> str:
 
 
 def save_plan_cache(fusion_layout: str, bert_attn: str,
-                    race_results: Optional[dict] = None) -> None:
+                    race_results: Optional[dict] = None,
+                    bert_grid: Optional[str] = None) -> None:
     """Record hardware-measured plan winners (called by bench.py)."""
     try:
         with open(_PLAN_CACHE, "w") as f:
             json.dump({"device_kind": _device_kind(),
                        "fusion_layout": fusion_layout,
                        "bert_attn": bert_attn,
+                       "bert_grid": bert_grid or "subject",
                        "race": race_results or {}}, f, indent=1)
     except OSError:                                  # pragma: no cover
         pass
@@ -138,6 +140,19 @@ def _canary_bert_packed(batch: int, t: int = 369, hidden: int = 84,
     float(jax.jit(jax.grad(loss))(x).astype(jnp.float32).sum())
 
 
+def _canary_bert_batched(batch: int) -> None:
+    """Compile + run one batched-grid BERT layer fwd+bwd at flagship
+    geometry (the batched kernels fold Bc subjects into the row axis — the
+    larger VMEM live set is what this canary proves out)."""
+    from multimodal_neuroimage_tpu.ops import bert_layer as bl
+    prev = bl._GRID_MODE
+    bl._GRID_MODE = "batched"
+    try:
+        _canary_bert_packed(batch)
+    finally:
+        bl._GRID_MODE = prev
+
+
 def resolve_plans(batch_size: int = 8) -> Tuple[str, str]:
     """Resolve (fusion layout, bert attention plan) once per process.
     Returns the chosen pair; also mutates the module globals the flax
@@ -167,6 +182,10 @@ def resolve_plans(batch_size: int = 8) -> Tuple[str, str]:
             bl._ATTN_MODE = cache["bert_attn"]
             print(f"[autoplan] bert attention: {bl._ATTN_MODE} "
                   f"(measured, .plan_cache.json)")
+        if not bl._GRID_PINNED and "bert_grid" in cache:
+            bl._GRID_MODE = cache["bert_grid"]
+            print(f"[autoplan] bert grid: {bl._GRID_MODE} "
+                  f"(measured, .plan_cache.json)")
         return sf._LAYOUT, bl._ATTN_MODE
 
     if sf._LAYOUT is None:                         # no env override
@@ -188,5 +207,15 @@ def resolve_plans(batch_size: int = 8) -> Tuple[str, str]:
                   f"({type(e).__name__}: {e}); falling back to loop plan")
             bl._ATTN_MODE = "loop"
         print(f"[autoplan] bert attention: {bl._ATTN_MODE}")
+
+    if not bl._GRID_PINNED:                        # no env override
+        try:
+            _canary_bert_batched(batch_size)
+            bl._GRID_MODE = "batched"
+        except Exception as e:                     # pragma: no cover - hw
+            print(f"[autoplan] batched BERT grid canary failed "
+                  f"({type(e).__name__}: {e}); keeping per-subject grid")
+            bl._GRID_MODE = "subject"
+        print(f"[autoplan] bert grid: {bl._GRID_MODE}")
 
     return sf._LAYOUT, bl._ATTN_MODE

@@ -42,17 +42,17 @@ from multimodal_neuroimage_tpu.ops.fusion_block import (  # shared helpers
 from multimodal_neuroimage_tpu.ops import fusion_block as _fb
 
 
-def _drop(shape, rate, seed_ref, draw, mode, TP):
-    """Per-(sample, draw) dropout keep/scale mask. mode "prng": hardware
+def _drop(shape, rate, seed_ref, draw, mode, row0):
+    """Per-(grid-cell, draw) dropout keep/scale mask. mode "prng": hardware
     PRNG reseeded per (grid cell, draw). mode "hash" (interpreted runs —
     fusion_block._mode_for semantics: the HLO interpreter has no prng_seed
     and Mosaic interpret stubs prng_random_bits to zeros): coordinate-hash
-    masks keyed by (seed, draw, global row, col); the grid is (B, 1) so
-    global row = b*TP + r keeps masks independent across samples."""
+    masks keyed by (seed, draw, global row, col). ``row0`` is the mask's
+    global starting row (grid cell offset + in-cell subject offset), so
+    masks stay independent across samples in BOTH grid layouts."""
     if mode == "prng":
         _seed_draw(seed_ref, draw)
         return _keep_scale(shape, rate)
-    row0 = pl.program_id(0) * TP
     return _fb._hash_keep2(shape, rate, seed_ref[0], draw, row0)
 
 _LN_EPS = 1e-12
@@ -137,6 +137,23 @@ def _keypad(TP: int, T: int):
 _ATTN_PINNED = "BERT_ATTN" in os.environ
 _ATTN_MODE = os.environ.get("BERT_ATTN", "packed")
 
+# Grid plan (env BERT_GRID): "subject" — one subject per grid cell (the
+# original layout); "batched" — Bc subjects folded into the row axis per
+# cell (see the batched-kernel block below). BERT_BC caps Bc (VMEM).
+# ops/autoplan + bench.py race/cache the winner like the other plans.
+_GRID_PINNED = "BERT_GRID" in os.environ
+_GRID_MODE = os.environ.get("BERT_GRID", "subject")
+_BC_CAP = int(os.environ.get("BERT_BC", "8"))
+
+
+def _bc_for(B: int) -> int:
+    """Subjects per grid cell under the batched plan: the largest divisor
+    of B within the VMEM cap (B=8 -> 8, B=12 -> 6, prime B -> 1)."""
+    bc = min(B, max(_BC_CAP, 1))
+    while B % bc:
+        bc -= 1
+    return bc
+
 
 def _keypad_packed(TP: int, T: int, heads: int):
     """(TP, heads*TP) packed pad-key mask: lane l covers key t = l % TP."""
@@ -185,8 +202,10 @@ def _unpack_rows(full, TP, heads, hd):
 
 
 def _attn_packed_fwd(q, k, v, dims, scale, attn_rate, seed_ref, training,
-                     mm16, mode):
-    """Head-packed attention forward: returns (ctx, p, pd, K_pack, V_pack)."""
+                     mm16, mode, draw: int = 3, row0=None):
+    """Head-packed attention forward: returns (ctx, p, pd, K_pack, V_pack).
+    ``draw``/``row0`` key this subject's dropout mask (batched grid packs
+    several subjects into one cell — each needs its own draw)."""
     TP, H, F, heads, T = dims
     mdot, mdot_nt, _ = _mm(mm16)
     K_pack = _pack_heads(k, heads)                 # (H, L)
@@ -194,7 +213,8 @@ def _attn_packed_fwd(q, k, v, dims, scale, attn_rate, seed_ref, training,
     S = mdot(q * scale, K_pack) + _keypad_packed(TP, T, heads)
     p = _seg_softmax(S, _fb._seg_matrix(TP, heads))
     if training and attn_rate > 0.0:
-        pd = p * _drop(p.shape, attn_rate, seed_ref, 3, mode, TP)
+        r0 = pl.program_id(0) * TP if row0 is None else row0
+        pd = p * _drop(p.shape, attn_rate, seed_ref, draw, mode, r0)
     else:
         pd = p
     ctx = mdot_nt(pd, V_pack)                      # (TP, H)
@@ -202,7 +222,7 @@ def _attn_packed_fwd(q, k, v, dims, scale, attn_rate, seed_ref, training,
 
 
 def _attn_head(q, k, v, h, heads, hd, scale, keypad, attn_rate, seed_ref,
-               training, mode, TP):
+               training, mode, TP, draw_base: int = 3, row0=None):
     qh = q[:, h * hd:(h + 1) * hd] * scale
     kh = k[:, h * hd:(h + 1) * hd]
     vh = v[:, h * hd:(h + 1) * hd]
@@ -211,7 +231,8 @@ def _attn_head(q, k, v, h, heads, hd, scale, keypad, attn_rate, seed_ref,
     e = jnp.exp(s)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
     if training and attn_rate > 0.0:
-        pd = p * _drop(p.shape, attn_rate, seed_ref, 3 + h, mode, TP)
+        r0 = pl.program_id(0) * TP if row0 is None else row0
+        pd = p * _drop(p.shape, attn_rate, seed_ref, draw_base + h, mode, r0)
     else:
         pd = p
     return qh, kh, vh, p, pd, _dot(pd, vh)        # ctx_h (TP, hd)
@@ -243,8 +264,9 @@ def _fwd_parts(seed_ref, x_ref, prefs, dims, rates, training, ctx_scratch,
             ctx_scratch[:, h * hd:(h + 1) * hd] = ctx_h
         ctx = ctx_scratch[:]
     a = mdot(ctx, wo[:]) + bo[:]
+    row0 = pl.program_id(0) * TP
     if training and drop_rate > 0.0:
-        m0 = _drop(a.shape, drop_rate, seed_ref, 0, mode, TP)
+        m0 = _drop(a.shape, drop_rate, seed_ref, 0, mode, row0)
         a = a * m0
     else:
         m0 = None
@@ -256,7 +278,7 @@ def _fwd_parts(seed_ref, x_ref, prefs, dims, rates, training, ctx_scratch,
         u_c = mdot(x1, w1[:, c0:c0 + Fc]) + b1m[:, c0:c0 + Fc]
         z = z + mdot(_gelu_erf(u_c), w2[c0:c0 + Fc, :])
     if training and drop_rate > 0.0:
-        m1 = _drop(z.shape, drop_rate, seed_ref, 1, mode, TP)
+        m1 = _drop(z.shape, drop_rate, seed_ref, 1, mode, row0)
         z = z * m1
     else:
         m1 = None
@@ -273,6 +295,203 @@ def _make_fwd_kernel(dims, rates, training, mm16=False, mode="prng"):
                               ctx_scratch, mm16, mode)
         o_ref[0] = out.astype(o_ref.dtype)
         x1_ref[0] = res[6].astype(x1_ref.dtype)   # x1 (post-attention LN)
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Batched grid (env BERT_GRID=batched): Bc subjects per grid cell.
+#
+# The per-subject grid runs every dot at M=TP=376 rows — the projections and
+# the FFN (>=90% of a layer's FLOPs) never feed the MXU more than 376x84
+# operands, and the dW accumulations serialize across B grid cells through
+# the output refs. Folding Bc subjects into the ROW axis runs those dots at
+# M=Bc*TP (3008 at Bc=8) and turns the dW accumulation into ONE contraction
+# over the folded rows; only the score/softmax/context block stays
+# per-subject (its (TP, heads*TP) geometry is position-dependent). The
+# profile that motivated this: 23.6 ms/step across 64 layer calls at 7% MFU
+# (see ROADMAP round-3 notes).
+# ---------------------------------------------------------------------------
+
+def _attn_fwd_into(seed_ref, q, k, v, ctx_scratch, b, dims, rates, training,
+                   mm16, mode, cell_row0):
+    """One subject's attention (rows b*TP..): ctx written into the scratch.
+    Draws are per-subject (3+b packed / 3+b*heads+h loop) so masks stay
+    independent within a batched cell; at Bc=1 they reduce to the original
+    per-subject draws."""
+    TP, H, F, heads, T = dims
+    attn_rate, _ = rates
+    hd = H // heads
+    scale = hd ** -0.5
+    sl = slice(b * TP, (b + 1) * TP)
+    row0 = cell_row0 + b * TP
+    if _ATTN_MODE == "packed":
+        ctx_b, *_ = _attn_packed_fwd(q[sl], k[sl], v[sl], dims, scale,
+                                     attn_rate, seed_ref, training, mm16,
+                                     mode, draw=3 + b, row0=row0)
+        ctx_scratch[sl] = ctx_b
+    else:
+        keypad = _keypad(TP, T)
+        for h in range(heads):
+            *_, ctx_h = _attn_head(q[sl], k[sl], v[sl], h, heads, hd, scale,
+                                   keypad, attn_rate, seed_ref, training,
+                                   mode, TP, draw_base=3 + b * heads,
+                                   row0=row0)
+            ctx_scratch[sl, h * hd:(h + 1) * hd] = ctx_h
+
+
+def _make_fwd_kernel_batched(dims, rates, training, mm16, mode, Bc):
+    def kernel(seed_ref, x_ref, *rest):
+        prefs = rest[0:N_PARAMS]
+        o_ref, x1_ref, ctx_scratch = (rest[N_PARAMS], rest[N_PARAMS + 1],
+                                      rest[N_PARAMS + 2])
+        TP, H, F, heads, T = dims
+        attn_rate, drop_rate = rates
+        R = Bc * TP
+        mdot, mdot_nt, mdot_tn = _mm(mm16)
+        (wq, bq, wk, bk, wv, bv, wo, bo, g1, b1,
+         w1, b1m, w2, b2m, g2, b2) = prefs
+        x = x_ref[...].reshape(R, H).astype(jnp.float32)
+        q = mdot(x, wq[:]) + bq[:]
+        k = mdot(x, wk[:]) + bk[:]
+        v = mdot(x, wv[:]) + bv[:]
+        cell_row0 = pl.program_id(0) * R
+        for b in range(Bc):
+            _attn_fwd_into(seed_ref, q, k, v, ctx_scratch, b, dims, rates,
+                           training, mm16, mode, cell_row0)
+        ctx = ctx_scratch[:]
+        a = mdot(ctx, wo[:]) + bo[:]
+        if training and drop_rate > 0.0:
+            a = a * _drop(a.shape, drop_rate, seed_ref, 0, mode, cell_row0)
+        x1, _, _ = _ln_fwd(a + x, g1[:], b1[:])
+        Fc = _ffn_chunk(F)
+        z = jnp.zeros((R, H), jnp.float32) + b2m[:]
+        for c0 in range(0, F, Fc):
+            u_c = mdot(x1, w1[:, c0:c0 + Fc]) + b1m[:, c0:c0 + Fc]
+            z = z + mdot(_gelu_erf(u_c), w2[c0:c0 + Fc, :])
+        if training and drop_rate > 0.0:
+            z = z * _drop(z.shape, drop_rate, seed_ref, 1, mode, cell_row0)
+        out, _, _ = _ln_fwd(z + x1, g2[:], b2[:])
+        o_ref[...] = out.reshape(Bc, TP, H).astype(o_ref.dtype)
+        x1_ref[...] = x1.reshape(Bc, TP, H).astype(x1_ref.dtype)
+    return kernel
+
+
+def _make_merged_bwd_kernel_batched(dims, rates, training, mm16, mode, Bc):
+    """Batched-grid merged backward: FFN/LN2 + projection/LN1 backward over
+    the folded (Bc*TP, H) rows (single dots, single dW contractions); the
+    score/softmax/context recompute + backward loops subjects. Masks
+    regenerate identically to the batched forward (same grid, same draws,
+    same row origins)."""
+    def kernel(seed_ref, x_ref, x1_ref, g_ref, *rest):
+        prefs = rest[0:N_PARAMS]
+        (wq, bq, wk, bk, wv, bv, wo, bo, g1, b1,
+         w1, b1m, w2, b2m, g2, b2) = prefs
+        dx_ref = rest[N_PARAMS]
+        dp_refs = rest[N_PARAMS + 1:2 * N_PARAMS + 1]
+        (dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref, dwo_ref,
+         dbo_ref, dg1_ref, db1_ref, dw1_ref, db1m_ref, dw2_ref, db2m_ref,
+         dg2_ref, db2_ref) = dp_refs
+        ctx_scratch, dqkv_scratch = rest[2 * N_PARAMS + 1:]
+        TP, H, F, heads, T = dims
+        attn_rate, drop_rate = rates
+        hd = H // heads
+        scale = hd ** -0.5
+        R = Bc * TP
+        mdot, mdot_nt, mdot_tn = _mm(mm16)
+
+        is_first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+
+        @pl.when(is_first)
+        def _():
+            for ref in dp_refs:
+                ref[:] = jnp.zeros_like(ref)
+
+        x = x_ref[...].reshape(R, H).astype(jnp.float32)
+        x1 = x1_ref[...].reshape(R, H).astype(jnp.float32)
+        g = g_ref[...].reshape(R, H).astype(jnp.float32)
+        dx1 = _ffn_bwd_body(seed_ref, x1, g, w1, b1m, w2, b2m, g2, b2,
+                            dw1_ref, db1m_ref, dw2_ref, db2m_ref, dg2_ref,
+                            db2_ref, dims, rates, training, mm16, mode,
+                            rows=R)
+
+        q = mdot(x, wq[:]) + bq[:]
+        k = mdot(x, wk[:]) + bk[:]
+        v = mdot(x, wv[:]) + bv[:]
+        cell_row0 = pl.program_id(0) * R
+        for b in range(Bc):                       # ctx recompute (pass 1)
+            _attn_fwd_into(seed_ref, q, k, v, ctx_scratch, b, dims, rates,
+                           training, mm16, mode, cell_row0)
+        ctx = ctx_scratch[:]
+        a = mdot(ctx, wo[:]) + bo[:]
+        if training and drop_rate > 0.0:
+            m0 = _drop(a.shape, drop_rate, seed_ref, 0, mode, cell_row0)
+            a = a * m0
+        else:
+            m0 = None
+        _, xh1, r1 = _ln_fwd(a + x, g1[:], b1[:])
+
+        dg1_ref[:] += jnp.sum(dx1 * xh1, axis=0, keepdims=True)
+        db1_ref[:] += jnp.sum(dx1, axis=0, keepdims=True)
+        dy1 = _ln_bwd(dx1, xh1, r1, g1[:])
+        da = dy1 * m0 if m0 is not None else dy1
+        dbo_ref[:] += jnp.sum(da, axis=0, keepdims=True)
+        dwo_ref[:] += mdot_tn(ctx, da)
+        dctx = mdot_nt(da, wo[:])
+
+        for b in range(Bc):                       # score backward (pass 2)
+            sl = slice(b * TP, (b + 1) * TP)
+            row0 = cell_row0 + b * TP
+            if _ATTN_MODE == "packed":
+                _, p, pd, K_pack, V_pack = _attn_packed_fwd(
+                    q[sl], k[sl], v[sl], dims, scale, attn_rate, seed_ref,
+                    training, mm16, mode, draw=3 + b, row0=row0)
+                G = _fb._seg_matrix(TP, heads)
+                dctx_b = dctx[b * TP:(b + 1) * TP]
+                dpd = mdot(dctx_b, V_pack)
+                dv_b = _unpack_rows(mdot_tn(pd, dctx_b), TP, heads, hd)
+                if training and attn_rate > 0.0:
+                    dp = dpd * _drop(dpd.shape, attn_rate, seed_ref, 3 + b,
+                                     mode, row0)
+                else:
+                    dp = dpd
+                seg_sum = _dot_nt(_dot(dp * p, G), G)
+                ds = p * (dp - seg_sum)
+                dqkv_scratch[sl, 0:H] = mdot_nt(ds, K_pack) * scale
+                dqkv_scratch[sl, H:2 * H] = _unpack_rows(
+                    mdot_tn(ds, q[sl] * scale), TP, heads, hd)
+                dqkv_scratch[sl, 2 * H:3 * H] = dv_b
+            else:
+                keypad = _keypad(TP, T)
+                for h in range(heads):
+                    qh, kh, vh, p, pd, _ = _attn_head(
+                        q[sl], k[sl], v[sl], h, heads, hd, scale, keypad,
+                        attn_rate, seed_ref, training, mode, TP,
+                        draw_base=3 + b * heads, row0=row0)
+                    dctx_h = dctx[b * TP:(b + 1) * TP, h * hd:(h + 1) * hd]
+                    dpd = _dot_nt(dctx_h, vh)
+                    dvh = _dot_tn(pd, dctx_h)
+                    if training and attn_rate > 0.0:
+                        dp = dpd * _drop(dpd.shape, attn_rate, seed_ref,
+                                         3 + b * heads + h, mode, row0)
+                    else:
+                        dp = dpd
+                    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                    dqkv_scratch[sl, h * hd:(h + 1) * hd] = _dot(ds, kh) * scale
+                    dqkv_scratch[sl, H + h * hd:H + (h + 1) * hd] = \
+                        _dot_tn(ds, qh)
+                    dqkv_scratch[sl, 2 * H + h * hd:2 * H + (h + 1) * hd] = dvh
+        dq = dqkv_scratch[:, 0:H]
+        dk = dqkv_scratch[:, H:2 * H]
+        dv = dqkv_scratch[:, 2 * H:3 * H]
+        dbq_ref[:] += jnp.sum(dq, axis=0, keepdims=True)
+        dwq_ref[:] += mdot_tn(x, dq)
+        dbk_ref[:] += jnp.sum(dk, axis=0, keepdims=True)
+        dwk_ref[:] += mdot_tn(x, dk)
+        dbv_ref[:] += jnp.sum(dv, axis=0, keepdims=True)
+        dwv_ref[:] += mdot_tn(x, dv)
+        dx = (dy1 + mdot_nt(dq, wq[:]) + mdot_nt(dk, wk[:])
+              + mdot_nt(dv, wv[:]))
+        dx_ref[...] = dx.reshape(Bc, TP, H).astype(dx_ref.dtype)
     return kernel
 
 
@@ -301,20 +520,25 @@ def _make_ffn_bwd_kernel(dims, rates, training, mm16=False, mode="prng"):
 
 def _ffn_bwd_body(seed_ref, x1, g, w1, b1m, w2, b2m, g2, b2,
                   dw1_ref, db1m_ref, dw2_ref, db2m_ref, dg2_ref, db2_ref,
-                  dims, rates, training, mm16, mode):
+                  dims, rates, training, mm16, mode, rows=None):
     """LN2+FFN backward math over saved x1; returns dx1 (stays in VMEM when
-    called from the merged kernel)."""
+    called from the merged kernel). Row-count generic: ``rows`` defaults to
+    one subject (TP) and is Bc*TP under the batched grid — the math is
+    row-wise so the fold is free, and the dropout row origin matches the
+    forward's (same grid, same row0)."""
     TP, H, F, heads, T = dims
+    R = TP if rows is None else rows
     _, drop_rate = rates
     mdot, mdot_nt, mdot_tn = _mm(mm16)
+    row0 = pl.program_id(0) * R
 
     Fc = _ffn_chunk(F, 256)
-    z = jnp.zeros((TP, H), jnp.float32) + b2m[:]
+    z = jnp.zeros((R, H), jnp.float32) + b2m[:]
     for c0 in range(0, F, Fc):
         u_c = mdot(x1, w1[:, c0:c0 + Fc]) + b1m[:, c0:c0 + Fc]
         z = z + mdot(_gelu_erf(u_c), w2[c0:c0 + Fc, :])
     if training and drop_rate > 0.0:
-        m1 = _drop(z.shape, drop_rate, seed_ref, 1, mode, TP)
+        m1 = _drop(z.shape, drop_rate, seed_ref, 1, mode, row0)
         z = z * m1
     else:
         m1 = None
@@ -364,8 +588,9 @@ def _attn_bwd_body(seed_ref, x, dx1, wq, bq, wk, bk, wv, bv, wo, bo, g1, b1,
             ctx_scratch[:, h * hd:(h + 1) * hd] = ctx_h
         ctx = ctx_scratch[:]
     a = mdot(ctx, wo[:]) + bo[:]
+    row0 = pl.program_id(0) * TP
     if training and drop_rate > 0.0:
-        m0 = _drop(a.shape, drop_rate, seed_ref, 0, mode, TP)
+        m0 = _drop(a.shape, drop_rate, seed_ref, 0, mode, row0)
         a = a * m0
     else:
         m0 = None
@@ -384,7 +609,7 @@ def _attn_bwd_body(seed_ref, x, dx1, wq, bq, wk, bk, wv, bv, wo, bo, g1, b1,
         dpd = mdot(dctx, V_pack)               # (TP, L)
         dv = _unpack_rows(mdot_tn(pd, dctx), TP, heads, hd)
         if training and attn_rate > 0.0:
-            dp = dpd * _drop(dpd.shape, attn_rate, seed_ref, 3, mode, TP)
+            dp = dpd * _drop(dpd.shape, attn_rate, seed_ref, 3, mode, row0)
         else:
             dp = dpd
         seg_sum = _dot_nt(_dot(dp * p, G), G)  # per-head row sums, packed
@@ -401,7 +626,7 @@ def _attn_bwd_body(seed_ref, x, dx1, wq, bq, wk, bk, wv, bv, wo, bo, g1, b1,
             dvh = _dot_tn(pd, dctx_h)              # (TP, hd)
             if training and attn_rate > 0.0:
                 dp = dpd * _drop(dpd.shape, attn_rate, seed_ref, 3 + h,
-                                 mode, TP)
+                                 mode, row0)
             else:
                 dp = dpd
             ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
@@ -526,6 +751,22 @@ def _fbl_fwd(x, params, seed, heads, t_valid, rates, training, interpret):
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
     f32 = lambda t: jnp.asarray(t, jnp.float32)
     mode = _fb._mode_for(interpret)
+    bc = _bc_for(B) if _GRID_MODE == "batched" else 1
+    if bc > 1:
+        xb_spec = pl.BlockSpec((bc, TP, H), lambda b, c, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM)
+        out, x1 = pl.pallas_call(
+            _make_fwd_kernel_batched(dims, rates, training, mm16, mode, bc),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(B // bc, 1),
+                in_specs=[xb_spec] + [_resident(s) for s in p_shapes],
+                out_specs=[xb_spec, xb_spec],
+                scratch_shapes=[pltpu.VMEM((bc * TP, H), jnp.float32)]),
+            out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype)] * 2,
+            interpret=interpret,
+            compiler_params=_fb._compiler_params(),
+        )(seed_arr, x, *[f32(p) for p in params])
+        return out, (x, x1, params, seed_arr)
     out, x1 = pl.pallas_call(
         _make_fwd_kernel(dims, rates, training, mm16, mode),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -554,6 +795,33 @@ def _fbl_bwd(heads, t_valid, rates, training, interpret, res, g):
     mm16 = x.dtype == jnp.bfloat16
     p_shapes = param_shapes(H, F)
     mode = _fb._mode_for(interpret)
+    bc = _bc_for(B) if _GRID_MODE == "batched" else 1
+    if bc > 1:
+        # batched grid implies the merged backward (BERT_BWD split predates
+        # the 64 MB vmem cap and exists only for the per-subject A/B)
+        xb_spec = pl.BlockSpec((bc, TP, H), lambda b, c, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            _make_merged_bwd_kernel_batched(dims, rates, training, mm16,
+                                            mode, bc),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(B // bc, 1),
+                in_specs=([xb_spec, xb_spec, xb_spec]
+                          + [_resident(s) for s in p_shapes]),
+                out_specs=[xb_spec] + [_resident(s) for s in p_shapes],
+                scratch_shapes=[pltpu.VMEM((bc * TP, H), jnp.float32),
+                                pltpu.VMEM((bc * TP, 3 * H), jnp.float32)]),
+            out_shape=([jax.ShapeDtypeStruct(x.shape, x.dtype)]
+                       + [jax.ShapeDtypeStruct(s, jnp.float32)
+                          for s in p_shapes]),
+            interpret=interpret,
+            compiler_params=_fb._compiler_params(),
+        )(seed_arr, x, x1, jnp.asarray(g, x.dtype),
+          *[f32(p) for p in params])
+        dx = outs[0]
+        dparams = tuple(d.astype(jnp.asarray(p).dtype)
+                        for d, p in zip(outs[1:], params))
+        return dx, dparams, None
     if _BWD_MODE == "merged":
         outs = pl.pallas_call(
             _make_merged_bwd_kernel(dims, rates, training, mm16, mode),

@@ -328,31 +328,37 @@ def _seg_matrix(NP: int, H: int):
             ).astype(jnp.float32)
 
 
-def _pack_kv(t3, H):
+def _pack_kv(t3, H, mm16: bool = False):
     """(Wc, NP, C) -> head-packed (Wc, C, L): transpose, then place a copy of
     each source lane into every head block via ONE matmul against a constant
     tile-placement matrix E (lane-misaligned 6-piece concats measured ~2x the
     matmul's cost), and zero channels outside each head's block with a single
-    constant-mask multiply."""
+    constant-mask multiply. ``mm16`` runs the placement dot with bf16
+    operands (f32 accumulation) — E is 0/1 so the placement itself is exact;
+    only the t3 values round to bf16 (the surrounding model already runs the
+    bf16 compute policy)."""
     Wc, NP, C = t3.shape
     hd = C // H
     L = H * NP
     tT = jnp.swapaxes(t3, 1, 2)                   # (Wc, C, NP)
     lane_m = jax.lax.broadcasted_iota(jnp.int32, (NP, L), 0)
     lane_l = jax.lax.broadcasted_iota(jnp.int32, (NP, L), 1)
-    E = (lane_l % NP == lane_m).astype(jnp.float32)      # (NP, L) placement
+    edt = jnp.bfloat16 if mm16 else jnp.float32
+    E = (lane_l % NP == lane_m).astype(edt)              # (NP, L) placement
     sub_c = jax.lax.broadcasted_iota(jnp.int32, (C, L), 0)
     sel = (sub_c // hd
            == jax.lax.broadcasted_iota(jnp.int32, (C, L), 1) // NP)
-    tiled = jax.lax.dot_general(tT, E, (((2,), (0,)), ((), ())),
+    tiled = jax.lax.dot_general(tT.astype(edt), E, (((2,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
     return tiled * sel.astype(jnp.float32)[None]
 
 
-def _packed_scores(q3s, K_pack, bias_ref, mask_ref, H):
+def _packed_scores(q3s, K_pack, bias_ref, mask_ref, H, bdot=None):
     """(Wc, NP, L) packed scores: one masked-K dot, + bias + mask.
-    ``mask_ref`` arrives PRE-TILED to (Wc, NP, L) (static, built host-side)."""
-    S = _bdot(q3s, K_pack, 2, 1)
+    ``mask_ref`` arrives PRE-TILED to (Wc, NP, L) (static, built host-side).
+    ``bdot`` lets bf16-operand callers (fusion_block_bp._mm) supply their
+    cast-wrapped batched dot."""
+    S = (bdot or _bdot)(q3s, K_pack, 2, 1)
     S = S + bias_ref[:][None]                     # bias_ref is (NP, L)
     if mask_ref is not None:
         S = S + mask_ref[:]

@@ -240,8 +240,27 @@ def _unstack_bp(full, Wc: int, BH: int, NP: int, BC: int):
     return (full * sel[None]).reshape(Wc, BH, NP, BC).sum(axis=1)
 
 
+def _mm_bp(mm16: bool):
+    """Dot quartet (dot, dot_nt, dot_tn, bdot): bf16 operands / f32
+    accumulation when the streams are bf16 — f32 matmuls run at ~1/4 the
+    MXU rate on v5e, and the BP kernels' packed score/context dots are the
+    bulk of their MXU work. The f32 path keeps exact parity with the jnp
+    twin (tests/test_fusion_bp.py runs f32 inputs). FUSION_MM16=0 pins f32
+    for A/B."""
+    if not mm16:
+        return _dot, _dot_nt, _dot_tn, _bdot
+    c = lambda t: t.astype(jnp.bfloat16)
+    return (lambda a, b: _dot(c(a), c(b)),
+            lambda a, b: _dot_nt(c(a), c(b)),
+            lambda a, b: _dot_tn(c(a), c(b)),
+            lambda a, b, ca, cb: _bdot(c(a), c(b), ca, cb))
+
+
+_MM16_ENABLED = os.environ.get("FUSION_MM16", "1") != "0"
+
+
 def _forward_bp(seed_ref, x_ref, y_ref, dpl_ref, bias_ref, mask_ref, prefs,
-                dims, rates, training, cross, mode):
+                dims, rates, training, cross, mode, mm16=False):
     """Shared BP forward. Returns (out, x2r)."""
     Wc, NP, BC, BH, BCh = dims
     attn_rate, drop_rate = rates
@@ -252,6 +271,7 @@ def _forward_bp(seed_ref, x_ref, y_ref, dpl_ref, bias_ref, mask_ref, prefs,
     seed = seed_ref[0]
     wkey0 = pl.program_id(0) * Wc
     row0 = wkey0 * NP
+    mdot, mdot_nt, mdot_tn, mbdot = _mm_bp(mm16)
 
     if cross:
         (g1, b1, g1y, b1y, Wq, bq, Wk, bk, Wv, bv, wp, bpj,
@@ -267,37 +287,39 @@ def _forward_bp(seed_ref, x_ref, y_ref, dpl_ref, bias_ref, mask_ref, prefs,
         hk, _, _ = _ln_fwd_bp(y2, g1y[:], b1y[:], M[:])
     else:
         hk = h1
-    q3 = (_dot(h1, Wq[:]) + bq[:]).reshape(Wc, NP, BC)
-    k3 = (_dot(hk, Wk[:]) + bk[:]).reshape(Wc, NP, BC)
-    v3 = (_dot(hk, Wv[:]) + bv[:]).reshape(Wc, NP, BC)
+    q3 = (mdot(h1, Wq[:]) + bq[:]).reshape(Wc, NP, BC)
+    k3 = (mdot(hk, Wk[:]) + bk[:]).reshape(Wc, NP, BC)
+    v3 = (mdot(hk, Wv[:]) + bv[:]).reshape(Wc, NP, BC)
 
-    K_pack = _pack_kv(k3, BH)                      # (Wc, BC, L)
-    V_pack = _pack_kv(v3, BH)
-    S = _packed_scores(q3 * scale, K_pack, bias_ref, mask_ref, BH)
+    K_pack = _pack_kv(k3, BH, mm16)                # (Wc, BC, L)
+    V_pack = _pack_kv(v3, BH, mm16)
+    S = _packed_scores(q3 * scale, K_pack, bias_ref, mask_ref, BH,
+                       bdot=mbdot)
     p = _packed_softmax(S, _seg_matrix(NP, BH), Wc, NP, L)
     if training and attn_rate > 0.0:
         p = p * _keep3_bp(p.shape, attn_rate, seed, 3, wkey0, mode)
-    o2 = _bdot(p, V_pack, 2, 2).reshape(R, BC)
-    a = _dot(o2, wp[:]) + bpj[:]
+    o2 = mbdot(p, V_pack, 2, 2).reshape(R, BC)
+    a = mdot(o2, wp[:]) + bpj[:]
     if training and drop_rate > 0.0:
         a = a * _keep2_bp(a.shape, drop_rate, seed, _DRAW_PROJ, row0, mode)
     dp1 = dpl_ref[0:1, :]                          # (1, BC) lane DropPath
     dp2 = dpl_ref[1:2, :]
     x2r = x2 + dp1 * a
     h2, _, _ = _ln_fwd_bp(x2r, g2[:], b2[:], M[:])
-    u = _dot(h2, w1[:]) + b1m[:]
+    u = mdot(h2, w1[:]) + b1m[:]
     gu = _gelu(u)
     if training and drop_rate > 0.0:
         gu = gu * _keep2_bp(gu.shape, drop_rate, seed, _DRAW_MLP1, row0,
                             mode)
-    z = _dot(gu, w2[:]) + b2m[:]
+    z = mdot(gu, w2[:]) + b2m[:]
     if training and drop_rate > 0.0:
         z = z * _keep2_bp(z.shape, drop_rate, seed, _DRAW_MLP2, row0, mode)
     out = x2r + dp2 * z
     return out, x2r
 
 
-def _make_fwd_kernel_bp(dims, rates, training, with_mask, cross, mode):
+def _make_fwd_kernel_bp(dims, rates, training, with_mask, cross, mode,
+                        mm16=False):
     np_ = _n_bp(cross)
 
     def kernel(seed_ref, x_ref, *rest):
@@ -312,14 +334,15 @@ def _make_fwd_kernel_bp(dims, rates, training, with_mask, cross, mode):
         o_ref, x2r_ref = rest[-2], rest[-1]
         out, x2r = _forward_bp(seed_ref, x_ref, y_ref, dpl_ref, bias_ref,
                                mask_ref, prefs, dims, rates, training,
-                               cross, mode)
+                               cross, mode, mm16)
         Wc, NP, BC = dims[0], dims[1], dims[2]
         o_ref[:] = out.reshape(Wc, NP, BC).astype(o_ref.dtype)
         x2r_ref[:] = x2r.reshape(Wc, NP, BC).astype(x2r_ref.dtype)
     return kernel
 
 
-def _make_bwd_kernel_bp(dims, rates, training, with_mask, cross, mode):
+def _make_bwd_kernel_bp(dims, rates, training, with_mask, cross, mode,
+                        mm16=False):
     """Single merged BP backward (mirror of fusion_block._make_bwd_kernel):
     MLP/LN2 backward over saved x2r, then packed attention recompute +
     backward; grads accumulate across the sequential 1-D grid."""
@@ -364,6 +387,7 @@ def _make_bwd_kernel_bp(dims, rates, training, with_mask, cross, mode):
         wkey0 = pl.program_id(0) * Wc
         row0 = wkey0 * NP
         with_drop = training and drop_rate > 0.0
+        mdot, mdot_nt, mdot_tn, mbdot = _mm_bp(mm16)
 
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -382,7 +406,7 @@ def _make_bwd_kernel_bp(dims, rates, training, with_mask, cross, mode):
                                 row0, mode)
         db2m_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
         h2, xh2, r2 = _ln_fwd_bp(x2r, g2[:], b2[:], M[:])
-        u = _dot(h2, w1[:]) + b1m[:]
+        u = mdot(h2, w1[:]) + b1m[:]
         gu = _gelu(u)
         if with_drop:
             m1 = _keep2_bp(gu.shape, drop_rate, seed, _DRAW_MLP1, row0,
@@ -390,14 +414,14 @@ def _make_bwd_kernel_bp(dims, rates, training, with_mask, cross, mode):
             gu = gu * m1
         else:
             m1 = None
-        dw2_ref[:] += _dot_tn(gu, dz)
-        dgu = _dot_nt(dz, w2[:])
+        dw2_ref[:] += mdot_tn(gu, dz)
+        dgu = mdot_nt(dz, w2[:])
         if m1 is not None:
             dgu = dgu * m1
         du = dgu * _gelu_grad(u)
         db1m_ref[:] += jnp.sum(du, axis=0, keepdims=True)
-        dw1_ref[:] += _dot_tn(h2, du)
-        dh2 = _dot_nt(du, w1[:])
+        dw1_ref[:] += mdot_tn(h2, du)
+        dh2 = mdot_nt(du, w1[:])
         dg2_ref[:] += jnp.sum(dh2 * xh2, axis=0, keepdims=True)
         db2_ref[:] += jnp.sum(dh2, axis=0, keepdims=True)
         dx2r = g + _ln_bwd_bp(dh2, xh2, r2, g2[:], M[:])
@@ -410,23 +434,24 @@ def _make_bwd_kernel_bp(dims, rates, training, with_mask, cross, mode):
             hk, xh1y, r1y = _ln_fwd_bp(y2, g1y[:], b1y[:], M[:])
         else:
             hk, xh1y, r1y = h1, None, None
-        q3 = (_dot(h1, Wq[:]) + bq[:]).reshape(Wc, NP, BC)
-        k3 = (_dot(hk, Wk[:]) + bk[:]).reshape(Wc, NP, BC)
-        v3 = (_dot(hk, Wv[:]) + bv[:]).reshape(Wc, NP, BC)
+        q3 = (mdot(h1, Wq[:]) + bq[:]).reshape(Wc, NP, BC)
+        k3 = (mdot(hk, Wk[:]) + bk[:]).reshape(Wc, NP, BC)
+        v3 = (mdot(hk, Wv[:]) + bv[:]).reshape(Wc, NP, BC)
 
         da = dp1 * dx2r
         if with_drop:
             da = da * _keep2_bp(da.shape, drop_rate, seed, _DRAW_PROJ,
                                 row0, mode)
-        do2 = _dot_nt(da, wp[:])
+        do2 = mdot_nt(da, wp[:])
         do3 = do2.reshape(Wc, NP, BC)
 
         # ---- packed attention recompute + backward -------------------------
         q3s = q3 * scale
         G = _seg_matrix(NP, BH)
-        K_pack = _pack_kv(k3, BH)
-        V_pack = _pack_kv(v3, BH)
-        S = _packed_scores(q3s, K_pack, bias_ref, mask_ref, BH)
+        K_pack = _pack_kv(k3, BH, mm16)
+        V_pack = _pack_kv(v3, BH, mm16)
+        S = _packed_scores(q3s, K_pack, bias_ref, mask_ref, BH,
+                           bdot=mbdot)
         p = _packed_softmax(S, G, Wc, NP, L)
         if training and attn_rate > 0.0:
             keep = _keep3_bp((Wc, NP, L), attn_rate, seed, 3, wkey0, mode)
@@ -434,22 +459,22 @@ def _make_bwd_kernel_bp(dims, rates, training, with_mask, cross, mode):
         else:
             keep = None
             pd = p
-        o2 = _bdot(pd, V_pack, 2, 2).reshape(R, BC)
+        o2 = mbdot(pd, V_pack, 2, 2).reshape(R, BC)
 
-        dpd = _bdot(do3, V_pack, 2, 1)                 # (Wc, NP, L)
-        dvf = _bdot(pd, do3, 1, 1)                     # (Wc, L, BC)
+        dpd = mbdot(do3, V_pack, 2, 1)                 # (Wc, NP, L)
+        dvf = mbdot(pd, do3, 1, 1)                     # (Wc, L, BC)
         dv3 = _unstack_bp(dvf, Wc, BH, NP, BC)
         dp_ = dpd * keep if keep is not None else dpd
         t = (dp_ * p).reshape(R, L)
         seg = _dot_nt(_dot(t, G), G).reshape(Wc, NP, L)
         ds = p * (dp_ - seg)
         dbias_ref[:] += jnp.sum(ds, axis=0)            # (NP, L)
-        dq3 = _bdot(ds, K_pack, 2, 2) * scale          # (Wc, NP, BC)
-        dkf = _bdot(ds, q3s, 1, 1)                     # (Wc, L, BC)
+        dq3 = mbdot(ds, K_pack, 2, 2) * scale          # (Wc, NP, BC)
+        dkf = mbdot(ds, q3s, 1, 1)                     # (Wc, L, BC)
         dk3 = _unstack_bp(dkf, Wc, BH, NP, BC)
 
         dbpj_ref[:] += jnp.sum(da, axis=0, keepdims=True)
-        dwp_ref[:] += _dot_tn(o2, da)
+        dwp_ref[:] += mdot_tn(o2, da)
 
         dq = dq3.reshape(R, BC)
         dk = dk3.reshape(R, BC)
@@ -457,11 +482,11 @@ def _make_bwd_kernel_bp(dims, rates, training, with_mask, cross, mode):
         dbq_ref[:] += jnp.sum(dq, axis=0, keepdims=True)
         dbk_ref[:] += jnp.sum(dk, axis=0, keepdims=True)
         dbv_ref[:] += jnp.sum(dv, axis=0, keepdims=True)
-        dWq_ref[:] += _dot_tn(h1, dq)
-        dWk_ref[:] += _dot_tn(hk, dk)
-        dWv_ref[:] += _dot_tn(hk, dv)
-        dh1 = _dot_nt(dq, Wq[:])
-        dhk = _dot_nt(dk, Wk[:]) + _dot_nt(dv, Wv[:])
+        dWq_ref[:] += mdot_tn(h1, dq)
+        dWk_ref[:] += mdot_tn(hk, dk)
+        dWv_ref[:] += mdot_tn(hk, dv)
+        dh1 = mdot_nt(dq, Wq[:])
+        dhk = mdot_nt(dk, Wk[:]) + mdot_nt(dv, Wv[:])
         if cross:
             dg1y_ref[:] += jnp.sum(dhk * xh1y, axis=0, keepdims=True)
             db1y_ref[:] += jnp.sum(dhk, axis=0, keepdims=True)
@@ -527,6 +552,7 @@ def _fwd_impl_bp(x, y, params, bias, mask, dp, seed_arr, rates, training,
     L = BH * NP
     Ch = params[-4].shape[1]
     mode = _mode_for(interpret)
+    mm16 = _MM16_ENABLED and x.dtype == jnp.bfloat16
     Wc, _ = _grid_chunk(nW, NP, BC, L, mode)
     with_mask = mask is not None
     dims = (Wc, NP, BC, BH, B * Ch)
@@ -548,7 +574,8 @@ def _fwd_impl_bp(x, y, params, bias, mask, dp, seed_arr, rates, training,
             + ((_tiled_mask_bp(mask, BH),) if with_mask else ())
             + bp_params)
     out, x2r = pl.pallas_call(
-        _make_fwd_kernel_bp(dims, rates, training, with_mask, cross, mode),
+        _make_fwd_kernel_bp(dims, rates, training, with_mask, cross, mode,
+                            mm16),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(nW // Wc,),
             in_specs=in_specs, out_specs=[x_spec, x_spec]),
@@ -569,6 +596,7 @@ def _bwd_impl_bp(x, y, params, bias, mask, dp, seed_arr, x2r, g, rates,
     L = BH * NP
     Ch = params[-4].shape[1]
     mode = _mode_for(interpret)
+    mm16 = _MM16_ENABLED and x.dtype == jnp.bfloat16
     _, Wc = _grid_chunk(nW, NP, BC, L, mode)
     with_mask = mask is not None
     dims = (Wc, NP, BC, BH, B * Ch)
@@ -598,7 +626,8 @@ def _bwd_impl_bp(x, y, params, bias, mask, dp, seed_arr, x2r, g, rates,
             + ((_tiled_mask_bp(mask, BH),) if with_mask else ())
             + bp_params)
     outs = pl.pallas_call(
-        _make_bwd_kernel_bp(dims, rates, training, with_mask, cross, mode),
+        _make_bwd_kernel_bp(dims, rates, training, with_mask, cross, mode,
+                            mm16),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(nW // Wc,),
             in_specs=in_specs, out_specs=out_specs),

@@ -1,0 +1,154 @@
+"""End-to-end behavioral parity vs the reference (VERDICT r2 item 4).
+
+Trains the reference's torch ``SwinTransformerV2`` (reference
+model.py:970-1129, the step-3 config trainer.py:228-239) and this framework's
+``SwinClassifier`` on the SAME synthetic sMRI cohort — same subjects, same
+splits, same per-epoch batch ORDER (both sides iterate this framework's
+DataPipeline), same optimizer family (Adam + L2, reference
+trainer.py:166-173) — and compares per-epoch validation-AUROC trajectories.
+
+Activation parity (tests/test_swin_golden.py) proves the math matches at one
+point; this proves the thing users care about survives training. Inits and
+dropout draws differ by design (different RNG stacks), so the assertion is a
+tolerance band on the trajectory, not bitwise equality.
+
+Run:  python scripts/behavioral_parity.py [epochs] [n_subjects]
+Writes PARITY_BEHAVIOR.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+def auroc(scores: np.ndarray, labels: np.ndarray) -> float:
+    """Rank-based AUROC (Mann-Whitney U), the quantity the reference reads
+    off sklearn.roc_auc_score (loss_writer.py:115-123)."""
+    order = np.argsort(scores, kind="mergesort")
+    ranks = np.empty(len(scores))
+    ranks[order] = np.arange(1, len(scores) + 1)
+    # midranks for ties
+    s_sorted = scores[order]
+    i = 0
+    while i < len(s_sorted):
+        j = i
+        while j + 1 < len(s_sorted) and s_sorted[j + 1] == s_sorted[i]:
+            j += 1
+        if j > i:
+            ranks[order[i:j + 1]] = (i + j + 2) / 2.0
+        i = j + 1
+    pos = labels > 0.5
+    n1, n0 = int(pos.sum()), int((~pos).sum())
+    if n1 == 0 or n0 == 0:
+        return float("nan")
+    return float((ranks[pos].sum() - n1 * (n1 + 1) / 2) / (n1 * n0))
+
+
+def train_reference(pipe, cfg, epochs: int):
+    """The reference stack under torch: SwinTransformerV2 'small' + Adam(L2)
+    + BCEWithLogitsLoss, fed the framework pipeline's batches."""
+    import torch
+    from multimodal_neuroimage_tpu.utils.reference_oracle import \
+        load_reference_model_module
+    ref = load_reference_model_module()
+    torch.manual_seed(cfg.seed)
+    # the reference pulls every hyperparameter via kwargs.get (model.py:
+    # 1002-1032); mirror the step-3 defaults this framework's SwinClassifier
+    # uses so both stacks train the same architecture
+    model = ref.SwinTransformerV2(
+        size_of_model="small", fine_tune_task="binary_classification",
+        swin_embed_dim=cfg.swin_embed_dim, drop_rate=0.0, attn_drop_rate=0.0,
+        mlp_ratio=cfg.mlp_ratio, drop_path_rate=0.0,
+        intermediate_vec=cfg.intermediate_vec, patch_size=cfg.patch_size,
+        window_size=cfg.window_size, no_init_weights=False, use_vae=False)
+    opt = torch.optim.Adam(model.parameters(), lr=cfg.lr_init,
+                           weight_decay=cfg.weight_decay)
+    crit = torch.nn.BCEWithLogitsLoss()
+    curve = []
+    for epoch in range(epochs):
+        model.train()
+        for batch, names in pipe.epoch("train", epoch, to_device=False):
+            x = torch.from_numpy(np.asarray(batch["smri"], np.float32))
+            y = torch.from_numpy(np.asarray(batch["target"], np.float32))
+            opt.zero_grad()
+            out = model(x)["binary_classification"].reshape(-1)
+            loss = crit(out, y)
+            loss.backward()
+            opt.step()
+        model.eval()
+        scores, labels = [], []
+        with torch.no_grad():
+            for batch, names in pipe.epoch("val", 0, to_device=False):
+                out = torch.sigmoid(
+                    model(torch.from_numpy(np.asarray(batch["smri"],
+                                                      np.float32)))
+                    ["binary_classification"].reshape(-1)).numpy()
+                for i, n in enumerate(names):
+                    if n is not None:          # drop pad-and-mask tail rows
+                        scores.append(out[i])
+                        labels.append(float(batch["target"][i]))
+        curve.append(auroc(np.asarray(scores), np.asarray(labels)))
+        print(f"[reference] epoch {epoch}: val AUROC {curve[-1]:.3f}",
+              flush=True)
+    return curve
+
+
+def train_framework(cfg):
+    from multimodal_neuroimage_tpu.train.trainer import Trainer
+    trainer = Trainer(cfg)
+    trainer.training()
+    return [float(v) for v in trainer.writer.metric_history["val_AUROC"]]
+
+
+def main(epochs: int = 8, n_subjects: int = 64):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from multimodal_neuroimage_tpu.data.loader import DataPipeline
+    from multimodal_neuroimage_tpu.data.synthetic import (
+        generate_synthetic_cohort, synthetic_config)
+
+    root = tempfile.mkdtemp(prefix="parity_cohort_")
+    generate_synthetic_cohort(root, n_subjects=n_subjects, seed=11)
+    cfg = synthetic_config(
+        root, dataset_name="sMRI", target="sex", step=3, task="VIT",
+        size_of_model="small", batch_size=8, nEpochs=epochs, workers=2,
+        experiment_folder=os.path.join(root, "exp_framework"),
+        experiment_title="parity", compute_dtype="float32").validate()
+
+    pipe = DataPipeline(cfg)                       # shared splits/batches
+    ref_curve = train_reference(pipe, cfg, epochs)
+    fw_curve = train_framework(cfg)
+    print(f"[framework] val AUROC curve: "
+          f"{[round(v, 3) for v in fw_curve]}", flush=True)
+
+    tail = min(2, len(fw_curve))
+    ref_final = float(np.mean(ref_curve[-tail:]))
+    fw_final = float(np.mean(fw_curve[-tail:]))
+    result = {"reference_val_auroc": [round(v, 4) for v in ref_curve],
+              "framework_val_auroc": [round(v, 4) for v in fw_curve],
+              "reference_final": round(ref_final, 4),
+              "framework_final": round(fw_final, 4),
+              "abs_diff_final": round(abs(ref_final - fw_final), 4),
+              "epochs": epochs, "n_subjects": n_subjects,
+              "config": "step3 sMRI SwinV2 small (trainer.py:228-239)"}
+    with open(os.path.join(REPO, "PARITY_BEHAVIOR.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    ok = abs(ref_final - fw_final) <= 0.15
+    print("PARITY " + ("OK" if ok else "FAILED"))
+    return result, ok
+
+
+if __name__ == "__main__":
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_subjects = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    _, ok = main(epochs, n_subjects)
+    sys.exit(0 if ok else 1)

@@ -95,19 +95,24 @@ def worker(pid: int, port: int) -> None:
     # instead of hanging the followers in a mismatched collective.
     from multimodal_neuroimage_tpu.hpo import optuna_harness as oh
     _broadcast_obj = oh._broadcast_obj
+    # trial numbers ride the announce; the leader "fails" trial 1 before its
+    # announce (number skipped) — the follower's trial_N artifact folders
+    # must mirror the leader's numbering (0 then 2), not a local counter
     if pid == 0:
-        for n in range(2):
-            _broadcast_obj({"kind": "trial", "stop": False,
+        for n in (0, 2):
+            _broadcast_obj({"kind": "trial", "stop": False, "number": n,
                             "params": {"lr_init": 1e-4 * (n + 1)}})
         _broadcast_obj({"kind": "trial", "stop": True})
     else:
-        seen = []
+        seen, numbers = [], []
         while True:
             msg = _broadcast_obj(None)
             if msg.get("stop", False):
                 break
             seen.append(msg["params"])
-        assert seen == [{"lr_init": 1e-4}, {"lr_init": 2e-4}], seen
+            numbers.append(msg.get("number"))
+        assert seen == [{"lr_init": 1e-4}, {"lr_init": 3e-4}], seen
+        assert numbers == [0, 2], numbers
     try:
         _broadcast_obj({"blob": b"x" * 8192} if pid == 0 else None)
         raise AssertionError("oversized broadcast should raise")

@@ -1,0 +1,36 @@
+"""End-to-end training-trajectory parity vs the reference torch stack
+(VERDICT r2 item 4): both stacks train the step-3 sMRI SwinV2 config on the
+same synthetic cohort and must land in the same val-AUROC band.
+
+The full 6-epoch/64-subject run lives in scripts/behavioral_parity.py (its
+recorded curves: PARITY_BEHAVIOR.json — reference 0.889 vs framework 1.0
+final val AUROC). This test runs a shortened version so CI proves the
+harness end-to-end without the full wall-time."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.mark.slow
+def test_training_trajectory_parity_short():
+    from scripts.behavioral_parity import main
+    result, ok = main(epochs=3, n_subjects=48)
+    assert ok, result
+    # both stacks must actually learn the planted signal, not just agree
+    assert result["framework_final"] >= 0.75, result
+    assert result["reference_final"] >= 0.6, result
+
+
+def test_auroc_rank_implementation():
+    """The script's rank AUROC equals the closed form on a known case."""
+    from scripts.behavioral_parity import auroc
+    scores = np.asarray([0.1, 0.4, 0.35, 0.8])
+    labels = np.asarray([0.0, 0.0, 1.0, 1.0])
+    # pairs: (0.35 vs 0.1 win), (0.35 vs 0.4 loss), (0.8 vs both wins) -> 3/4
+    assert auroc(scores, labels) == pytest.approx(0.75)
+    # ties get half credit
+    scores2 = np.asarray([0.5, 0.5])
+    labels2 = np.asarray([0.0, 1.0])
+    assert auroc(scores2, labels2) == pytest.approx(0.5)

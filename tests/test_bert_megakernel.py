@@ -29,7 +29,9 @@ def _x(seed=0):
     return jnp.asarray(x)
 
 
-def test_bert_layer_forward_parity():
+@pytest.mark.parametrize("grid_mode", ["subject", "batched"])
+def test_bert_layer_forward_parity(grid_mode, monkeypatch):
+    monkeypatch.setattr(bl, "_GRID_MODE", grid_mode)
     x = _x()
     params = _params(jax.random.PRNGKey(1))
     got = bl.bert_layer_call(x, params, 0, HEADS, T, (0.0, 0.0), False,
@@ -39,10 +41,13 @@ def test_bert_layer_forward_parity():
                                rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("bwd_mode", ["merged", "split"])
-def test_bert_layer_grad_parity(bwd_mode, monkeypatch):
-    # both backward plans stay covered (BERT_BWD env pin, ADVICE r2)
+@pytest.mark.parametrize("bwd_mode,grid_mode",
+                         [("merged", "subject"), ("split", "subject"),
+                          ("merged", "batched")])
+def test_bert_layer_grad_parity(bwd_mode, grid_mode, monkeypatch):
+    # all backward plans stay covered (BERT_BWD/BERT_GRID env pins, ADVICE r2)
     monkeypatch.setattr(bl, "_BWD_MODE", bwd_mode)
+    monkeypatch.setattr(bl, "_GRID_MODE", grid_mode)
     x = _x(3)
     params = _params(jax.random.PRNGKey(2))
     cot = jnp.asarray(np.random.default_rng(7).normal(
@@ -110,10 +115,13 @@ def test_bert_layer_training_stochastic_smoke():
     assert 0.5 < ratio < 2.0
 
 
-def test_bert_layer_stochastic_grad_is_true_gradient():
+@pytest.mark.parametrize("grid_mode", ["subject", "batched"])
+def test_bert_layer_stochastic_grad_is_true_gradient(grid_mode, monkeypatch):
     """Fixed-seed stochastic forward is deterministic; custom VJP must match
-    its directional numerical derivative (catches fwd/bwd mask divergence)."""
+    its directional numerical derivative (catches fwd/bwd mask divergence —
+    including across the two grid plans, whose masks are keyed differently)."""
     from jax.experimental.pallas import tpu as pltpu
+    monkeypatch.setattr(bl, "_GRID_MODE", grid_mode)
     x = _x(9)
     params = _params(jax.random.PRNGKey(8))
     interp = pltpu.InterpretParams()

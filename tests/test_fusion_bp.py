@@ -331,3 +331,48 @@ def test_transition_permutation_gather_only_vjp():
     jaxpr = str(jax.make_jaxpr(
         lambda t: jax.vjp(permute, t)[1](g))(x))
     assert "scatter" not in jaxpr
+
+
+def test_bp_mm16_forward_close_to_f32():
+    """bf16 streams flip the kernels' dots to bf16 operands (FUSION_MM16,
+    the v5e MXU fast path); output must track the f32 oracle within bf16
+    tolerance, and the f32-input path must remain bitwise-exactly the
+    always-f32 kernel (the parity tests above depend on that)."""
+    x, _, bias, maskp, dp = _inputs(3)
+    params = _params(jax.random.PRNGKey(1))
+    want = fb.fusion_block_reference(x, params, bias, maskp, dp)
+    got_bp16 = fbp.fused_fusion_block_bp(
+        fbp.to_bp(x).astype(jnp.bfloat16), params, _pk(bias), maskp, dp,
+        0, (0.0, 0.0), False, interpret=True)
+    got16 = fbp.from_bp(got_bp16, B).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got16)[:, :, :N],
+                               np.asarray(want)[:, :, :N],
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_bp_mm16_grad_finite_and_close():
+    """bf16-dot backward: gradients stay finite and within bf16 tolerance of
+    the f32 kernel's gradients (same inputs, same masks — dropout off)."""
+    x, _, bias, maskp, dp = _inputs(0)
+    params = _params(jax.random.PRNGKey(2))
+    cot = jnp.asarray(np.random.default_rng(5).normal(
+        size=fbp.to_bp(x).shape).astype(np.float32))
+
+    def loss(xx, params, dtype):
+        out = fbp.fused_fusion_block_bp(xx.astype(dtype), params, _pk(bias),
+                                        maskp, dp, 0, (0.0, 0.0), False,
+                                        interpret=True)
+        return jnp.sum(out.astype(jnp.float32) * cot)
+
+    g32 = jax.grad(loss, argnums=(0, 1))(fbp.to_bp(x), params, jnp.float32)
+    g16 = jax.grad(loss, argnums=(0, 1))(fbp.to_bp(x), params, jnp.bfloat16)
+    gx32, gx16 = np.asarray(g32[0]), np.asarray(g16[0], np.float32)
+    assert np.all(np.isfinite(gx16))
+    scale = np.abs(gx32).max() + 1e-6
+    np.testing.assert_allclose(gx16 / scale, gx32 / scale, atol=6e-2)
+    for a, b in zip(g16[1], g32[1]):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b)
+        assert np.all(np.isfinite(a))
+        s = np.abs(b).max() + 1e-6
+        np.testing.assert_allclose(a / s, b / s, atol=6e-2)

@@ -283,6 +283,8 @@ def test_autoplan_plan_cache(monkeypatch, tmp_path):
     monkeypatch.setattr(sf, "_LAYOUT", None)
     monkeypatch.setattr(bl, "_ATTN_PINNED", False)
     monkeypatch.setattr(bl, "_ATTN_MODE", "packed")
+    monkeypatch.setattr(bl, "_GRID_PINNED", False)
+    monkeypatch.setattr(bl, "_GRID_MODE", "subject")
     assert autoplan.resolve_plans(8) == ("bp", "loop")
 
     # different hardware -> cache ignored, canaries decide
@@ -321,7 +323,10 @@ def test_autoplan_fallback(monkeypatch, tmp_path):
     monkeypatch.setattr(sf, "_LAYOUT", None)
     monkeypatch.setattr(bl, "_ATTN_PINNED", False)
     monkeypatch.setattr(bl, "_ATTN_MODE", "packed")
+    monkeypatch.setattr(bl, "_GRID_PINNED", False)
+    monkeypatch.setattr(bl, "_GRID_MODE", "subject")
     assert autoplan.resolve_plans(8) == ("bpr", "packed")
+    assert bl._GRID_MODE == "batched"   # batched-grid canary passed
 
     # canaries fail -> conservative plans
     def boom(b):
@@ -332,6 +337,7 @@ def test_autoplan_fallback(monkeypatch, tmp_path):
     monkeypatch.setattr(autoplan, "_canary_bert_packed", boom)
     monkeypatch.setattr(sf, "_LAYOUT", None)
     assert autoplan.resolve_plans(8) == ("std", "loop")
+    assert bl._GRID_MODE == "subject"   # batched canary failed too
 
     # env pins win and skip the canaries entirely
     monkeypatch.setattr(autoplan, "_RESOLVED", False)
