@@ -196,11 +196,15 @@ def main() -> None:
             grid_times = {}
             for mode in ("batched", "subject"):
                 bl._GRID_MODE = mode
-                try:
-                    grid_times[mode], state = time_plan(state)
-                except Exception as e:               # pragma: no cover - hw
-                    print(f"[bench] bert grid {mode} failed "
-                          f"({type(e).__name__}: {e})", flush=True)
+                while True:
+                    try:
+                        grid_times[mode], state = time_plan(state)
+                        break
+                    except Exception as e:           # pragma: no cover - hw
+                        print(f"[bench] bert grid {mode} (Bc<={bl._BC_CAP})"
+                              f" failed ({type(e).__name__})", flush=True)
+                        if mode != "batched" or not bl.shrink_bc():
+                            break
             if grid_times:
                 bl._GRID_MODE = min(grid_times, key=grid_times.get)
                 race_results["bert_grid_ms_per_step"] = {
@@ -214,7 +218,7 @@ def main() -> None:
             # real training runs boot with the measured-best plans too.
             from multimodal_neuroimage_tpu.ops.autoplan import save_plan_cache
             save_plan_cache(sf._LAYOUT, bl._ATTN_MODE, race_results,
-                            bert_grid=bl._GRID_MODE)
+                            bert_grid=bl._GRID_MODE, bert_bc=bl._BC_CAP)
 
     step = fresh_step()
 

@@ -44,7 +44,8 @@ def _device_kind() -> str:
 
 def save_plan_cache(fusion_layout: str, bert_attn: str,
                     race_results: Optional[dict] = None,
-                    bert_grid: Optional[str] = None) -> None:
+                    bert_grid: Optional[str] = None,
+                    bert_bc: Optional[int] = None) -> None:
     """Record hardware-measured plan winners (called by bench.py)."""
     try:
         with open(_PLAN_CACHE, "w") as f:
@@ -52,6 +53,7 @@ def save_plan_cache(fusion_layout: str, bert_attn: str,
                        "fusion_layout": fusion_layout,
                        "bert_attn": bert_attn,
                        "bert_grid": bert_grid or "subject",
+                       "bert_bc": bert_bc or 8,
                        "race": race_results or {}}, f, indent=1)
     except OSError:                                  # pragma: no cover
         pass
@@ -184,8 +186,10 @@ def resolve_plans(batch_size: int = 8) -> Tuple[str, str]:
                   f"(measured, .plan_cache.json)")
         if not bl._GRID_PINNED and "bert_grid" in cache:
             bl._GRID_MODE = cache["bert_grid"]
+            if "BERT_BC" not in os.environ and "bert_bc" in cache:
+                bl._BC_CAP = int(cache["bert_bc"])
             print(f"[autoplan] bert grid: {bl._GRID_MODE} "
-                  f"(measured, .plan_cache.json)")
+                  f"(Bc cap {bl._BC_CAP}; measured, .plan_cache.json)")
         return sf._LAYOUT, bl._ATTN_MODE
 
     if sf._LAYOUT is None:                         # no env override
@@ -209,13 +213,20 @@ def resolve_plans(batch_size: int = 8) -> Tuple[str, str]:
         print(f"[autoplan] bert attention: {bl._ATTN_MODE}")
 
     if not bl._GRID_PINNED:                        # no env override
-        try:
-            _canary_bert_batched(batch_size)
-            bl._GRID_MODE = "batched"
-        except Exception as e:                     # pragma: no cover - hw
-            print(f"[autoplan] batched BERT grid canary failed "
-                  f"({type(e).__name__}: {e}); keeping per-subject grid")
-            bl._GRID_MODE = "subject"
-        print(f"[autoplan] bert grid: {bl._GRID_MODE}")
+        # fallback chain: a scoped-VMEM refusal at Bc=8 retries at 4, 2
+        # (shrink_bc) before keeping the per-subject grid
+        bl._GRID_MODE = "subject"
+        while True:
+            try:
+                _canary_bert_batched(batch_size)
+                bl._GRID_MODE = "batched"
+                break
+            except Exception as e:                 # pragma: no cover - hw
+                print(f"[autoplan] batched BERT grid canary failed at "
+                      f"Bc<={bl._BC_CAP} ({type(e).__name__}); "
+                      f"{'shrinking' if bl._BC_CAP > 2 else 'keeping subject grid'}")
+                if not bl.shrink_bc():
+                    break
+        print(f"[autoplan] bert grid: {bl._GRID_MODE} (Bc cap {bl._BC_CAP})")
 
     return sf._LAYOUT, bl._ATTN_MODE

@@ -145,6 +145,28 @@ _GRID_PINNED = "BERT_GRID" in os.environ
 _GRID_MODE = os.environ.get("BERT_GRID", "subject")
 _BC_CAP = int(os.environ.get("BERT_BC", "8"))
 
+# The batched kernels' merged backward holds ~17 folded row buffers + the
+# per-subject attention recompute live at once — past the shared 64 MB cap
+# at Bc=8 (measured: Mosaic scoped-allocation failure on v5e). v5e VMEM is
+# 128 MB; give the batched kernels their own higher ceiling and let
+# autoplan/bench shrink Bc (8 -> 4 -> 2) if the hardware still refuses.
+_BATCHED_VMEM = int(os.environ.get("BERT_BATCHED_VMEM",
+                                   str(100 * 1024 * 1024)))
+
+
+def _batched_compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_BATCHED_VMEM)
+
+
+def shrink_bc() -> bool:
+    """Halve the batched grid's per-cell subject cap (canary/race fallback
+    chain). Returns False when no smaller batched plan remains."""
+    global _BC_CAP
+    if _BC_CAP <= 2:
+        return False
+    _BC_CAP //= 2
+    return True
+
 
 def _bc_for(B: int) -> int:
     """Subjects per grid cell under the batched plan: the largest divisor
@@ -764,7 +786,7 @@ def _fbl_fwd(x, params, seed, heads, t_valid, rates, training, interpret):
                 scratch_shapes=[pltpu.VMEM((bc * TP, H), jnp.float32)]),
             out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype)] * 2,
             interpret=interpret,
-            compiler_params=_fb._compiler_params(),
+            compiler_params=_batched_compiler_params(),
         )(seed_arr, x, *[f32(p) for p in params])
         return out, (x, x1, params, seed_arr)
     out, x1 = pl.pallas_call(
@@ -815,7 +837,7 @@ def _fbl_bwd(heads, t_valid, rates, training, interpret, res, g):
                        + [jax.ShapeDtypeStruct(s, jnp.float32)
                           for s in p_shapes]),
             interpret=interpret,
-            compiler_params=_fb._compiler_params(),
+            compiler_params=_batched_compiler_params(),
         )(seed_arr, x, x1, jnp.asarray(g, x.dtype),
           *[f32(p) for p in params])
         dx = outs[0]

@@ -199,9 +199,11 @@ def main() -> None:
         [sys.executable, os.path.abspath(__file__), "worker", str(i),
          str(port)], env=env, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True) for i in range(N_PROC)]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+    # 1-core images under concurrent load (a TPU bench's host-side tracing,
+    # CI) have pushed the two workers' XLA:CPU compiles past 15 min
+    outs = [p.communicate(timeout=2400)[0] for p in procs]
     for i, (p, out) in enumerate(zip(procs, outs)):
-        tail = "\n".join(out.strip().splitlines()[-5:])
+        tail = "\n".join(out.strip().splitlines()[-40:])
         print(f"--- worker {i} (rc={p.returncode}) ---\n{tail}")
     if any(p.returncode != 0 for p in procs):
         sys.exit(1)

@@ -285,6 +285,7 @@ def test_autoplan_plan_cache(monkeypatch, tmp_path):
     monkeypatch.setattr(bl, "_ATTN_MODE", "packed")
     monkeypatch.setattr(bl, "_GRID_PINNED", False)
     monkeypatch.setattr(bl, "_GRID_MODE", "subject")
+    monkeypatch.setattr(bl, "_BC_CAP", 8)
     assert autoplan.resolve_plans(8) == ("bp", "loop")
 
     # different hardware -> cache ignored, canaries decide
@@ -325,6 +326,7 @@ def test_autoplan_fallback(monkeypatch, tmp_path):
     monkeypatch.setattr(bl, "_ATTN_MODE", "packed")
     monkeypatch.setattr(bl, "_GRID_PINNED", False)
     monkeypatch.setattr(bl, "_GRID_MODE", "subject")
+    monkeypatch.setattr(bl, "_BC_CAP", 8)
     assert autoplan.resolve_plans(8) == ("bpr", "packed")
     assert bl._GRID_MODE == "batched"   # batched-grid canary passed
 
