@@ -281,6 +281,8 @@ def _forward_bp(seed_ref, x_ref, y_ref, dpl_ref, bias_ref, mask_ref, prefs,
          g2, b2, w1, b1m, w2, b2m, M) = prefs
 
     x2 = x_ref[:].astype(jnp.float32).reshape(R, BC)
+    if fb._ABLATE == "copy":                       # launch + DMA floor
+        return x2, x2
     h1, xh1, r1 = _ln_fwd_bp(x2, g1[:], b1[:], M[:])
     if cross:
         y2 = y_ref[:].astype(jnp.float32).reshape(R, BC)
@@ -291,20 +293,31 @@ def _forward_bp(seed_ref, x_ref, y_ref, dpl_ref, bias_ref, mask_ref, prefs,
     k3 = (mdot(hk, Wk[:]) + bk[:]).reshape(Wc, NP, BC)
     v3 = (mdot(hk, Wv[:]) + bv[:]).reshape(Wc, NP, BC)
 
-    K_pack = _pack_kv(k3, BH, mm16)                # (Wc, BC, L)
-    V_pack = _pack_kv(v3, BH, mm16)
-    S = _packed_scores(q3 * scale, K_pack, bias_ref, mask_ref, BH,
-                       bdot=mbdot)
-    p = _packed_softmax(S, _seg_matrix(NP, BH), Wc, NP, L)
-    if training and attn_rate > 0.0:
-        p = p * _keep3_bp(p.shape, attn_rate, seed, 3, wkey0, mode)
-    o2 = mbdot(p, V_pack, 2, 2).reshape(R, BC)
+    if fb._ABLATE == "noheads":                    # skip attention entirely
+        o2 = q3.reshape(R, BC)
+    else:
+        K_pack = _pack_kv(k3, BH, mm16)            # (Wc, BC, L)
+        V_pack = _pack_kv(v3, BH, mm16)
+        if fb._ABLATE == "dotsonly":               # packed dots + packs only
+            p = mbdot(q3 * scale, K_pack, 2, 1) * 0.01
+        else:
+            S = _packed_scores(q3 * scale, K_pack, bias_ref, mask_ref, BH,
+                               bdot=mbdot)
+            if fb._ABLATE == "nosm":               # skip the softmax
+                p = S * 0.01
+            else:
+                p = _packed_softmax(S, _seg_matrix(NP, BH), Wc, NP, L)
+        if training and attn_rate > 0.0:
+            p = p * _keep3_bp(p.shape, attn_rate, seed, 3, wkey0, mode)
+        o2 = mbdot(p, V_pack, 2, 2).reshape(R, BC)
     a = mdot(o2, wp[:]) + bpj[:]
     if training and drop_rate > 0.0:
         a = a * _keep2_bp(a.shape, drop_rate, seed, _DRAW_PROJ, row0, mode)
     dp1 = dpl_ref[0:1, :]                          # (1, BC) lane DropPath
     dp2 = dpl_ref[1:2, :]
     x2r = x2 + dp1 * a
+    if fb._ABLATE == "nomlp":                      # skip LN2 + MLP
+        return x2r, x2r
     h2, _, _ = _ln_fwd_bp(x2r, g2[:], b2[:], M[:])
     u = mdot(h2, w1[:]) + b1m[:]
     gu = _gelu(u)
@@ -394,37 +407,46 @@ def _make_bwd_kernel_bp(dims, rates, training, with_mask, cross, mode,
             for ref in (dbias_ref,) + tuple(dp_refs):
                 ref[:] = jnp.zeros_like(ref)
 
+        if fb._ABLATE == "copy":                   # launch + DMA floor
+            dx_ref[:] = g_ref[:].astype(dx_ref.dtype)
+            if cross:
+                dy_ref[:] = g_ref[:].astype(dy_ref.dtype)
+            return
+
         # ---- MLP/LN2 backward over saved x2r ------------------------------
         x2r = x2r_ref[:].astype(jnp.float32).reshape(R, BC)
         g = g_ref[:].astype(jnp.float32).reshape(R, BC)
         dp1 = dpl_ref[0:1, :]
         dp2 = dpl_ref[1:2, :]
 
-        dz = dp2 * g
-        if with_drop:
-            dz = dz * _keep2_bp(dz.shape, drop_rate, seed, _DRAW_MLP2,
-                                row0, mode)
-        db2m_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
-        h2, xh2, r2 = _ln_fwd_bp(x2r, g2[:], b2[:], M[:])
-        u = mdot(h2, w1[:]) + b1m[:]
-        gu = _gelu(u)
-        if with_drop:
-            m1 = _keep2_bp(gu.shape, drop_rate, seed, _DRAW_MLP1, row0,
-                           mode)
-            gu = gu * m1
+        if fb._ABLATE == "nomlp":                  # skip LN2 + MLP backward
+            dx2r = g
         else:
-            m1 = None
-        dw2_ref[:] += mdot_tn(gu, dz)
-        dgu = mdot_nt(dz, w2[:])
-        if m1 is not None:
-            dgu = dgu * m1
-        du = dgu * _gelu_grad(u)
-        db1m_ref[:] += jnp.sum(du, axis=0, keepdims=True)
-        dw1_ref[:] += mdot_tn(h2, du)
-        dh2 = mdot_nt(du, w1[:])
-        dg2_ref[:] += jnp.sum(dh2 * xh2, axis=0, keepdims=True)
-        db2_ref[:] += jnp.sum(dh2, axis=0, keepdims=True)
-        dx2r = g + _ln_bwd_bp(dh2, xh2, r2, g2[:], M[:])
+            dz = dp2 * g
+            if with_drop:
+                dz = dz * _keep2_bp(dz.shape, drop_rate, seed, _DRAW_MLP2,
+                                    row0, mode)
+            db2m_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
+            h2, xh2, r2 = _ln_fwd_bp(x2r, g2[:], b2[:], M[:])
+            u = mdot(h2, w1[:]) + b1m[:]
+            gu = _gelu(u)
+            if with_drop:
+                m1 = _keep2_bp(gu.shape, drop_rate, seed, _DRAW_MLP1, row0,
+                               mode)
+                gu = gu * m1
+            else:
+                m1 = None
+            dw2_ref[:] += mdot_tn(gu, dz)
+            dgu = mdot_nt(dz, w2[:])
+            if m1 is not None:
+                dgu = dgu * m1
+            du = dgu * _gelu_grad(u)
+            db1m_ref[:] += jnp.sum(du, axis=0, keepdims=True)
+            dw1_ref[:] += mdot_tn(h2, du)
+            dh2 = mdot_nt(du, w1[:])
+            dg2_ref[:] += jnp.sum(dh2 * xh2, axis=0, keepdims=True)
+            db2_ref[:] += jnp.sum(dh2, axis=0, keepdims=True)
+            dx2r = g + _ln_bwd_bp(dh2, xh2, r2, g2[:], M[:])
 
         # ---- recompute LN1 + q/k/v ----------------------------------------
         x2 = x_ref[:].astype(jnp.float32).reshape(R, BC)
@@ -447,38 +469,53 @@ def _make_bwd_kernel_bp(dims, rates, training, with_mask, cross, mode,
 
         # ---- packed attention recompute + backward -------------------------
         q3s = q3 * scale
-        G = _seg_matrix(NP, BH)
-        K_pack = _pack_kv(k3, BH, mm16)
-        V_pack = _pack_kv(v3, BH, mm16)
-        S = _packed_scores(q3s, K_pack, bias_ref, mask_ref, BH,
-                           bdot=mbdot)
-        p = _packed_softmax(S, G, Wc, NP, L)
-        if training and attn_rate > 0.0:
-            keep = _keep3_bp((Wc, NP, L), attn_rate, seed, 3, wkey0, mode)
-            pd = p * keep
+        if fb._ABLATE == "noheads":                # attention-free twin
+            o2 = q3.reshape(R, BC)
+            dq = do2
+            dk = jnp.zeros_like(do2)
+            dv = jnp.zeros_like(do2)
         else:
-            keep = None
-            pd = p
-        o2 = mbdot(pd, V_pack, 2, 2).reshape(R, BC)
+            G = _seg_matrix(NP, BH)
+            K_pack = _pack_kv(k3, BH, mm16)
+            V_pack = _pack_kv(v3, BH, mm16)
+            if fb._ABLATE == "dotsonly":           # packed dots + packs only
+                p = mbdot(q3s, K_pack, 2, 1) * 0.01
+            else:
+                S = _packed_scores(q3s, K_pack, bias_ref, mask_ref, BH,
+                                   bdot=mbdot)
+                if fb._ABLATE == "nosm":           # skip the softmax
+                    p = S * 0.01
+                else:
+                    p = _packed_softmax(S, G, Wc, NP, L)
+            if training and attn_rate > 0.0:
+                keep = _keep3_bp((Wc, NP, L), attn_rate, seed, 3, wkey0,
+                                 mode)
+                pd = p * keep
+            else:
+                keep = None
+                pd = p
+            o2 = mbdot(pd, V_pack, 2, 2).reshape(R, BC)
 
-        dpd = mbdot(do3, V_pack, 2, 1)                 # (Wc, NP, L)
-        dvf = mbdot(pd, do3, 1, 1)                     # (Wc, L, BC)
-        dv3 = _unstack_bp(dvf, Wc, BH, NP, BC)
-        dp_ = dpd * keep if keep is not None else dpd
-        t = (dp_ * p).reshape(R, L)
-        seg = _dot_nt(_dot(t, G), G).reshape(Wc, NP, L)
-        ds = p * (dp_ - seg)
-        dbias_ref[:] += jnp.sum(ds, axis=0)            # (NP, L)
-        dq3 = mbdot(ds, K_pack, 2, 2) * scale          # (Wc, NP, BC)
-        dkf = mbdot(ds, q3s, 1, 1)                     # (Wc, L, BC)
-        dk3 = _unstack_bp(dkf, Wc, BH, NP, BC)
+            dpd = mbdot(do3, V_pack, 2, 1)             # (Wc, NP, L)
+            dvf = mbdot(pd, do3, 1, 1)                 # (Wc, L, BC)
+            dv3 = _unstack_bp(dvf, Wc, BH, NP, BC)
+            dp_ = dpd * keep if keep is not None else dpd
+            if fb._ABLATE in ("dotsonly", "nosm"):     # skip softmax bwd
+                ds = dp_ * 0.01
+            else:
+                t = (dp_ * p).reshape(R, L)
+                seg = _dot_nt(_dot(t, G), G).reshape(Wc, NP, L)
+                ds = p * (dp_ - seg)
+            dbias_ref[:] += jnp.sum(ds, axis=0)        # (NP, L)
+            dq3 = mbdot(ds, K_pack, 2, 2) * scale      # (Wc, NP, BC)
+            dkf = mbdot(ds, q3s, 1, 1)                 # (Wc, L, BC)
+            dk3 = _unstack_bp(dkf, Wc, BH, NP, BC)
+            dq = dq3.reshape(R, BC)
+            dk = dk3.reshape(R, BC)
+            dv = dv3.reshape(R, BC)
 
         dbpj_ref[:] += jnp.sum(da, axis=0, keepdims=True)
         dwp_ref[:] += mdot_tn(o2, da)
-
-        dq = dq3.reshape(R, BC)
-        dk = dk3.reshape(R, BC)
-        dv = dv3.reshape(R, BC)
         dbq_ref[:] += jnp.sum(dq, axis=0, keepdims=True)
         dbk_ref[:] += jnp.sum(dk, axis=0, keepdims=True)
         dbv_ref[:] += jnp.sum(dv, axis=0, keepdims=True)
