@@ -729,29 +729,44 @@ def _compiler_params():
     return None
 
 
-def packed_bias_from_table(table, ws: int, heads: int, NP: int,
-                           rel_idx: np.ndarray) -> jnp.ndarray:
-    """(NP, L) head-packed relative-position bias with -1e9 pad columns, as a
-    SINGLE gather from the flattened table (+1 mask mult, +1 add).
-
-    Replaces the combined_bias -> transpose -> reshape chain the model ran
-    per block per step (gather/reshape/transpose/pad/add ~8 XLA oplets inside
-    the block scan — measured as part of the ~0.9 ms/block non-kernel
-    overhead). Differentiable in ``table``: XLA turns the gather's transpose
-    into one scatter-add. The index/mask planes are trace-time numpy."""
+@functools.lru_cache(maxsize=None)
+def _bias_onehot(ws: int, heads: int, NP: int, rel_key) -> tuple:
+    """Static (NP*NP, T) one-hot placement matrix + (NP, L) pad plane for
+    packed_bias_from_table (rel_key: hashable bytes of rel_idx)."""
     N = ws * ws
     L = heads * NP
+    rel = np.frombuffer(rel_key, np.int64).reshape(N, N)
+    T = rel.max() + 1
     n = np.arange(NP)[:, None]
-    l = np.arange(L)[None, :]
-    h, m = l // NP, l % NP
+    m = np.arange(NP)[None, :]
     valid = (n < N) & (m < N)
-    rel = np.asarray(rel_idx).reshape(N, N)
-    idx2 = np.where(valid,
-                    rel[np.minimum(n, N - 1), np.minimum(m, N - 1)] * heads
-                    + h, 0).astype(np.int32)
-    colpad = np.where(m >= N, np.float32(_NEG_INF), np.float32(0.0))
-    flat = jnp.asarray(table, jnp.float32).reshape(-1)
-    return (flat[jnp.asarray(idx2)] * jnp.asarray(valid, np.float32)
+    idx = np.where(valid, rel[np.minimum(n, N - 1), np.minimum(m, N - 1)], T)
+    oh = (idx[..., None] == np.arange(T)[None, None]).astype(np.float32)
+    lcol = np.arange(L)[None, :] % NP
+    colpad = np.where(lcol >= N, np.float32(_NEG_INF),
+                      np.float32(0.0)) * np.ones((NP, 1), np.float32)
+    return oh.reshape(NP * NP, T), colpad
+
+
+def packed_bias_from_table(table, ws: int, heads: int, NP: int,
+                           rel_idx: np.ndarray) -> jnp.ndarray:
+    """(NP, L) head-packed relative-position bias with -1e9 pad columns, as
+    ONE matmul against a static one-hot placement matrix.
+
+    Replaces the combined_bias -> transpose -> reshape chain the model ran
+    per block per step (swinfusion_module.py:133-142). Earlier revisions used
+    a f32[726] -> f32[9600] gather here, but the step profile attributed
+    ~5 ms/step to the ~60 gather/scatter-add pairs it left inside the block
+    scans (ROADMAP round-3 attribution); as a dot against a constant
+    (NP^2, T) one-hot both directions ride the MXU and fuse: bias gradient
+    = OH^T @ dbias, no scatter. The placement/pad planes are trace-time
+    numpy (lru-cached per geometry)."""
+    N = ws * ws
+    rel = np.ascontiguousarray(np.asarray(rel_idx).reshape(N, N), np.int64)
+    oh, colpad = _bias_onehot(ws, heads, NP, rel.tobytes())
+    b3 = jnp.dot(jnp.asarray(oh),
+                 jnp.asarray(table, jnp.float32)).reshape(NP, NP, heads)
+    return (jnp.transpose(b3, (0, 2, 1)).reshape(NP, heads * NP)
             + jnp.asarray(colpad))
 
 
