@@ -160,6 +160,33 @@ def main() -> None:
                 best_w = min(best_w, (time.perf_counter() - t0) / 5)
             return best_w, nonlocal_state
 
+        # Grid race FIRST: if the batched BERT grid cannot compile inside
+        # the full step at the current Bc cap, every later race leg would
+        # inherit the broken plan and fail (seen on v5e: canary passed at
+        # Bc=4, full step needed 101.05 MB > cap, all 5 layout/attn legs
+        # died). Racing the grid first settles a compilable Bc before the
+        # layout/attn legs trace.
+        if "BERT_GRID" not in os.environ:
+            grid_times = {}
+            for mode in ("batched", "subject"):
+                bl._GRID_MODE = mode
+                while True:
+                    try:
+                        grid_times[mode], state = time_plan(state)
+                        break
+                    except Exception as e:           # pragma: no cover - hw
+                        print(f"[bench] bert grid {mode} (Bc<={bl._BC_CAP})"
+                              f" failed ({type(e).__name__})", flush=True)
+                        if mode != "batched" or not bl.shrink_bc():
+                            break
+            if grid_times:
+                bl._GRID_MODE = min(grid_times, key=grid_times.get)
+                race_results["bert_grid_ms_per_step"] = {
+                    k: round(v * 1e3, 2) for k, v in grid_times.items()}
+                print(f"[bench] bert grid race: "
+                      f"{race_results['bert_grid_ms_per_step']} -> "
+                      f"{bl._GRID_MODE}", flush=True)
+
         if "FUSION_LAYOUT" not in os.environ:
             fusion_times = {}
             for lay in ("std", "bp", "bpr"):
@@ -192,27 +219,6 @@ def main() -> None:
                 print(f"[bench] bert attention race: "
                       f"{race_results['bert_ms_per_step']} -> {bl._ATTN_MODE}",
                       flush=True)
-        if "BERT_GRID" not in os.environ:
-            grid_times = {}
-            for mode in ("batched", "subject"):
-                bl._GRID_MODE = mode
-                while True:
-                    try:
-                        grid_times[mode], state = time_plan(state)
-                        break
-                    except Exception as e:           # pragma: no cover - hw
-                        print(f"[bench] bert grid {mode} (Bc<={bl._BC_CAP})"
-                              f" failed ({type(e).__name__})", flush=True)
-                        if mode != "batched" or not bl.shrink_bc():
-                            break
-            if grid_times:
-                bl._GRID_MODE = min(grid_times, key=grid_times.get)
-                race_results["bert_grid_ms_per_step"] = {
-                    k: round(v * 1e3, 2) for k, v in grid_times.items()}
-                print(f"[bench] bert grid race: "
-                      f"{race_results['bert_grid_ms_per_step']} -> "
-                      f"{bl._GRID_MODE}", flush=True)
-
         if race_results:
             # persist the measured winners: autoplan consults this cache so
             # real training runs boot with the measured-best plans too.

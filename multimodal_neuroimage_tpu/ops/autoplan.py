@@ -145,14 +145,19 @@ def _canary_bert_packed(batch: int, t: int = 369, hidden: int = 84,
 def _canary_bert_batched(batch: int) -> None:
     """Compile + run one batched-grid BERT layer fwd+bwd at flagship
     geometry (the batched kernels fold Bc subjects into the row axis — the
-    larger VMEM live set is what this canary proves out)."""
+    larger VMEM live set is what this canary proves out). Compiles with an
+    8 MB safety margin off the batched VMEM cap: Mosaic requests 1-2 MB
+    more for the same kernel inside a big program than in this standalone
+    jit (measured on v5e: canary passed at 100 MB, full step asked 101.05),
+    so a margin-passing canary implies the full step fits the real cap."""
     from multimodal_neuroimage_tpu.ops import bert_layer as bl
-    prev = bl._GRID_MODE
+    prev, prev_margin = bl._GRID_MODE, bl._VMEM_MARGIN
     bl._GRID_MODE = "batched"
+    bl._VMEM_MARGIN = 8 * 1024 * 1024
     try:
         _canary_bert_packed(batch)
     finally:
-        bl._GRID_MODE = prev
+        bl._GRID_MODE, bl._VMEM_MARGIN = prev, prev_margin
 
 
 def resolve_plans(batch_size: int = 8) -> Tuple[str, str]:

@@ -150,12 +150,21 @@ _BC_CAP = int(os.environ.get("BERT_BC", "8"))
 # at Bc=8 (measured: Mosaic scoped-allocation failure on v5e). v5e VMEM is
 # 128 MB; give the batched kernels their own higher ceiling and let
 # autoplan/bench shrink Bc (8 -> 4 -> 2) if the hardware still refuses.
+# (Bc=4 measured 101.05 MB inside the full flagship step on v5e, hence 112.)
 _BATCHED_VMEM = int(os.environ.get("BERT_BATCHED_VMEM",
-                                   str(100 * 1024 * 1024)))
+                                   str(112 * 1024 * 1024)))
+
+# Mosaic's scoped-vmem request for the SAME kernel is 1-2 MB larger inside a
+# big program than in a standalone canary jit (surrounding layouts/bitcasts
+# add relayout windows — measured: canary passed at 100 MB while the full
+# step's twin requested 101.05 MB and failed). autoplan sets this margin
+# while its canaries compile so canary-pass implies full-step-pass.
+_VMEM_MARGIN = 0
 
 
 def _batched_compiler_params():
-    return pltpu.CompilerParams(vmem_limit_bytes=_BATCHED_VMEM)
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=_BATCHED_VMEM - _VMEM_MARGIN)
 
 
 def shrink_bc() -> bool:
