@@ -116,6 +116,19 @@ def main() -> None:
     bench_config = os.environ.get("BENCH_CONFIG", "flagship")
 
     cfg, batch, model_label = _bench_setup(bench_config, batch_size, platform)
+    # rotate over a few distinct batches during the timed run: a single
+    # memorized batch lets a fast-but-wrong-gradient regression still show a
+    # falling loss (VERDICT r2 weak #8), and varying content also defeats
+    # the tunnel's same-content execution dedupe
+    n_rotate = int(os.environ.get("BENCH_ROTATE", "4"))
+    prng = np.random.default_rng(123)
+    rot_batches = [batch]
+    for _ in range(n_rotate - 1):
+        b = dict(_bench_setup(bench_config, batch_size, platform)[1])
+        for k, v in b.items():
+            if v.dtype.kind == "f" and k != "target":
+                b[k] = (v + 0.3 * prng.normal(size=v.shape)).astype(v.dtype)
+        rot_batches.append(b)
     from multimodal_neuroimage_tpu.ops.autoplan import resolve_plans
     resolve_plans(per_chip_batch)
     mesh = build_mesh()
@@ -127,6 +140,7 @@ def main() -> None:
                           opt_state=replicate(state.opt_state, mesh))
     specs = active_losses(cfg.task, cfg.fine_tune_task)
     dev_batch = shard_batch(batch, mesh)
+    dev_rot = [dev_batch] + [shard_batch(b, mesh) for b in rot_batches[1:]]
 
     def fresh_step():
         return make_train_step(model, specs, compute_dtype=cfg.compute_dtype,
@@ -251,11 +265,11 @@ def main() -> None:
     best = float("inf")
     trajectory: list[float] = []
     trajectory_ok = True
-    for _ in range(n_windows):
+    for w in range(n_windows):
         window_refs = []
         t0 = time.perf_counter()
-        for _ in range(n_steps):
-            state, losses, _ = step(state, dev_batch)
+        for i in range(n_steps):
+            state, losses, _ = step(state, dev_rot[i % len(dev_rot)])
             window_refs.append(losses["total"])
         assert np.isfinite(float(losses["total"]))   # value fetch = true sync
         best = min(best, time.perf_counter() - t0)
