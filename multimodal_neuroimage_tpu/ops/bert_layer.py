@@ -207,7 +207,7 @@ def _pack_heads(t, heads):
     return tiled * sel.astype(jnp.float32)
 
 
-def _seg_softmax(S, G):
+def _seg_softmax(S, G, mm16: bool = False):
     """Per-head-segment logit-cap softmax over the packed lane axis.
     S (TP, L), G (L, heads) segment indicator.
 
@@ -215,8 +215,19 @@ def _seg_softmax(S, G):
     subtraction; identical below the cap, and at hd=7 / LN-bounded inputs
     trained logits stay orders of magnitude under 80. If a score DID exceed
     80 the clamp would zero its gradient — BERT_ATTN=loop keeps the
-    max-subtracted oracle for checking that (tests compare the two)."""
+    max-subtracted oracle for checking that (tests compare the two).
+
+    ``mm16``: bf16 operands / f32 accumulation for the two segment dots —
+    at heads=12 the (TP, L) x (L, 12) sum dot is lane-pad-dominated and f32
+    MXU passes cost several x bf16; the ~2^-8 denominator wobble is below
+    the bf16 rounding the context dot applies to p anyway (see
+    fusion_block._packed_softmax)."""
     e = jnp.exp(jnp.minimum(S, _fb._LOGIT_CAP))
+    if mm16:
+        Gb = G.astype(jnp.bfloat16)
+        den = _dot(e.astype(jnp.bfloat16), Gb)     # (TP, heads), f32 acc
+        return e * _dot_nt((1.0 / jnp.maximum(den, 1e-38)
+                            ).astype(jnp.bfloat16), Gb)
     den = _dot(e, G)                               # (TP, heads)
     return e * _dot_nt(1.0 / jnp.maximum(den, 1e-38), G)
 
@@ -242,7 +253,7 @@ def _attn_packed_fwd(q, k, v, dims, scale, attn_rate, seed_ref, training,
     K_pack = _pack_heads(k, heads)                 # (H, L)
     V_pack = _pack_heads(v, heads)
     S = mdot(q * scale, K_pack) + _keypad_packed(TP, T, heads)
-    p = _seg_softmax(S, _fb._seg_matrix(TP, heads))
+    p = _seg_softmax(S, _fb._seg_matrix(TP, heads), mm16)
     if training and attn_rate > 0.0:
         r0 = pl.program_id(0) * TP if row0 is None else row0
         pd = p * _drop(p.shape, attn_rate, seed_ref, draw, mode, r0)
@@ -485,7 +496,7 @@ def _make_merged_bwd_kernel_batched(dims, rates, training, mm16, mode, Bc):
                                      mode, row0)
                 else:
                     dp = dpd
-                seg_sum = _dot_nt(_dot(dp * p, G), G)
+                seg_sum = _fb._seg_rows(dp * p, G, mm16)
                 ds = p * (dp - seg_sum)
                 dqkv_scratch[sl, 0:H] = mdot_nt(ds, K_pack) * scale
                 dqkv_scratch[sl, H:2 * H] = _unpack_rows(
@@ -643,7 +654,7 @@ def _attn_bwd_body(seed_ref, x, dx1, wq, bq, wk, bk, wv, bv, wo, bo, g1, b1,
             dp = dpd * _drop(dpd.shape, attn_rate, seed_ref, 3, mode, row0)
         else:
             dp = dpd
-        seg_sum = _dot_nt(_dot(dp * p, G), G)  # per-head row sums, packed
+        seg_sum = _fb._seg_rows(dp * p, G, mm16)  # per-head row sums, packed
         ds = p * (dp - seg_sum)
         dq = mdot_nt(ds, K_pack) * scale
         dk = _unpack_rows(mdot_tn(ds, q * scale), TP, heads, hd)

@@ -373,12 +373,39 @@ def _packed_scores(q3s, K_pack, bias_ref, mask_ref, H, bdot=None):
 _LOGIT_CAP = 80.0
 
 
-def _packed_softmax(S, G, Wc, NP, L):
-    """Per-head-segment softmax over the packed lane axis."""
+def _packed_softmax(S, G, Wc, NP, L, mm16: bool = False):
+    """Per-head-segment softmax over the packed lane axis.
+
+    ``mm16`` runs the two segment dots (sum + broadcast-back) with bf16
+    operands and f32 accumulation: G is 0/1 so the placement is exact, e is
+    positive so the bf16 rounding of the summands is an unbiased ~2^-8
+    relative wobble on the denominator — smaller than the bf16 rounding the
+    downstream context dot applies to p anyway. f32 dots run at a fraction
+    of the v5e MXU's bf16 rate, and at H tiny these dots are pad-dominated,
+    so the cast matters despite the small FLOP count. Only enabled when the
+    surrounding kernel already runs the bf16 compute policy (exact f32
+    parity with the jnp twins is preserved for f32 inputs/tests)."""
     e = jnp.exp(jnp.minimum(S, _LOGIT_CAP))       # <= 5.5e34, no overflow
+    if mm16:
+        Gb = G.astype(jnp.bfloat16)
+        den = _dot(e.reshape(Wc * NP, L).astype(jnp.bfloat16), Gb)
+        rden = 1.0 / jnp.maximum(den, 1e-38)
+        return e * _dot_nt(rden.astype(jnp.bfloat16),
+                           Gb).reshape(Wc, NP, L)
     den = _dot(e.reshape(Wc * NP, L), G)          # (R, H) segment sums
     rden = 1.0 / jnp.maximum(den, 1e-38)
     return e * _dot_nt(rden, G).reshape(Wc, NP, L)
+
+
+def _seg_rows(t, G, mm16: bool = False):
+    """Packed per-head row sums for the softmax backward: (rows, L) ->
+    (rows, L) where each lane carries its segment's sum of t. Same bf16-
+    operand policy as _packed_softmax under ``mm16``."""
+    if mm16:
+        Gb = G.astype(jnp.bfloat16)
+        return _dot_nt(_dot(t.astype(jnp.bfloat16), Gb).astype(jnp.bfloat16),
+                       Gb)
+    return _dot_nt(_dot(t, G), G)
 
 
 def _unstack_heads(full, masks, NP: int):

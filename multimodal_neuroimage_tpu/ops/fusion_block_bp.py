@@ -306,7 +306,7 @@ def _forward_bp(seed_ref, x_ref, y_ref, dpl_ref, bias_ref, mask_ref, prefs,
             if fb._ABLATE == "nosm":               # skip the softmax
                 p = S * 0.01
             else:
-                p = _packed_softmax(S, _seg_matrix(NP, BH), Wc, NP, L)
+                p = _packed_softmax(S, _seg_matrix(NP, BH), Wc, NP, L, mm16)
         if training and attn_rate > 0.0:
             p = p * _keep3_bp(p.shape, attn_rate, seed, 3, wkey0, mode)
         o2 = mbdot(p, V_pack, 2, 2).reshape(R, BC)
@@ -486,7 +486,7 @@ def _make_bwd_kernel_bp(dims, rates, training, with_mask, cross, mode,
                 if fb._ABLATE == "nosm":           # skip the softmax
                     p = S * 0.01
                 else:
-                    p = _packed_softmax(S, G, Wc, NP, L)
+                    p = _packed_softmax(S, G, Wc, NP, L, mm16)
             if training and attn_rate > 0.0:
                 keep = _keep3_bp((Wc, NP, L), attn_rate, seed, 3, wkey0,
                                  mode)
@@ -504,7 +504,7 @@ def _make_bwd_kernel_bp(dims, rates, training, with_mask, cross, mode,
                 ds = dp_ * 0.01
             else:
                 t = (dp_ * p).reshape(R, L)
-                seg = _dot_nt(_dot(t, G), G).reshape(Wc, NP, L)
+                seg = fb._seg_rows(t, G, mm16).reshape(Wc, NP, L)
                 ds = p * (dp_ - seg)
             dbias_ref[:] += jnp.sum(ds, axis=0)        # (NP, L)
             dq3 = mbdot(ds, K_pack, 2, 2) * scale      # (Wc, NP, BC)
