@@ -309,6 +309,19 @@ def main() -> None:
         print(f"[bench] cost_analysis unavailable: {type(e).__name__}: {e}",
               flush=True)
 
+    # cost_analysis cannot see inside tpu_custom_call (Pallas) kernels, so
+    # on kernel-heavy configs it undercounts by ~100x. traced_flops walks
+    # the jaxpr INCLUDING kernel bodies (x grid) and scan bodies (x length)
+    # — the kernel-aware self-validation twin of the analytic model.
+    traced_flops_per_subject = None
+    try:
+        from multimodal_neuroimage_tpu.obs.profiling import traced_flops
+        traced_flops_per_subject = (
+            traced_flops(step, state, dev_batch) / batch_size)
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"[bench] traced_flops unavailable: {type(e).__name__}: {e}",
+              flush=True)
+
     # analytic FLOPs for one flagship TRAIN step per subject (fwd+bwd ~ 3x
     # fwd): dual 16-layer BERTs (T=369, H=84, I=3072) + ~60 fusion blocks
     # (7056 tokens, C=12) + SwinV2 head. Dense matmul = 2mkn. Non-flagship
@@ -327,7 +340,8 @@ def main() -> None:
                              + 4 * 196 * 6 * 1296 * (C // 6))
         train_flops_per_subject = 3 * (bert + fusion) * 1.05  # +5% head/glue
     else:
-        train_flops_per_subject = compiled_flops_per_subject or 0.0
+        train_flops_per_subject = (traced_flops_per_subject
+                                   or compiled_flops_per_subject or 0.0)
     tflops = per_chip * train_flops_per_subject / 1e12
     # bf16 peak TFLOP/s per chip by device kind (fallback: v5e)
     kind = getattr(jax.devices()[0], "device_kind", "").lower()
@@ -366,6 +380,13 @@ def main() -> None:
         "compiled_flops_per_subject": (
             round(compiled_flops_per_subject)
             if compiled_flops_per_subject else None),
+        "traced_flops_per_subject": (
+            round(traced_flops_per_subject)
+            if traced_flops_per_subject else None),
+        "mfu_pct_traced": (
+            round(100.0 * per_chip * traced_flops_per_subject
+                  / 1e12 / peak, 3)
+            if traced_flops_per_subject else None),
         "mfu_pct_compiled": (
             round(100.0 * per_chip * compiled_flops_per_subject
                   / 1e12 / peak, 3)

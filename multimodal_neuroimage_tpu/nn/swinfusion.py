@@ -66,6 +66,27 @@ _GLUE_MODE = os.environ.get("FUSION_GLUE", "chain")
 # otherwise). Tests monkeypatch this global directly.
 _LAYOUT = os.environ.get("FUSION_LAYOUT")
 
+# Stream dtype inside the fused BP/BPR stacks. The flagship's struct branch
+# reaches SwinFusion as f32 (FC/VAE numerics upstream want f32), and a f32
+# stream makes EVERY kernel dot an f32 MXU op — the round-3 jaxpr census
+# measured 3.1 TFLOP/step of fusion dots all running f32 while the BERT
+# kernels (bf16 streams) ran bf16, and bf16 streams also halve the kernels'
+# stream DMA and enable the mm16 segment dots. Casting at stack entry (and
+# back at exit) keeps the module contract; gated on the TPU backend so the
+# CPU layout-parity tests (std vs bp, exact) and the goldens are untouched
+# — it is a compute-policy cast, the same envelope as the reference's CUDA
+# AMP on these blocks. FUSION_STREAM16=0 pins f32 streams on TPU too.
+_STREAM16 = os.environ.get("FUSION_STREAM16", "1") != "0"
+
+
+def _stream16_active() -> bool:
+    if not _STREAM16:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:                                # pragma: no cover
+        return False
+
 
 def _win_trans(xw, H: int, W: int, ws: int, s_from: int, s_to: int):
     """(nW, NP, B*C) windows at shift s_from -> windows at shift s_to via
@@ -663,6 +684,9 @@ class BasicLayerFusion(nn.Module):
         resident = bp and _LAYOUT == "bpr"
         H, W = self.input_resolution
         ws, s_eff, NP = _eff_geometry(self.input_resolution, self.window_size)
+        in_dtype = x.dtype
+        if bp and _stream16_active():
+            x = x.astype(jnp.bfloat16)         # see _STREAM16
         if bp:
             x = _bp_enter(x)
         if resident:
@@ -682,7 +706,7 @@ class BasicLayerFusion(nn.Module):
                         name="pairs")(x, aux, deterministic)
             if resident:
                 x = _from_padded_windows_bp(x, H, W, ws, 0, NP)
-            return _bp_exit(x, B) if bp else x
+            return _bp_exit(x, B).astype(in_dtype) if bp else x
         cur = 0
         for i in range(self.depth):
             dp = (self.drop_path[i] if isinstance(self.drop_path, (list, tuple))
@@ -700,7 +724,7 @@ class BasicLayerFusion(nn.Module):
                             name=f"block_{i}")(x, deterministic)
         if resident:
             x = _from_padded_windows_bp(x, H, W, ws, cur, NP)
-        return _bp_exit(x, B) if bp else x
+        return _bp_exit(x, B).astype(in_dtype) if bp else x
 
 
 class CrossBasicLayer(nn.Module):
@@ -727,6 +751,9 @@ class CrossBasicLayer(nn.Module):
         resident = bp and _LAYOUT == "bpr"
         H, W = self.input_resolution
         ws, s_eff, NP = _eff_geometry(self.input_resolution, self.window_size)
+        in_dtype = x.dtype
+        if bp and _stream16_active():
+            x, y = x.astype(jnp.bfloat16), y.astype(jnp.bfloat16)
         if bp:
             x, y = _bp_enter(x), _bp_enter(y)
         if resident:
@@ -748,7 +775,9 @@ class CrossBasicLayer(nn.Module):
             if resident:
                 x = _from_padded_windows_bp(x, H, W, ws, 0, NP)
                 y = _from_padded_windows_bp(y, H, W, ws, 0, NP)
-            return (_bp_exit(x, B), _bp_exit(y, B)) if bp else (x, y)
+            return ((_bp_exit(x, B).astype(in_dtype),
+                     _bp_exit(y, B).astype(in_dtype))
+                    if bp else (x, y))
         cur = 0
         for i in range(self.depth):
             dp = (self.drop_path[i] if isinstance(self.drop_path, (list, tuple))
@@ -768,7 +797,9 @@ class CrossBasicLayer(nn.Module):
         if resident:
             x = _from_padded_windows_bp(x, H, W, ws, cur, NP)
             y = _from_padded_windows_bp(y, H, W, ws, cur, NP)
-        return (_bp_exit(x, B), _bp_exit(y, B)) if bp else (x, y)
+        return ((_bp_exit(x, B).astype(in_dtype),
+                 _bp_exit(y, B).astype(in_dtype))
+                if bp else (x, y))
 
 
 class RSTB(nn.Module):

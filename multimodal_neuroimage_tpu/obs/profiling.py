@@ -92,10 +92,86 @@ def bert_flops(seq: int, hidden: int, layers: int,
 
 def compiled_cost(fn: Callable, *args) -> Dict[str, float]:
     """XLA's own cost analysis for a jittable fn — compare against the
-    analytic model above (SURVEY §5.1)."""
+    analytic model above (SURVEY §5.1). CAVEAT: XLA cannot see inside
+    ``tpu_custom_call`` (Pallas) kernels, so on kernel-heavy models this
+    reports only the non-kernel FLOPs — use ``traced_flops`` for a count
+    that includes the kernels."""
     lowered = jax.jit(fn).lower(*args)
     compiled = lowered.compile()
     analysis = compiled.cost_analysis()
     if isinstance(analysis, (list, tuple)):
         analysis = analysis[0]
     return dict(analysis or {})
+
+
+def _dot_flops(eqn) -> int:
+    """2*M*N*K (x batch dims) for one dot_general from its avals."""
+    (lc, _), (lb, _) = eqn.params["dimension_numbers"]
+    a = eqn.invars[0].aval.shape
+    b = eqn.invars[1].aval.shape
+    k = 1
+    for d in lc:
+        k *= a[d]
+    batch = 1
+    for d in lb:
+        batch *= a[d]
+    m = 1
+    for i, s in enumerate(a):
+        if i not in lc and i not in lb:
+            m *= s
+    rc = eqn.params["dimension_numbers"][0][1]
+    rb = eqn.params["dimension_numbers"][1][1]
+    n = 1
+    for i, s in enumerate(b):
+        if i not in rc and i not in rb:
+            n *= s
+    return 2 * batch * m * n * k
+
+
+def _grid_size(params) -> int:
+    gm = params.get("grid_mapping")
+    grid = getattr(gm, "grid", None) if gm is not None else params.get("grid")
+    size = 1
+    for g in (grid or ()):
+        size *= int(g)
+    return size
+
+
+def jaxpr_flops(jaxpr) -> int:
+    """Static matmul-FLOP census of a (closed) jaxpr, INCLUDING Pallas
+    kernels (x grid size) and scan bodies (x trip count) — the counts XLA's
+    ``cost_analysis`` misses because ``tpu_custom_call`` is opaque to it.
+    Counts dot_general only (this framework's conv is one patch-embed
+    einsum, also a dot at trace level); while-loop bodies are counted once
+    (lax.scan carries an explicit length; nothing hot here lowers to a bare
+    while)."""
+    total = 0
+    for eqn in jaxpr.eqns:
+        prim = eqn.primitive.name
+        if prim == "dot_general":
+            total += _dot_flops(eqn)
+        elif prim == "scan":
+            total += eqn.params["length"] * jaxpr_flops(
+                eqn.params["jaxpr"].jaxpr)
+        elif prim == "pallas_call":
+            total += _grid_size(eqn.params) * jaxpr_flops(
+                eqn.params["jaxpr"])
+        elif prim == "while":
+            total += jaxpr_flops(eqn.params["body_jaxpr"].jaxpr)
+        elif prim == "cond":
+            branches = eqn.params["branches"]
+            total += max(jaxpr_flops(b.jaxpr) for b in branches)
+        else:
+            for key in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
+                sub = eqn.params.get(key) if eqn.params else None
+                if sub is not None:
+                    total += jaxpr_flops(getattr(sub, "jaxpr", sub))
+                    break
+    return total
+
+
+def traced_flops(fn: Callable, *args) -> int:
+    """Matmul-FLOP count of one call of ``fn`` via jaxpr traversal (no
+    compile). Includes Pallas kernel bodies — the self-validating twin of
+    the hand-rolled analytic models above."""
+    return jaxpr_flops(jax.make_jaxpr(fn)(*args).jaxpr)

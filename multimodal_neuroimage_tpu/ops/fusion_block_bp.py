@@ -173,11 +173,16 @@ def _bp_grad_shapes(B: int, C: int, Ch: int, cross: bool):
                    (BC, BCh), (1, BCh), (BCh, BC), (1, BC)]
 
 
-def _tiled_mask_bp(mask, BH: int):
-    """(nW, NP, NP) additive shift mask -> (nW, NP, B*H*NP) static tile."""
-    if mask is None:
+def _tile_mask_lanes(mask_ref, BH: int):
+    """In-kernel (Wc, NP, NP) -> (Wc, NP, BH*NP) lane tile of the additive
+    shift mask. The mask used to arrive PRE-TILED from XLA as a
+    (nW, NP, BH*NP) f32 constant — 60 MB of HBM DMA per kernel call at the
+    flagship geometry, which the copy-ablation measured as most of the
+    0.19 ms/block shell floor. Tiling the 1.2 MB small mask inside VMEM is
+    a ~20 us VPU copy instead."""
+    if mask_ref is None:
         return None
-    m = jnp.asarray(mask, jnp.float32)
+    m = mask_ref[:]
     return jnp.concatenate([m] * BH, axis=2)
 
 
@@ -301,7 +306,8 @@ def _forward_bp(seed_ref, x_ref, y_ref, dpl_ref, bias_ref, mask_ref, prefs,
         if fb._ABLATE == "dotsonly":               # packed dots + packs only
             p = mbdot(q3 * scale, K_pack, 2, 1) * 0.01
         else:
-            S = _packed_scores(q3 * scale, K_pack, bias_ref, mask_ref, BH,
+            S = _packed_scores(q3 * scale, K_pack, bias_ref,
+                               _tile_mask_lanes(mask_ref, BH), BH,
                                bdot=mbdot)
             if fb._ABLATE == "nosm":               # skip the softmax
                 p = S * 0.01
@@ -481,7 +487,8 @@ def _make_bwd_kernel_bp(dims, rates, training, with_mask, cross, mode,
             if fb._ABLATE == "dotsonly":           # packed dots + packs only
                 p = mbdot(q3s, K_pack, 2, 1) * 0.01
             else:
-                S = _packed_scores(q3s, K_pack, bias_ref, mask_ref, BH,
+                S = _packed_scores(q3s, K_pack, bias_ref,
+                                   _tile_mask_lanes(mask_ref, BH), BH,
                                    bdot=mbdot)
                 if fb._ABLATE == "nosm":           # skip the softmax
                     p = S * 0.01
@@ -603,12 +610,12 @@ def _fwd_impl_bp(x, y, params, bias, mask, dp, seed_arr, rates, training,
         in_specs.append(x_spec)
     in_specs += [_res_bp((2, BC)), _res_bp((NP, L))]
     if with_mask:
-        in_specs.append(pl.BlockSpec((Wc, NP, L), lambda c, *_: (c, 0, 0),
+        in_specs.append(pl.BlockSpec((Wc, NP, NP), lambda c, *_: (c, 0, 0),
                                      memory_space=pltpu.VMEM))
     in_specs += [_res_bp(p.shape) for p in bp_params]
     args = ((seed_arr, x) + ((jnp.asarray(y, x.dtype),) if cross else ())
             + (dpl, bias_bp)
-            + ((_tiled_mask_bp(mask, BH),) if with_mask else ())
+            + ((jnp.asarray(mask, jnp.float32),) if with_mask else ())
             + bp_params)
     out, x2r = pl.pallas_call(
         _make_fwd_kernel_bp(dims, rates, training, with_mask, cross, mode,
@@ -648,7 +655,7 @@ def _bwd_impl_bp(x, y, params, bias, mask, dp, seed_arr, x2r, g, rates,
         in_specs.append(x_spec)
     in_specs += [x_spec, x_spec, _res_bp((2, BC)), _res_bp((NP, L))]
     if with_mask:
-        in_specs.append(pl.BlockSpec((Wc, NP, L), lambda c, *_: (c, 0, 0),
+        in_specs.append(pl.BlockSpec((Wc, NP, NP), lambda c, *_: (c, 0, 0),
                                      memory_space=pltpu.VMEM))
     in_specs += [_res_bp(p.shape) for p in bp_params]
     out_specs = ([x_spec] + ([x_spec] if cross else [])
@@ -660,7 +667,7 @@ def _bwd_impl_bp(x, y, params, bias, mask, dp, seed_arr, x2r, g, rates,
                      for s in g_shapes])
     args = ((seed_arr, x) + ((jnp.asarray(y, x.dtype),) if cross else ())
             + (x2r, jnp.asarray(g, x.dtype), dpl, bias_bp)
-            + ((_tiled_mask_bp(mask, BH),) if with_mask else ())
+            + ((jnp.asarray(mask, jnp.float32),) if with_mask else ())
             + bp_params)
     outs = pl.pallas_call(
         _make_bwd_kernel_bp(dims, rates, training, with_mask, cross, mode,
