@@ -160,6 +160,61 @@ def _canary_bert_batched(batch: int) -> None:
         bl._GRID_MODE, bl._VMEM_MARGIN = prev, prev_margin
 
 
+# Only GENUINE compile-resource refusals demote a plan. Deliberately
+# narrow: transient tunnel/compile-helper failures ('HTTP 500:
+# tpu_compile_helper subprocess exit code 1') must RAISE, not silently
+# degrade the execution plan — their multi-line payloads can mention
+# Mosaic/vmem incidentally (measured: a backend outage walked the whole
+# demotion chain on infra errors before this was tightened).
+_VMEM_ERR_MARKERS = ("Ran out of memory", "exceeded scoped vmem limit",
+                     "RESOURCE_EXHAUSTED", "Scoped allocation")
+
+
+def demote_plan_after_compile_failure(err: BaseException) -> Optional[str]:
+    """Demote the most aggressive ACTIVE plan after a full-program compile
+    failure, most-suspect first. Returns a description of the demotion (the
+    caller should rebuild its jitted steps and retry) or None when the error
+    is not a compile-resource failure / nothing is left to demote.
+
+    Why this exists: Mosaic scoped-vmem acceptance is PROGRAM-dependent, not
+    kernel-dependent — the same batched BERT kernel that passes a standalone
+    canary (and even a full bench run) can fail inside a differently-scheduled
+    full step when XLA co-schedules operand-prep fusions into scoped vmem
+    against its own 16 MB module limit (measured on v5e: standalone B=4 f32
+    batched compiles; the same kernel inside the flagship train step fails
+    with 'size 101.89M and limit 16.00M'). Canaries therefore cannot prove a
+    plan; the boot must survive a refusal of the fast plan at the real step.
+    Env-pinned plans are NOT demoted (an explicit pin means 'fail loudly')."""
+    msg = f"{type(err).__name__}: {err}"
+    marker = next((m for m in _VMEM_ERR_MARKERS if m in msg), None)
+    if marker is None:
+        return None
+    detail = next((ln for ln in msg.splitlines() if marker in ln), msg)
+    import multimodal_neuroimage_tpu.nn.swinfusion as sf
+    from multimodal_neuroimage_tpu.ops import bert_layer as bl
+
+    demoted = None
+    if not bl._GRID_PINNED and bl._GRID_MODE == "batched":
+        if bl.shrink_bc():
+            demoted = f"bert grid Bc cap -> {bl._BC_CAP}"
+        else:
+            bl._GRID_MODE = "subject"
+            demoted = "bert grid batched -> subject"
+    elif "FUSION_LAYOUT" not in os.environ and sf._LAYOUT == "bpr":
+        sf._LAYOUT = "bp"
+        demoted = "fusion layout bpr -> bp"
+    elif "FUSION_LAYOUT" not in os.environ and sf._LAYOUT == "bp":
+        sf._LAYOUT = "std"
+        demoted = "fusion layout bp -> std"
+    elif not bl._ATTN_PINNED and bl._ATTN_MODE == "packed":
+        bl._ATTN_MODE = "loop"
+        demoted = "bert attention packed -> loop"
+    if demoted:
+        print(f"[autoplan] compile failed under the fast plan "
+              f"({detail.strip()[:300]}); demoting: {demoted}", flush=True)
+    return demoted
+
+
 def resolve_plans(batch_size: int = 8) -> Tuple[str, str]:
     """Resolve (fusion layout, bert attention plan) once per process.
     Returns the chosen pair; also mutates the module globals the flax

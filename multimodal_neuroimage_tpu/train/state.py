@@ -123,6 +123,30 @@ def _batch_pspecs(batch, axis: str):
         lambda x: P() if jnp.ndim(x) == 0 else P(axis), batch)
 
 
+def tpu_compiler_options() -> Optional[Dict[str, int]]:
+    """Per-jit XLA options for the train/eval steps on TPU.
+
+    ``xla_tpu_scoped_vmem_limit_kib`` governs how much VMEM *XLA itself*
+    may use for fusion stack allocations. The 16 MB default rejects the
+    batched Pallas plans: XLA co-schedules the kernels' operand-prep
+    fusions into scoped VMEM together with the kernel's own declared need
+    (~102 MB at the flagship geometry under Mosaic's separate 112 MB cap),
+    and the combined total trips ITS limit — 'Scoped allocation with size
+    101.89M and limit 16.00M' on v5e, even though the same kernel compiles
+    standalone. The v5e has 128 MB of VMEM; raise XLA's share to match the
+    kernels' cap (env XLA_SCOPED_VMEM_KIB overrides; 0 disables). Plan
+    demotion (ops/autoplan.demote_plan_after_compile_failure) remains the
+    safety net if a geometry still refuses."""
+    import os
+    kib = int(os.environ.get("XLA_SCOPED_VMEM_KIB", str(112 * 1024)))
+    try:
+        if kib <= 0 or jax.default_backend() != "tpu":
+            return None
+    except Exception:                               # pragma: no cover
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": kib}
+
+
 def use_shard_map(spmd: str, mesh, axis: str = "data") -> bool:
     """Decide whether the train/eval steps run through ``jax.shard_map``.
 
@@ -248,7 +272,8 @@ def make_train_step(model, loss_specs: Dict[str, LossSpec],
             losses = jax.lax.pmean(losses, data_axis)
         return grads, losses, preds
 
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    @partial(jax.jit, donate_argnums=(0,) if donate else (),
+             compiler_options=tpu_compiler_options())
     def train_step(state: TrainState, batch):
         rng = jax.random.fold_in(state.rng, state.step)
         core = grad_core
@@ -317,7 +342,7 @@ def make_eval_step(model, loss_specs: Dict[str, LossSpec],
             losses = jax.lax.pmean(losses, data_axis)
         return losses, preds
 
-    @jax.jit
+    @partial(jax.jit, compiler_options=tpu_compiler_options())
     def eval_step(params, batch):
         core = eval_core
         if shard:

@@ -111,19 +111,7 @@ class Trainer:
                 task=cfg.task, weights_npz=cfg.vgg_weights_npz or None,
                 seed=cfg.seed)}
         self.with_norms = cfg.log_grad_norms_every > 0
-        self.train_step = make_train_step(self.model, self.loss_specs,
-                                          cfg.compute_dtype, mesh=self.mesh,
-                                          extra_loss_fns=self.extra_loss_fns,
-                                          with_norms=self.with_norms,
-                                          norms_every=max(
-                                              cfg.log_grad_norms_every, 1),
-                                          spmd=cfg.spmd_mode,
-                                          data_axis=cfg.mesh_axes[0])
-        self.eval_step = make_eval_step(self.model, self.loss_specs,
-                                        cfg.compute_dtype,
-                                        extra_loss_fns=self.extra_loss_fns,
-                                        mesh=self.mesh, spmd=cfg.spmd_mode,
-                                        data_axis=cfg.mesh_axes[0])
+        self._build_steps()
         log_dir = os.path.join(cfg.experiment_folder or cfg.log_dir)
         wandb_kwargs = {"project": cfg.wandb_project, "mode": cfg.wandb_mode,
                         "name": cfg.experiment_title or cfg.exp_name}
@@ -146,6 +134,45 @@ class Trainer:
         self.nan_subjects: Dict[str, set] = {}
         self._pending: List = []
         self._audit_queue: List = []
+
+    # ------------------------------------------------------------------
+    def _build_steps(self) -> None:
+        """(Re)build the jitted train/eval steps from the CURRENT execution
+        plans — called at boot and again by the compile-failure fallback
+        after autoplan demotes a plan (the plan globals are read at trace
+        time, so a fresh jit picks up the demotion)."""
+        cfg = self.cfg
+        self.train_step = make_train_step(self.model, self.loss_specs,
+                                          cfg.compute_dtype, mesh=self.mesh,
+                                          extra_loss_fns=self.extra_loss_fns,
+                                          with_norms=self.with_norms,
+                                          norms_every=max(
+                                              cfg.log_grad_norms_every, 1),
+                                          spmd=cfg.spmd_mode,
+                                          data_axis=cfg.mesh_axes[0])
+        self.eval_step = make_eval_step(self.model, self.loss_specs,
+                                        cfg.compute_dtype,
+                                        extra_loss_fns=self.extra_loss_fns,
+                                        mesh=self.mesh, spmd=cfg.spmd_mode,
+                                        data_axis=cfg.mesh_axes[0])
+
+    def _call_step(self, which: str, *args):
+        """Invoke the jitted train/eval step with the plan-demotion fallback:
+        a compile-resource failure (Mosaic scoped-vmem refusals are PROGRAM-
+        dependent — see autoplan.demote_plan_after_compile_failure) demotes
+        the fast plan and re-traces instead of killing the run. A failed
+        compile never executes, so state/donated buffers are intact and the
+        retry is safe."""
+        from multimodal_neuroimage_tpu.ops.autoplan import (
+            demote_plan_after_compile_failure)
+        while True:
+            try:
+                return (self.train_step if which == "train"
+                        else self.eval_step)(*args)
+            except Exception as e:
+                if demote_plan_after_compile_failure(e) is None:
+                    raise
+                self._build_steps()
 
     # ------------------------------------------------------------------
     def _restore_weights(self) -> None:
@@ -245,10 +272,11 @@ class Trainer:
                 self.pipeline.epoch("train", epoch)):
             norms = None
             if self.with_norms:
-                self.state, losses, preds, norms = self.train_step(self.state,
-                                                                   batch)
+                self.state, losses, preds, norms = self._call_step(
+                    "train", self.state, batch)
             else:
-                self.state, losses, preds = self.train_step(self.state, batch)
+                self.state, losses, preds = self._call_step(
+                    "train", self.state, batch)
             self.writer.write_losses(self._audit_nans(losses, names), "train")
             # norms are real values only on steps the jitted cond computed
             # them (state.step is post-update here, matching the kernel's
@@ -274,7 +302,7 @@ class Trainer:
         cfg = self.cfg
         for i, (batch, names) in enumerate(
                 self.pipeline.epoch(mode, epoch, shuffle=False)):
-            losses, preds = self.eval_step(self.state.params, batch)
+            losses, preds = self._call_step("eval", self.state.params, batch)
             # padded tail rows are EXCLUDED from the losses exactly inside
             # compute_losses via batch['valid'] (train/losses.py); ``w``
             # only weights the cross-batch running average by each batch's

@@ -177,3 +177,90 @@ def test_zero_train_steps_raises(cohort, tmp_path):
         compute_dtype="float32").validate()
     with pytest.raises(ValueError, match="zero train steps"):
         Trainer(cfg)
+
+
+# ---------------------------------------------------------------------------
+# Compile-failure plan demotion (Mosaic scoped-vmem refusals are PROGRAM-
+# dependent: a canary-passing plan can fail inside the real train step —
+# measured on v5e, see autoplan.demote_plan_after_compile_failure)
+# ---------------------------------------------------------------------------
+
+def _vmem_err():
+    return RuntimeError(
+        "INTERNAL: Mosaic failed ... Scoped allocation with size 101.89M "
+        "and limit 16.00M exceeded scoped vmem limit")
+
+
+def test_demotion_chain_order(monkeypatch):
+    import multimodal_neuroimage_tpu.nn.swinfusion as sf
+    from multimodal_neuroimage_tpu.ops import autoplan
+    from multimodal_neuroimage_tpu.ops import bert_layer as bl
+    monkeypatch.delenv("FUSION_LAYOUT", raising=False)
+    monkeypatch.setattr(bl, "_GRID_PINNED", False)
+    monkeypatch.setattr(bl, "_ATTN_PINNED", False)
+    monkeypatch.setattr(bl, "_GRID_MODE", "batched")
+    monkeypatch.setattr(bl, "_BC_CAP", 8)
+    monkeypatch.setattr(bl, "_ATTN_MODE", "packed")
+    monkeypatch.setattr(sf, "_LAYOUT", "bpr")
+    seen = []
+    while True:
+        d = autoplan.demote_plan_after_compile_failure(_vmem_err())
+        if d is None:
+            break
+        seen.append(d)
+    assert seen == ["bert grid Bc cap -> 4", "bert grid Bc cap -> 2",
+                    "bert grid batched -> subject",
+                    "fusion layout bpr -> bp", "fusion layout bp -> std",
+                    "bert attention packed -> loop"]
+    assert bl._GRID_MODE == "subject" and sf._LAYOUT == "std"
+    assert bl._ATTN_MODE == "loop"
+    # non-resource errors never demote
+    monkeypatch.setattr(bl, "_GRID_MODE", "batched")
+    assert autoplan.demote_plan_after_compile_failure(
+        ValueError("shapes do not match")) is None
+    assert bl._GRID_MODE == "batched"
+
+
+def test_demotion_respects_pins(monkeypatch):
+    import multimodal_neuroimage_tpu.nn.swinfusion as sf
+    from multimodal_neuroimage_tpu.ops import autoplan
+    from multimodal_neuroimage_tpu.ops import bert_layer as bl
+    monkeypatch.setenv("FUSION_LAYOUT", "bpr")
+    monkeypatch.setattr(bl, "_GRID_PINNED", True)
+    monkeypatch.setattr(bl, "_ATTN_PINNED", True)
+    monkeypatch.setattr(bl, "_GRID_MODE", "batched")
+    monkeypatch.setattr(bl, "_ATTN_MODE", "packed")
+    monkeypatch.setattr(sf, "_LAYOUT", "bpr")
+    assert autoplan.demote_plan_after_compile_failure(_vmem_err()) is None
+    assert bl._GRID_MODE == "batched" and sf._LAYOUT == "bpr"
+
+
+def test_trainer_call_step_retries_after_demotion(monkeypatch):
+    """_call_step rebuilds the jitted steps and retries after a demotion."""
+    import types
+    import multimodal_neuroimage_tpu.nn.swinfusion as sf
+    from multimodal_neuroimage_tpu.ops import bert_layer as bl
+    from multimodal_neuroimage_tpu.train.trainer import Trainer
+    monkeypatch.setattr(bl, "_GRID_PINNED", False)
+    monkeypatch.setattr(bl, "_GRID_MODE", "batched")
+    monkeypatch.setattr(bl, "_BC_CAP", 2)
+    calls = {"built": 0}
+    host = types.SimpleNamespace()
+
+    def failing_step(*a):
+        raise RuntimeError("Ran out of memory in memory space vmem")
+
+    def good_step(*a):
+        return "state", {"loss": 1.0}, None
+
+    def build():
+        calls["built"] += 1
+        host.train_step = good_step
+        host.eval_step = good_step
+    host.train_step = failing_step
+    host.eval_step = failing_step
+    host._build_steps = build
+    out = Trainer._call_step(host, "train", None, None)
+    assert out[0] == "state"
+    assert calls["built"] == 1
+    assert bl._GRID_MODE == "subject"
