@@ -78,9 +78,15 @@ _LAYOUT = os.environ.get("FUSION_LAYOUT")
 # AMP on these blocks. FUSION_STREAM16=0 pins f32 streams on TPU too.
 _STREAM16 = os.environ.get("FUSION_STREAM16", "1") != "0"
 
+# The session's compute policy: set False by train/state's step builders and
+# serve/predictor when the config pins compute_dtype=float32, so an explicit
+# f32 run really is f32 end-to-end. Default True: standalone kernel users
+# (bench micro paths, canaries) run the flagship's bf16 policy.
+_POLICY16 = True
+
 
 def _stream16_active() -> bool:
-    if not _STREAM16:
+    if not (_STREAM16 and _POLICY16):
         return False
     try:
         return jax.default_backend() == "tpu"

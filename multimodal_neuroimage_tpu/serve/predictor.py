@@ -46,6 +46,8 @@ def make_predict_step(model, compute_dtype: str = "bfloat16", mesh=None,
     partition a ``pallas_call``, so plain jit would gather the fused
     kernels' operands onto every chip."""
     cdtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    from multimodal_neuroimage_tpu.train.state import _set_fusion_stream_policy
+    _set_fusion_stream_policy(cdtype)
     shard = use_shard_map(spmd, mesh, data_axis)
 
     def core(params, batch):
@@ -56,7 +58,11 @@ def make_predict_step(model, compute_dtype: str = "bfloat16", mesh=None,
                 for k in ("binary_classification", "regression")
                 if k in outputs}
 
-    @jax.jit
+    from functools import partial
+
+    from multimodal_neuroimage_tpu.train.state import tpu_compiler_options
+
+    @partial(jax.jit, compiler_options=tpu_compiler_options())
     def predict_step(params, batch):
         f = core
         if shard:

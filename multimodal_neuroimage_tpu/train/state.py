@@ -147,6 +147,15 @@ def tpu_compiler_options() -> Optional[Dict[str, int]]:
     return {"xla_tpu_scoped_vmem_limit_kib": kib}
 
 
+def _set_fusion_stream_policy(cdtype) -> None:
+    """Tell the SwinFusion stacks whether the session's compute policy is
+    bf16: FUSION_STREAM16 re-casts the f32-arriving struct stream back to
+    bf16 at BP/BPR stack entry, but an explicit compute_dtype=float32 run
+    must stay f32 end-to-end (nn/swinfusion._POLICY16)."""
+    import multimodal_neuroimage_tpu.nn.swinfusion as _sf
+    _sf._POLICY16 = cdtype == jnp.bfloat16
+
+
 def use_shard_map(spmd: str, mesh, axis: str = "data") -> bool:
     """Decide whether the train/eval steps run through ``jax.shard_map``.
 
@@ -224,6 +233,7 @@ def make_train_step(model, loss_specs: Dict[str, LossSpec],
     — exactly the reference's per-rank DDP loss semantics
     (trainer.py:280-290)."""
     cdtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    _set_fusion_stream_policy(cdtype)
     shard = use_shard_map(spmd, mesh, data_axis)
 
     repl = None
@@ -327,6 +337,7 @@ def make_eval_step(model, loss_specs: Dict[str, LossSpec],
                    mesh=None, spmd: str = "auto",
                    data_axis: str = "data") -> Callable:
     cdtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    _set_fusion_stream_policy(cdtype)
     shard = use_shard_map(spmd, mesh, data_axis)
 
     def eval_core(params, batch):
