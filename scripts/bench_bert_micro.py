@@ -30,7 +30,8 @@ T = int(os.environ.get("MICRO_T", "369"))
 H = int(os.environ.get("MICRO_H", "84"))
 F = int(os.environ.get("MICRO_F", "3072"))
 HEADS = int(os.environ.get("MICRO_HEADS", "12"))
-RATES = (0.1, 0.1)
+RATES = tuple(float(v) for v in
+              os.environ.get("MICRO_RATES", "0.1,0.1").split(","))
 DTYPE = (jnp.bfloat16 if os.environ.get("MICRO_DTYPE", "bf16") == "bf16"
          else jnp.float32)
 

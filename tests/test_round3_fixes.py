@@ -264,3 +264,21 @@ def test_trainer_call_step_retries_after_demotion(monkeypatch):
     assert out[0] == "state"
     assert calls["built"] == 1
     assert bl._GRID_MODE == "subject"
+
+
+def test_fusion_stream_policy_follows_compute_dtype():
+    """An explicit float32 run must keep f32 fusion streams (STREAM16 only
+    re-casts under the bf16 compute policy)."""
+    import multimodal_neuroimage_tpu.nn.swinfusion as sf
+    from multimodal_neuroimage_tpu.train.state import (
+        _set_fusion_stream_policy)
+    import jax.numpy as jnp
+    prev = sf._POLICY16
+    try:
+        _set_fusion_stream_policy(jnp.float32)
+        assert sf._POLICY16 is False
+        assert sf._stream16_active() is False
+        _set_fusion_stream_policy(jnp.bfloat16)
+        assert sf._POLICY16 is True
+    finally:
+        sf._POLICY16 = prev
