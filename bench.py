@@ -332,8 +332,20 @@ def main() -> None:
     traced_flops_per_subject = None
     try:
         from multimodal_neuroimage_tpu.obs.profiling import traced_flops
+        # trace an options-free twin: jax rejects tracing a jit that carries
+        # compiler_options inside make_jaxpr ("nested jit"), and the FLOP
+        # census doesn't care about compile options anyway
+        prev_kib = os.environ.get("XLA_SCOPED_VMEM_KIB")
+        os.environ["XLA_SCOPED_VMEM_KIB"] = "0"
+        try:
+            plain_step = fresh_step()
+        finally:
+            if prev_kib is None:
+                del os.environ["XLA_SCOPED_VMEM_KIB"]
+            else:
+                os.environ["XLA_SCOPED_VMEM_KIB"] = prev_kib
         traced_flops_per_subject = (
-            traced_flops(step, state, dev_batch) / batch_size)
+            traced_flops(plain_step, state, dev_batch) / batch_size)
     except Exception as e:  # pragma: no cover - defensive
         print(f"[bench] traced_flops unavailable: {type(e).__name__}: {e}",
               flush=True)
