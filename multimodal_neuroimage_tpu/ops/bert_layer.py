@@ -764,18 +764,23 @@ def _specs(TP, H, p_shapes):
 
 def bert_layer_call(x, params, seed, heads: int, t_valid: int,
                     rates: Tuple[float, float], training: bool,
-                    interpret: bool = False):
+                    interpret: bool = False, mm16=None):
     """Entry point: one full HF-semantics post-LN BERT layer as a single TPU
     kernel (custom VJP). x: (B, TP, H) tokens padded to TP = round_up(T, 8);
     positions >= t_valid are pads (masked out of attention). params:
-    16-tuple (module docstring). rates: (attn_dropout, hidden_dropout)."""
-    return _fbl(x, params, seed, heads, t_valid, rates, training, interpret)
+    16-tuple (module docstring). rates: (attn_dropout, hidden_dropout).
+    ``mm16``: None follows the stream dtype (bf16 stream -> bf16 MXU
+    operands); True forces bf16 dots under an f32 stream — the mixed
+    operating point nn/bert.py uses under the bf16 compute policy (f32
+    residual stream for trainability at depth, bf16 MXU rate)."""
+    return _fbl(x, params, seed, heads, t_valid, rates, training, interpret,
+                mm16)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _fbl(x, params, seed, heads, t_valid, rates, training, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _fbl(x, params, seed, heads, t_valid, rates, training, interpret, mm16):
     return _fbl_fwd(x, params, seed, heads, t_valid, rates, training,
-                    interpret)[0]
+                    interpret, mm16)[0]
 
 
 def _dims(x, params, heads, t_valid):
@@ -784,10 +789,12 @@ def _dims(x, params, heads, t_valid):
     return B, (TP, H, F, heads, t_valid)
 
 
-def _fbl_fwd(x, params, seed, heads, t_valid, rates, training, interpret):
+def _fbl_fwd(x, params, seed, heads, t_valid, rates, training, interpret,
+             mm16=None):
     B, dims = _dims(x, params, heads, t_valid)
     TP, H, F = dims[0], dims[1], dims[2]
-    mm16 = x.dtype == jnp.bfloat16
+    if mm16 is None:
+        mm16 = x.dtype == jnp.bfloat16 or _MM16_FORCE
     p_shapes = param_shapes(H, F)
     in_specs, x_spec = _specs(TP, H, p_shapes)
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
@@ -824,17 +831,27 @@ def _fbl_fwd(x, params, seed, heads, t_valid, rates, training, interpret):
     return out, (x, x1, params, seed_arr)
 
 
+# BERT_MM16=force: bf16-operand MXU dots even when the token stream is f32
+# (normally mm16 follows the stream dtype). This is the "f32 residual
+# stream + bf16 matmuls" operating point: measured on v5e, a 16-layer BERT
+# under FULL bf16 streams does not train (loss flat at ~0.67 over 150
+# steps; the bf16 residual/gradient stream quantizes 16x at the layer
+# boundaries) while f32 streams train to 0.006 — this knob keeps the MXU
+# at bf16 rate without paying that accuracy cliff.
+_MM16_FORCE = os.environ.get("BERT_MM16", "") == "force"
+
 _BWD_MODE = os.environ.get("BERT_BWD", "merged")
 
 
-def _fbl_bwd(heads, t_valid, rates, training, interpret, res, g):
+def _fbl_bwd(heads, t_valid, rates, training, interpret, mm16, res, g):
     x, x1, params, seed_arr = res
     B, dims = _dims(x, params, heads, t_valid)
     TP, H, F = dims[0], dims[1], dims[2]
     f32 = lambda t: jnp.asarray(t, jnp.float32)
     x_spec = pl.BlockSpec((1, TP, H), lambda b, c, *_: (b, 0, 0),
                           memory_space=pltpu.VMEM)
-    mm16 = x.dtype == jnp.bfloat16
+    if mm16 is None:
+        mm16 = x.dtype == jnp.bfloat16 or _MM16_FORCE
     p_shapes = param_shapes(H, F)
     mode = _fb._mode_for(interpret)
     bc = _bc_for(B) if _GRID_MODE == "batched" else 1
