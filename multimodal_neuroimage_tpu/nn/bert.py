@@ -18,6 +18,7 @@ kernel wins). bf16 compute is applied by the trainer's policy, not here.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -29,6 +30,16 @@ from multimodal_neuroimage_tpu.nn.common import (LayerNorm, leaky_relu,
 
 _bert_init = nn.initializers.normal(stddev=0.02)
 LN_EPS = 1e-12
+
+# BERT_STREAM=f32 (default): under the bf16 compute policy the 16-layer
+# stacks run with an f32 RESIDUAL STREAM between the megakernels while the
+# MXU dots stay bf16 (mm16 forced). Measured on v5e: full bf16 streams do
+# not train at depth 16 (loss flat at ~0.67 over 150 steps — the residual/
+# gradient quantizes to 8 mantissa bits at every one of the 16 layer
+# boundaries) while f32 streams train to 0.006. The stack output is cast
+# back to the caller's dtype, so the module contract is unchanged.
+# BERT_STREAM=follow restores pure stream-dtype behavior for A/B.
+_STREAM_F32 = os.environ.get("BERT_STREAM", "f32") == "f32"
 
 
 class BertLayer(nn.Module):
@@ -45,6 +56,7 @@ class BertLayer(nn.Module):
     attn_dropout: float = 0.1
     hidden_dropout: float = 0.1
     t_valid: Optional[int] = None      # static; set => input is pad-extended
+    mm16: Optional[bool] = None        # None: follow stream dtype (kernel)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -86,7 +98,7 @@ class BertLayer(nn.Module):
                     else jnp.asarray(0, jnp.int32))
             return bl.bert_layer_call(
                 x, params, seed, self.heads, self.t_valid, rates, training,
-                interpret=jax.default_backend() != "tpu")
+                interpret=jax.default_backend() != "tpu", mm16=self.mm16)
 
         # ---- plain path over the same params --------------------------------
         (wq, bq, wk, bk, wv, bv, wo, bo, g1, b1,
@@ -144,12 +156,14 @@ class _BertScanBody(nn.Module):
     attn_dropout: float
     hidden_dropout: float
     t_valid: Optional[int] = None
+    mm16: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, deterministic):
         y = BertLayer(self.hidden, self.heads, self.intermediate,
                       self.attn_dropout, self.hidden_dropout,
-                      t_valid=self.t_valid, name="layer")(x, deterministic)
+                      t_valid=self.t_valid, mm16=self.mm16,
+                      name="layer")(x, deterministic)
         return y, None
 
 
@@ -197,6 +211,14 @@ class BertEncoder(nn.Module):
             if T % 8 != 0:
                 x = jnp.pad(x, ((0, 0), (0, round_up(T, 8) - T), (0, 0)))
 
+        # f32 residual stream through the deep stack under the bf16 policy
+        # (see _STREAM_F32): dots stay bf16 via mm16, output cast back below
+        in_dtype = x.dtype
+        mm16 = None
+        if (t_valid is not None and _STREAM_F32
+                and x.dtype == jnp.bfloat16):
+            mm16, x = True, x.astype(jnp.float32)
+
         if self.scan_layers:
             scan = nn.scan(scan_body(_BertScanBody, (2,), tag="bert"),
                            variable_axes={"params": 0},
@@ -204,13 +226,15 @@ class BertEncoder(nn.Module):
                            in_axes=nn.broadcast, length=self.layers)
             x, _ = scan(self.hidden, self.heads, self.intermediate,
                         self.attn_dropout, self.hidden_dropout,
-                        t_valid=t_valid, name="layers")(x, deterministic)
+                        t_valid=t_valid, mm16=mm16,
+                        name="layers")(x, deterministic)
         else:
             for i in range(self.layers):
                 x = BertLayer(self.hidden, self.heads, self.intermediate,
                               self.attn_dropout, self.hidden_dropout,
-                              t_valid=t_valid, name=f"layer_{i}")(
-                    x, deterministic)
+                              t_valid=t_valid, mm16=mm16,
+                              name=f"layer_{i}")(x, deterministic)
+        x = x.astype(in_dtype)
         if t_valid is not None and x.shape[1] != T:
             x = x[:, :T]
 
