@@ -137,3 +137,39 @@ def test_bert_layer_stochastic_grad_is_true_gradient(grid_mode, monkeypatch):
     fd = (float(f(x + eps * v)) - float(f(x - eps * v))) / (2 * eps)
     an = float(jnp.vdot(jax.grad(f)(x), v))
     assert abs(fd - an) < 2e-2 * max(1.0, abs(fd)), (fd, an)
+
+
+def test_bert_layer_mm16_force_f32_stream_parity(monkeypatch):
+    """The flagship's mixed operating point — f32 residual stream with
+    forced-bf16 MXU operands (nn/bert.py BERT_STREAM=f32) — must match the
+    f32 reference within bf16 rounding of the dot operands."""
+    monkeypatch.setattr(bl, "_GRID_MODE", "subject")
+    x = _x()
+    params = _params(jax.random.PRNGKey(3))
+    cot = jnp.asarray(np.random.default_rng(9).normal(
+        size=x.shape).astype(np.float32)).at[:, T:, :].set(0.0)
+
+    def loss(mm16):
+        def f(x, params):
+            out = bl.bert_layer_call(x, params, 0, HEADS, T, (0.0, 0.0),
+                                     False, interpret=True, mm16=mm16)
+            return jnp.sum(out * cot)
+        return f
+
+    out16 = bl.bert_layer_call(x, params, 0, HEADS, T, (0.0, 0.0), False,
+                               interpret=True, mm16=True)
+    out32 = bl.bert_layer_call(x, params, 0, HEADS, T, (0.0, 0.0), False,
+                               interpret=True, mm16=False)
+    # LN-bounded activations are O(1); bf16 dot operands carry 8 mantissa
+    # bits. The CHECK is that the mm16 plumbing changes precision, not math
+    # (a summed scalar loss would amplify cancellation and prove nothing).
+    np.testing.assert_allclose(np.asarray(out16)[:, :T],
+                               np.asarray(out32)[:, :T],
+                               rtol=0.1, atol=0.05)
+    _, (dx16, dp16) = jax.value_and_grad(loss(True), (0, 1))(x, params)
+    _, (dx32, dp32) = jax.value_and_grad(loss(False), (0, 1))(x, params)
+    np.testing.assert_allclose(np.asarray(dx16), np.asarray(dx32),
+                               rtol=0.2, atol=0.05)
+    for a, b in zip(dp16, dp32):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.2, atol=0.25)
