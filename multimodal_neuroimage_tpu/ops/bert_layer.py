@@ -292,10 +292,23 @@ def _fwd_parts(seed_ref, x_ref, prefs, dims, rates, training, ctx_scratch,
      w1, b1m, w2, b2m, g2, b2) = prefs
 
     x = x_ref[0].astype(jnp.float32)              # (TP, H)
+    if _ABLATE == "copy":                          # shell + DMA floor
+        ones = jnp.ones((TP, 1), jnp.float32)
+        return x, (x, x, x, x, x, None, x, x, ones, None, x, ones)
     q = mdot(x, wq[:]) + bq[:]
     k = mdot(x, wk[:]) + bk[:]
     v = mdot(x, wv[:]) + bv[:]
-    if _ATTN_MODE == "packed":
+    if _ABLATE == "noattn":                        # skip attention
+        ctx = q
+    elif _ABLATE in ("dotsonly", "nosm"):          # packs + dots (+keypad)
+        mdot_, mdot_nt_, _ = _mm(mm16)
+        K_pack = _pack_heads(k, heads)
+        V_pack = _pack_heads(v, heads)
+        S = mdot_(q * scale, K_pack)
+        if _ABLATE == "nosm":
+            S = S + _keypad_packed(TP, T, heads)
+        ctx = mdot_nt_(S * 0.01, V_pack)
+    elif _ATTN_MODE == "packed":
         ctx, *_ = _attn_packed_fwd(q, k, v, dims, scale, attn_rate,
                                    seed_ref, training, mm16, mode)
     else:
@@ -316,9 +329,10 @@ def _fwd_parts(seed_ref, x_ref, prefs, dims, rates, training, ctx_scratch,
 
     Fc = _ffn_chunk(F)
     z = jnp.zeros((TP, H), jnp.float32) + b2m[:]
-    for c0 in range(0, F, Fc):
-        u_c = mdot(x1, w1[:, c0:c0 + Fc]) + b1m[:, c0:c0 + Fc]
-        z = z + mdot(_gelu_erf(u_c), w2[c0:c0 + Fc, :])
+    if _ABLATE != "noffn":
+        for c0 in range(0, F, Fc):
+            u_c = mdot(x1, w1[:, c0:c0 + Fc]) + b1m[:, c0:c0 + Fc]
+            z = z + mdot(_gelu_erf(u_c), w2[c0:c0 + Fc, :])
     if training and drop_rate > 0.0:
         m1 = _drop(z.shape, drop_rate, seed_ref, 1, mode, row0)
         z = z * m1
@@ -839,6 +853,16 @@ def _fbl_fwd(x, params, seed, heads, t_valid, rates, training, interpret,
 # boundaries) while f32 streams train to 0.006 — this knob keeps the MXU
 # at bf16 rate without paying that accuracy cliff.
 _MM16_FORCE = os.environ.get("BERT_MM16", "") == "force"
+
+# In-kernel ablations for step attribution (same methodology that cracked
+# the fusion kernels, FUSION_ABLATE): forward-path only — measure with
+# scripts/bench_bert_micro.py fwd. Never set in production.
+#   copy     — load + store only (kernel shell + DMA floor)
+#   noattn   — skip attention entirely (ctx = q)
+#   dotsonly — QKV + packs + score/context dots, no softmax/keypad/dropout
+#   nosm     — everything but the softmax
+#   noffn    — skip the chunked FFN
+_ABLATE = os.environ.get("BERT_ABLATE", "")
 
 _BWD_MODE = os.environ.get("BERT_BWD", "merged")
 
