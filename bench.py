@@ -159,6 +159,22 @@ def main() -> None:
     race_results: dict = {}
     if (platform == "tpu" and bench_config == "flagship"
             and os.environ.get("BENCH_RACE", "1") != "0"):
+        # Wall-clock budget for the WHOLE race phase: tunnel compiles can
+        # take minutes per leg, and a driver-killed bench records nothing.
+        # When the budget is spent, remaining legs are skipped and the
+        # best-so-far (or cached/default) plans carry the real measurement.
+        race_t0 = time.monotonic()
+        race_budget = float(os.environ.get("BENCH_RACE_BUDGET", "1200"))
+
+        def budget_left(leg: str) -> bool:
+            spent = time.monotonic() - race_t0
+            if spent > race_budget:
+                print(f"[bench] race budget spent ({spent:.0f}s >"
+                      f" {race_budget:.0f}s); skipping leg {leg}",
+                      flush=True)
+                return False
+            return True
+
         def time_plan(st):
             stp = fresh_step()
             nonlocal_state = st

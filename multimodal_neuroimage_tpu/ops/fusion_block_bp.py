@@ -586,8 +586,20 @@ def _res_bp(shape):
                         memory_space=pltpu.VMEM)
 
 
+def _prep_bp(params, bias, dp, B: int, C: int, cross: bool):
+    """One-shot operand prep shared by fwd and bwd: expanded block-diagonal
+    params, lane-tiled bias plane, lane DropPath scales. Computed ONCE per
+    block call in the custom-VJP fwd and threaded to the bwd via residuals
+    (the bwd used to re-run the whole kron-expansion op chain — a measured
+    part of the scan-body operand-prep tail, ROADMAP round-3 attribution)."""
+    bp_params = _expand_params(params, B, cross)
+    dpl = jnp.repeat(jnp.asarray(dp, jnp.float32).T, C, axis=1)  # (2, BC)
+    bias_bp = jnp.tile(jnp.asarray(bias, jnp.float32), (1, B))
+    return bp_params, bias_bp, dpl
+
+
 def _fwd_impl_bp(x, y, params, bias, mask, dp, seed_arr, rates, training,
-                 interpret, cross):
+                 interpret, cross, prep=None):
     nW, NP, BC = x.shape
     B = dp.shape[0]
     C = BC // B
@@ -600,9 +612,8 @@ def _fwd_impl_bp(x, y, params, bias, mask, dp, seed_arr, rates, training,
     Wc, _ = _grid_chunk(nW, NP, BC, L, mode)
     with_mask = mask is not None
     dims = (Wc, NP, BC, BH, B * Ch)
-    bp_params = _expand_params(params, B, cross)
-    dpl = jnp.repeat(jnp.asarray(dp, jnp.float32).T, C, axis=1)  # (2, BC)
-    bias_bp = jnp.tile(jnp.asarray(bias, jnp.float32), (1, B))
+    bp_params, bias_bp, dpl = (prep if prep is not None
+                               else _prep_bp(params, bias, dp, B, C, cross))
 
     x_spec = _x_spec_bp(Wc, NP, BC)
     in_specs = [x_spec]
@@ -631,7 +642,7 @@ def _fwd_impl_bp(x, y, params, bias, mask, dp, seed_arr, rates, training,
 
 
 def _bwd_impl_bp(x, y, params, bias, mask, dp, seed_arr, x2r, g, rates,
-                 training, interpret, cross):
+                 training, interpret, cross, prep=None):
     nW, NP, BC = x.shape
     B = dp.shape[0]
     C = BC // B
@@ -644,9 +655,8 @@ def _bwd_impl_bp(x, y, params, bias, mask, dp, seed_arr, x2r, g, rates,
     _, Wc = _grid_chunk(nW, NP, BC, L, mode)
     with_mask = mask is not None
     dims = (Wc, NP, BC, BH, B * Ch)
-    bp_params = _expand_params(params, B, cross)
-    dpl = jnp.repeat(jnp.asarray(dp, jnp.float32).T, C, axis=1)
-    bias_bp = jnp.tile(jnp.asarray(bias, jnp.float32), (1, B))
+    bp_params, bias_bp, dpl = (prep if prep is not None
+                               else _prep_bp(params, bias, dp, B, C, cross))
     g_shapes = _bp_grad_shapes(B, C, Ch, cross)
 
     x_spec = _x_spec_bp(Wc, NP, BC)
@@ -714,16 +724,19 @@ def fused_fusion_block_bp(x, params, bias, mask, dp, seed,
 
 def _ffb_bp_fwd(x, params, bias, mask, dp, seed, rates, training, interpret):
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    B = dp.shape[0]
+    prep = _prep_bp(params, bias, dp, B, x.shape[2] // B, cross=False)
     out, x2r = _fwd_impl_bp(x, None, params, bias, mask, dp, seed_arr,
-                            rates, training, interpret, cross=False)
-    return out, (x, params, bias, mask, dp, seed_arr, x2r)
+                            rates, training, interpret, cross=False,
+                            prep=prep)
+    return out, (x, params, bias, mask, dp, seed_arr, x2r, prep)
 
 
 def _ffb_bp_bwd(rates, training, interpret, res, g):
-    x, params, bias, mask, dp, seed_arr, x2r = res
+    x, params, bias, mask, dp, seed_arr, x2r, prep = res
     dx, _, dparams, dbias = _bwd_impl_bp(x, None, params, bias, mask, dp,
                                          seed_arr, x2r, g, rates, training,
-                                         interpret, cross=False)
+                                         interpret, cross=False, prep=prep)
     return (dx.astype(x.dtype), dparams, dbias, None, None, None)
 
 
@@ -743,16 +756,18 @@ def fused_cross_fusion_block_bp(x, y, params, bias, mask, dp, seed,
 def _fcb_bp_fwd(x, y, params, bias, mask, dp, seed, rates, training,
                 interpret):
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    B = dp.shape[0]
+    prep = _prep_bp(params, bias, dp, B, x.shape[2] // B, cross=True)
     out, x2r = _fwd_impl_bp(x, y, params, bias, mask, dp, seed_arr, rates,
-                            training, interpret, cross=True)
-    return out, (x, y, params, bias, mask, dp, seed_arr, x2r)
+                            training, interpret, cross=True, prep=prep)
+    return out, (x, y, params, bias, mask, dp, seed_arr, x2r, prep)
 
 
 def _fcb_bp_bwd(rates, training, interpret, res, g):
-    x, y, params, bias, mask, dp, seed_arr, x2r = res
+    x, y, params, bias, mask, dp, seed_arr, x2r, prep = res
     dx, dy, dparams, dbias = _bwd_impl_bp(x, y, params, bias, mask, dp,
                                           seed_arr, x2r, g, rates, training,
-                                          interpret, cross=True)
+                                          interpret, cross=True, prep=prep)
     return (dx.astype(x.dtype), dy.astype(y.dtype), dparams, dbias,
             None, None, None)
 
