@@ -5,7 +5,16 @@ Measures BASELINE.md config #3 — the full Func_Struct_Cross stack (dual
 cross-window attention over 84x84 struct + SwinV2 head) doing fwd+bwd+update,
 batch sharded over all local chips.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — and it
+prints it as EARLY as possible: the steady-state measurement runs FIRST,
+under whatever plans the committed ``plans/<device_kind>.json`` (or the
+canaries) resolve, and its JSON line is flushed before any execution-plan
+race begins. If time remains inside BENCH_TOTAL_BUDGET, the plan races run
+afterwards, each leg budget-guarded and its winner persisted immediately;
+if a race changes the plan set, a refreshed measurement prints a SECOND
+JSON line (the driver takes the last line). A driver kill at any point
+after the first few minutes therefore still records a valid number
+(VERDICT r3: BENCH_r03 was rc=124/parsed=null because races ran first).
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md: no README/
 docs/benchmarks; BASELINE.json "published": {}), and its torch stack cannot
@@ -22,6 +31,12 @@ import time
 
 import jax
 import numpy as np
+
+# honor an explicit JAX_PLATFORMS=cpu: the axon TPU-tunnel sitecustomize
+# registers its plugin at interpreter start and overrides env platform
+# selection (same workaround as tests/conftest.py)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 # Persist compiled executables across runs — the flagship stack compiles in
 # ~minutes through the remote-compile tunnel; later runs reuse the cache.
@@ -109,6 +124,20 @@ def main() -> None:
                                                        make_train_step,
                                                        optimizer_from_config)
 
+    t_total0 = time.monotonic()
+    # TOTAL wall budget for everything beyond the first measurement. The
+    # driver's timeout is unknown to us; default comfortably under the
+    # historical 30-minute kill that took BENCH_r03 (rc=124).
+    total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "1200"))
+
+    def budget_left(label: str) -> bool:
+        spent = time.monotonic() - t_total0
+        if spent > total_budget:
+            print(f"[bench] total budget spent ({spent:.0f}s > "
+                  f"{total_budget:.0f}s); skipping {label}", flush=True)
+            return False
+        return True
+
     n_chips = jax.local_device_count()
     platform = jax.devices()[0].platform
     per_chip_batch = int(os.environ.get("BENCH_PER_CHIP_BATCH", "8"))
@@ -129,7 +158,8 @@ def main() -> None:
             if v.dtype.kind == "f" and k != "target":
                 b[k] = (v + 0.3 * prng.normal(size=v.shape)).astype(v.dtype)
         rot_batches.append(b)
-    from multimodal_neuroimage_tpu.ops.autoplan import resolve_plans
+    from multimodal_neuroimage_tpu.ops.autoplan import (resolve_plans,
+                                                        save_plan_cache)
     resolve_plans(per_chip_batch)
     mesh = build_mesh()
     model = create_model(cfg)
@@ -142,38 +172,215 @@ def main() -> None:
     dev_batch = shard_batch(batch, mesh)
     dev_rot = [dev_batch] + [shard_batch(b, mesh) for b in rot_batches[1:]]
 
+    import multimodal_neuroimage_tpu.nn.swinfusion as sf
+    from multimodal_neuroimage_tpu.ops import bert_layer as bl
+
     def fresh_step():
         return make_train_step(model, specs, compute_dtype=cfg.compute_dtype,
                                mesh=mesh)
 
-    # ---- execution-plan race (TPU only) ----------------------------------
-    # The fused kernels ship alternative execution plans (fusion layout
-    # std/bp/bpr, BERT attention packed/loop) whose ranking depends on the
-    # hardware. autoplan's canary only proves a plan COMPILES; before the
-    # real measurement, race the candidates for a few steps each and keep
-    # the fastest, so this bench always reports the best configuration the
-    # hardware accepts. Env pins (FUSION_LAYOUT / BERT_ATTN) or BENCH_RACE=0
-    # skip the corresponding race. Timing rule as below: value-fetch sync.
-    import multimodal_neuroimage_tpu.nn.swinfusion as sf
-    from multimodal_neuroimage_tpu.ops import bert_layer as bl
     race_results: dict = {}
-    if (platform == "tpu" and bench_config == "flagship"
-            and os.environ.get("BENCH_RACE", "1") != "0"):
-        # Wall-clock budget for the WHOLE race phase: tunnel compiles can
-        # take minutes per leg, and a driver-killed bench records nothing.
-        # When the budget is spent, remaining legs are skipped and the
-        # best-so-far (or cached/default) plans carry the real measurement.
-        race_t0 = time.monotonic()
-        race_budget = float(os.environ.get("BENCH_RACE_BUDGET", "1200"))
 
-        def budget_left(leg: str) -> bool:
-            spent = time.monotonic() - race_t0
-            if spent > race_budget:
-                print(f"[bench] race budget spent ({spent:.0f}s >"
-                      f" {race_budget:.0f}s); skipping leg {leg}",
+    def measure(state):
+        """Compile under the CURRENT plans, run the timed windows, return
+        (state, result-dict). Timing rule (hard-won, ROADMAP): on the
+        axon-tunneled backend block_until_ready returns optimistically
+        before device completion — every window must end with a VALUE
+        FETCH (float(loss)); vary batch content to defeat execution dedupe.
+        """
+        step = fresh_step()
+        # warmup/compile: the first ~3 calls may trigger layout-driven
+        # recompiles under buffer donation; time only the steady state.
+        for _ in range(3):
+            state, losses, _ = step(state, dev_batch)
+            float(losses["total"])
+        assert np.isfinite(float(losses["total"])), "non-finite training loss"
+
+        # best-of-windows: single windows get polluted by late layout
+        # recompiles and tunnel hiccups; the best window is the reproducible
+        # steady state. Loss-trajectory verification: keep every timed
+        # step's loss (device refs only — no sync inside the window), then
+        # check after the fact that each step produced a fresh finite value.
+        n_steps = int(os.environ.get("BENCH_STEPS", "25"))
+        n_windows = int(os.environ.get("BENCH_WINDOWS", "4"))
+        best = float("inf")
+        trajectory: list[float] = []
+        trajectory_ok = True
+        for _ in range(n_windows):
+            window_refs = []
+            t0 = time.perf_counter()
+            for i in range(n_steps):
+                state, losses, _ = step(state, dev_rot[i % len(dev_rot)])
+                window_refs.append(losses["total"])
+            assert np.isfinite(float(losses["total"]))  # value fetch = sync
+            best = min(best, time.perf_counter() - t0)
+            vals = [float(v) for v in window_refs]
+            assert all(np.isfinite(v) for v in vals), vals
+            distinct = len({round(v, 9) for v in vals})
+            if distinct < max(2, int(0.8 * n_steps)):
+                trajectory_ok = False
+                print(f"[bench] WARNING: only {distinct}/{n_steps} distinct "
+                      f"losses in window — executions may have been deduped "
+                      f"or the step is a no-op; timing suspect: {vals[:5]}...",
                       flush=True)
-                return False
-            return True
+            trajectory.extend(vals)
+        first_mean = float(np.mean(trajectory[:n_steps]))
+        last_mean = float(np.mean(trajectory[-n_steps:]))
+        if not last_mean < first_mean:
+            trajectory_ok = False
+            print(f"[bench] WARNING: loss did not decrease over the timed "
+                  f"run (first-window mean={first_mean:.5f}, last-window "
+                  f"mean={last_mean:.5f}) — step may not be training",
+                  flush=True)
+
+        subjects_per_sec = batch_size * n_steps / best
+        per_chip = subjects_per_sec / n_chips
+
+        # self-validating MFU: pull XLA's own cost_analysis() FLOPs for the
+        # EXACT compiled step next to the hand-rolled analytic model below,
+        # so a drift in either is visible in the bench JSON itself
+        compiled_flops_per_subject = None
+        try:
+            analysis = step.lower(state, dev_batch).compile().cost_analysis()
+            if isinstance(analysis, (list, tuple)):
+                analysis = analysis[0]
+            f = float((analysis or {}).get("flops", 0.0))
+            if f > 0:
+                compiled_flops_per_subject = f / batch_size
+        except Exception as e:  # pragma: no cover - backend-dependent
+            print(f"[bench] cost_analysis unavailable: "
+                  f"{type(e).__name__}: {e}", flush=True)
+
+        # cost_analysis cannot see inside tpu_custom_call (Pallas) kernels,
+        # so on kernel-heavy configs it undercounts by ~100x. traced_flops
+        # walks the jaxpr INCLUDING kernel bodies (x grid) and scan bodies
+        # (x length) — the kernel-aware twin of the analytic model.
+        traced_flops_per_subject = None
+        try:
+            from multimodal_neuroimage_tpu.obs.profiling import traced_flops
+            # trace an options-free twin: jax rejects tracing a jit that
+            # carries compiler_options inside make_jaxpr ("nested jit"),
+            # and the FLOP census doesn't care about compile options anyway
+            prev_kib = os.environ.get("XLA_SCOPED_VMEM_KIB")
+            os.environ["XLA_SCOPED_VMEM_KIB"] = "0"
+            try:
+                plain_step = fresh_step()
+            finally:
+                if prev_kib is None:
+                    del os.environ["XLA_SCOPED_VMEM_KIB"]
+                else:
+                    os.environ["XLA_SCOPED_VMEM_KIB"] = prev_kib
+            traced_flops_per_subject = (
+                traced_flops(plain_step, state, dev_batch) / batch_size)
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"[bench] traced_flops unavailable: "
+                  f"{type(e).__name__}: {e}", flush=True)
+
+        # analytic FLOPs for one flagship TRAIN step per subject (fwd+bwd ~
+        # 3x fwd): dual 16-layer BERTs (T=369, H=84, I=3072) + ~60 fusion
+        # blocks (7056 tokens, C=12) + SwinV2 head. Dense matmul = 2mkn.
+        # Non-flagship BENCH_CONFIGs carry no hand model — their MFU comes
+        # from XLA's own cost_analysis above (mfu_pct_compiled).
+        if bench_config == "flagship":
+            # geometry from cfg so the tiny CPU config's analytic number
+            # stays honest next to traced_flops (T = padded sequence + CLS)
+            T = cfg.sequence_length + 1
+            Hd, I = cfg.intermediate_vec, cfg.bert_intermediate_size
+            L = int(getattr(cfg, "transformer_hidden_layers", 16))
+            bert = L * 2 * (2 * T * Hd * (4 * Hd + 2 * I) + 4 * T * T * Hd)
+            R, C = Hd * Hd, cfg.fusion_embed_dim
+            # Ex per modality (x2), CRSTB = 2 self per modality + 2 directed
+            # cross per depth (x4), Re on the single merged stream (x1)
+            n_blocks = (2 * sum(cfg.fusion_ex_depths)
+                        + 4 * sum(cfg.fusion_depths)
+                        + sum(cfg.fusion_re_depths))
+            nw, n2 = (Hd // 6) ** 2, (6 * 6) ** 2   # ws=6 windows on Hd x Hd
+            fusion = n_blocks * (2 * R * C * 12 * C
+                                 + 4 * nw * 6 * n2 * max(C // 6, 1))
+            train_flops_per_subject = 3 * (bert + fusion) * 1.05  # +5% glue
+        else:
+            train_flops_per_subject = (traced_flops_per_subject
+                                       or compiled_flops_per_subject or 0.0)
+        tflops = per_chip * train_flops_per_subject / 1e12
+        # bf16 peak TFLOP/s per chip by device kind (fallback: v5e)
+        kind = getattr(jax.devices()[0], "device_kind", "").lower()
+        peaks = {"v4": 275.0, "v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0,
+                 "v6 lite": 918.0, "v6e": 918.0}
+        peak = next((v for k, v in peaks.items() if k in kind), 197.0)
+        mfu_pct = 100.0 * tflops / peak
+
+        baseline_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+        key = (f"{platform}_x{n_chips}" if bench_config == "flagship"
+               else f"{platform}_x{n_chips}_{bench_config}")
+        baselines = {}
+        if os.path.exists(baseline_path):
+            with open(baseline_path) as f:
+                baselines = json.load(f)
+        if key not in baselines:
+            baselines[key] = per_chip
+            try:
+                with open(baseline_path, "w") as f:
+                    json.dump(baselines, f, indent=1)
+            except OSError:
+                pass
+        vs_baseline = per_chip / baselines[key]
+
+        result = {
+            "metric": "train_step_subjects_per_sec_per_chip",
+            "value": round(per_chip, 3),
+            "unit": f"subjects/sec/chip ({platform}, bs={per_chip_batch}"
+                    f"/chip, fwd+bwd+update, {model_label})",
+            "vs_baseline": round(vs_baseline, 3),
+            "tflops_per_sec": round(tflops, 3),
+            "mfu_pct_of_bf16_peak": round(mfu_pct, 3),
+            "bf16_peak_tflops": peak,
+            "analytic_flops_per_subject": round(train_flops_per_subject),
+            "compiled_flops_per_subject": (
+                round(compiled_flops_per_subject)
+                if compiled_flops_per_subject else None),
+            "traced_flops_per_subject": (
+                round(traced_flops_per_subject)
+                if traced_flops_per_subject else None),
+            "mfu_pct_traced": (
+                round(100.0 * per_chip * traced_flops_per_subject
+                      / 1e12 / peak, 3)
+                if traced_flops_per_subject else None),
+            "mfu_pct_compiled": (
+                round(100.0 * per_chip * compiled_flops_per_subject
+                      / 1e12 / peak, 3)
+                if compiled_flops_per_subject else None),
+            "loss_first_window": round(first_mean, 5),
+            "loss_last_window": round(last_mean, 5),
+            "trajectory_ok": trajectory_ok,
+            "plans": {"fusion_layout": sf._LAYOUT,
+                      "bert_attn": bl._ATTN_MODE,
+                      "bert_grid": bl._GRID_MODE, **race_results},
+        }
+        return state, result
+
+    # ---- PHASE 1: measure under the booted plans, print IMMEDIATELY -----
+    # The committed plans/<device_kind>.json (written by a previous race on
+    # this hardware class) or the autoplan canaries picked the plans; the
+    # driver gets its JSON line before any race leg can eat the wall clock.
+    plans0 = (sf._LAYOUT, bl._ATTN_MODE, bl._GRID_MODE, bl._BC_CAP)
+    state, result = measure(state)
+    print(json.dumps(result), flush=True)
+
+    # ---- PHASE 2: execution-plan race (TPU flagship only) ----------------
+    # The fused kernels ship alternative execution plans (fusion layout
+    # std/bp/bpr, BERT attention packed/loop, BERT grid batched/subject)
+    # whose ranking depends on the hardware. Race the candidates for a few
+    # steps each and persist the winner after EACH leg, so a kill mid-race
+    # still leaves everything learned so far in plans/<device_kind>.json.
+    # Env pins (FUSION_LAYOUT / BERT_ATTN / BERT_GRID) or BENCH_RACE=0 skip.
+    if (platform == "tpu" and bench_config == "flagship"
+            and os.environ.get("BENCH_RACE", "1") != "0"
+            and budget_left("plan race")):
+
+        def persist():
+            save_plan_cache(sf._LAYOUT, bl._ATTN_MODE, race_results,
+                            bert_grid=bl._GRID_MODE, bert_bc=bl._BC_CAP)
 
         def time_plan(st):
             stp = fresh_step()
@@ -192,8 +399,8 @@ def main() -> None:
 
         def timed_leg(st):
             # a transient tunnel failure must not mark a good plan as lost
-            # (a poisoned .plan_cache.json would then mis-boot every later
-            # training run on this host) — retry the leg once after a pause
+            # (a poisoned plan file would then mis-boot every later training
+            # run on this hardware) — retry the leg once after a pause
             try:
                 return time_plan(st)
             except Exception as e:
@@ -209,12 +416,13 @@ def main() -> None:
         # Grid race FIRST: if the batched BERT grid cannot compile inside
         # the full step at the current Bc cap, every later race leg would
         # inherit the broken plan and fail (seen on v5e: canary passed at
-        # Bc=4, full step needed 101.05 MB > cap, all 5 layout/attn legs
-        # died). Racing the grid first settles a compilable Bc before the
-        # layout/attn legs trace.
+        # Bc=4, full step needed 101.05 MB > cap). Racing the grid first
+        # settles a compilable Bc before the layout/attn legs trace.
         if "BERT_GRID" not in os.environ:
             grid_times = {}
             for mode in ("batched", "subject"):
+                if not budget_left(f"bert grid leg {mode}"):
+                    break
                 bl._GRID_MODE = mode
                 while True:
                     try:
@@ -232,10 +440,13 @@ def main() -> None:
                 print(f"[bench] bert grid race: "
                       f"{race_results['bert_grid_ms_per_step']} -> "
                       f"{bl._GRID_MODE}", flush=True)
+                persist()
 
         if "FUSION_LAYOUT" not in os.environ:
             fusion_times = {}
             for lay in ("std", "bp", "bpr"):
+                if not budget_left(f"fusion layout leg {lay}"):
+                    break
                 sf._LAYOUT = lay
                 try:
                     fusion_times[lay], state = timed_leg(state)
@@ -249,9 +460,13 @@ def main() -> None:
                 print(f"[bench] fusion layout race: "
                       f"{race_results['fusion_ms_per_step']} -> {sf._LAYOUT}",
                       flush=True)
+                persist()
+
         if "BERT_ATTN" not in os.environ:
             bert_times = {}
             for mode in ("packed", "loop"):
+                if not budget_left(f"bert attn leg {mode}"):
+                    break
                 bl._ATTN_MODE = mode
                 try:
                     bert_times[mode], state = timed_leg(state)
@@ -263,188 +478,17 @@ def main() -> None:
                 race_results["bert_ms_per_step"] = {
                     k: round(v * 1e3, 2) for k, v in bert_times.items()}
                 print(f"[bench] bert attention race: "
-                      f"{race_results['bert_ms_per_step']} -> {bl._ATTN_MODE}",
-                      flush=True)
-        if race_results:
-            # persist the measured winners: autoplan consults this cache so
-            # real training runs boot with the measured-best plans too.
-            from multimodal_neuroimage_tpu.ops.autoplan import save_plan_cache
-            save_plan_cache(sf._LAYOUT, bl._ATTN_MODE, race_results,
-                            bert_grid=bl._GRID_MODE, bert_bc=bl._BC_CAP)
+                      f"{race_results['bert_ms_per_step']} -> "
+                      f"{bl._ATTN_MODE}", flush=True)
+                persist()
 
-    step = fresh_step()
-
-    # warmup/compile: the first ~3 calls may trigger layout-driven recompiles
-    # under buffer donation; time only the steady state.
-    # IMPORTANT: sync via float() VALUE FETCH — on the axon-tunneled backend
-    # block_until_ready returns optimistically before device completion
-    # (measured 10 ms/step "windows" vs 280 ms/step real), so every window
-    # must end by reading the loss value.
-    for _ in range(3):
-        state, losses, _ = step(state, dev_batch)
-        float(losses["total"])
-    assert np.isfinite(float(losses["total"])), "non-finite training loss"
-
-    # best-of-windows: single windows get polluted by late layout recompiles
-    # and tunnel hiccups; the best window is the reproducible steady state.
-    # Loss-trajectory verification: keep every timed step's loss (device
-    # refs only — no sync inside the window), then check after the fact that
-    # each step produced a fresh finite value. Repeated identical losses
-    # would mean the tunnel deduped/elided executions and the timing is
-    # bogus; a flat trajectory would mean the step isn't training.
-    n_steps = int(os.environ.get("BENCH_STEPS", "25"))
-    n_windows = int(os.environ.get("BENCH_WINDOWS", "4"))
-    best = float("inf")
-    trajectory: list[float] = []
-    trajectory_ok = True
-    for w in range(n_windows):
-        window_refs = []
-        t0 = time.perf_counter()
-        for i in range(n_steps):
-            state, losses, _ = step(state, dev_rot[i % len(dev_rot)])
-            window_refs.append(losses["total"])
-        assert np.isfinite(float(losses["total"]))   # value fetch = true sync
-        best = min(best, time.perf_counter() - t0)
-        vals = [float(v) for v in window_refs]
-        assert all(np.isfinite(v) for v in vals), vals
-        distinct = len({round(v, 9) for v in vals})
-        if distinct < max(2, int(0.8 * n_steps)):
-            trajectory_ok = False
-            print(f"[bench] WARNING: only {distinct}/{n_steps} distinct "
-                  f"losses in window — executions may have been deduped or "
-                  f"the step is a no-op; timing suspect: {vals[:5]}...",
-                  flush=True)
-        trajectory.extend(vals)
-    first_mean = float(np.mean(trajectory[:n_steps]))
-    last_mean = float(np.mean(trajectory[-n_steps:]))
-    if not last_mean < first_mean:
-        trajectory_ok = False
-        print(f"[bench] WARNING: loss did not decrease over the timed run "
-              f"(first-window mean={first_mean:.5f}, last-window "
-              f"mean={last_mean:.5f}) — step may not be training", flush=True)
-
-    subjects_per_sec = batch_size * n_steps / best
-    per_chip = subjects_per_sec / n_chips
-
-    # self-validating MFU: pull XLA's own cost_analysis() FLOPs for the
-    # EXACT compiled step next to the hand-rolled analytic model below, so
-    # a drift in either is visible in the bench JSON itself (VERDICT r2 #9)
-    compiled_flops_per_subject = None
-    try:
-        analysis = step.lower(state, dev_batch).compile().cost_analysis()
-        if isinstance(analysis, (list, tuple)):
-            analysis = analysis[0]
-        f = float((analysis or {}).get("flops", 0.0))
-        if f > 0:
-            compiled_flops_per_subject = f / batch_size
-    except Exception as e:  # pragma: no cover - backend-dependent
-        print(f"[bench] cost_analysis unavailable: {type(e).__name__}: {e}",
-              flush=True)
-
-    # cost_analysis cannot see inside tpu_custom_call (Pallas) kernels, so
-    # on kernel-heavy configs it undercounts by ~100x. traced_flops walks
-    # the jaxpr INCLUDING kernel bodies (x grid) and scan bodies (x length)
-    # — the kernel-aware self-validation twin of the analytic model.
-    traced_flops_per_subject = None
-    try:
-        from multimodal_neuroimage_tpu.obs.profiling import traced_flops
-        # trace an options-free twin: jax rejects tracing a jit that carries
-        # compiler_options inside make_jaxpr ("nested jit"), and the FLOP
-        # census doesn't care about compile options anyway
-        prev_kib = os.environ.get("XLA_SCOPED_VMEM_KIB")
-        os.environ["XLA_SCOPED_VMEM_KIB"] = "0"
-        try:
-            plain_step = fresh_step()
-        finally:
-            if prev_kib is None:
-                del os.environ["XLA_SCOPED_VMEM_KIB"]
-            else:
-                os.environ["XLA_SCOPED_VMEM_KIB"] = prev_kib
-        traced_flops_per_subject = (
-            traced_flops(plain_step, state, dev_batch) / batch_size)
-    except Exception as e:  # pragma: no cover - defensive
-        print(f"[bench] traced_flops unavailable: {type(e).__name__}: {e}",
-              flush=True)
-
-    # analytic FLOPs for one flagship TRAIN step per subject (fwd+bwd ~ 3x
-    # fwd): dual 16-layer BERTs (T=369, H=84, I=3072) + ~60 fusion blocks
-    # (7056 tokens, C=12) + SwinV2 head. Dense matmul = 2mkn. Non-flagship
-    # BENCH_CONFIGs carry no hand model — their MFU comes from XLA's own
-    # cost_analysis above (mfu_pct_compiled).
-    if bench_config == "flagship":
-        # geometry from cfg so the tiny CPU config's analytic number stays
-        # honest next to traced_flops (T = padded sequence + CLS)
-        T = cfg.sequence_length + 1
-        Hd, I = cfg.intermediate_vec, cfg.bert_intermediate_size
-        L = int(getattr(cfg, "transformer_hidden_layers", 16))
-        bert = L * 2 * (2 * T * Hd * (4 * Hd + 2 * I) + 4 * T * T * Hd)
-        R, C = Hd * Hd, cfg.fusion_embed_dim
-        # Ex per modality (x2), CRSTB = 2 self per modality + 2 directed
-        # cross per depth (x4), Re on the single merged stream (x1)
-        n_blocks = (2 * sum(cfg.fusion_ex_depths) + 4 * sum(cfg.fusion_depths)
-                    + sum(cfg.fusion_re_depths))
-        nw, n2 = (Hd // 6) ** 2, (6 * 6) ** 2     # ws=6 windows on Hd x Hd
-        fusion = n_blocks * (2 * R * C * 12 * C
-                             + 4 * nw * 6 * n2 * max(C // 6, 1))
-        train_flops_per_subject = 3 * (bert + fusion) * 1.05  # +5% head/glue
-    else:
-        train_flops_per_subject = (traced_flops_per_subject
-                                   or compiled_flops_per_subject or 0.0)
-    tflops = per_chip * train_flops_per_subject / 1e12
-    # bf16 peak TFLOP/s per chip by device kind (fallback: v5e)
-    kind = getattr(jax.devices()[0], "device_kind", "").lower()
-    peaks = {"v4": 275.0, "v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0,
-             "v6 lite": 918.0, "v6e": 918.0}
-    peak = next((v for k, v in peaks.items() if k in kind), 197.0)
-    mfu_pct = 100.0 * tflops / peak
-
-    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "BENCH_BASELINE.json")
-    key = (f"{platform}_x{n_chips}" if bench_config == "flagship"
-           else f"{platform}_x{n_chips}_{bench_config}")
-    baselines = {}
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
-            baselines = json.load(f)
-    if key not in baselines:
-        baselines[key] = per_chip
-        try:
-            with open(baseline_path, "w") as f:
-                json.dump(baselines, f, indent=1)
-        except OSError:
-            pass
-    vs_baseline = per_chip / baselines[key]
-
-    print(json.dumps({
-        "metric": "train_step_subjects_per_sec_per_chip",
-        "value": round(per_chip, 3),
-        "unit": f"subjects/sec/chip ({platform}, bs={per_chip_batch}/chip, "
-                f"fwd+bwd+update, {model_label})",
-        "vs_baseline": round(vs_baseline, 3),
-        "tflops_per_sec": round(tflops, 3),
-        "mfu_pct_of_bf16_peak": round(mfu_pct, 3),
-        "bf16_peak_tflops": peak,
-        "analytic_flops_per_subject": round(train_flops_per_subject),
-        "compiled_flops_per_subject": (
-            round(compiled_flops_per_subject)
-            if compiled_flops_per_subject else None),
-        "traced_flops_per_subject": (
-            round(traced_flops_per_subject)
-            if traced_flops_per_subject else None),
-        "mfu_pct_traced": (
-            round(100.0 * per_chip * traced_flops_per_subject
-                  / 1e12 / peak, 3)
-            if traced_flops_per_subject else None),
-        "mfu_pct_compiled": (
-            round(100.0 * per_chip * compiled_flops_per_subject
-                  / 1e12 / peak, 3)
-            if compiled_flops_per_subject else None),
-        "loss_first_window": round(first_mean, 5),
-        "loss_last_window": round(last_mean, 5),
-        "trajectory_ok": trajectory_ok,
-        "plans": {"fusion_layout": sf._LAYOUT, "bert_attn": bl._ATTN_MODE,
-                  "bert_grid": bl._GRID_MODE, **race_results},
-    }))
+        # ---- PHASE 3: refreshed measurement only if the plans moved ------
+        plans1 = (sf._LAYOUT, bl._ATTN_MODE, bl._GRID_MODE, bl._BC_CAP)
+        if plans1 != plans0 and budget_left("refreshed measurement"):
+            print(f"[bench] plans changed {plans0} -> {plans1}; "
+                  f"re-measuring", flush=True)
+            state, result = measure(state)
+            print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -26,12 +26,14 @@ from typing import Optional, Tuple
 
 _RESOLVED = False
 
-# Measured-plan cache: bench.py's execution-plan race writes the winners
-# here (keyed by TPU device kind); later boots on the same hardware skip
-# the canaries and use the measured-best plans directly. Machine-local,
-# gitignored.
-_PLAN_CACHE = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), ".plan_cache.json")
+# Measured-plan store: bench.py's execution-plan race writes the winners
+# to a COMMITTED per-device-kind file (plans/<device_kind>.json) so fresh
+# checkouts and fresh machines of the same hardware class boot with the
+# measured-best plans instead of re-racing from cold (VERDICT r3 weak #6).
+# The legacy machine-local .plan_cache.json is still read as a fallback.
+_REPO_ROOT = os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))
+_LEGACY_PLAN_CACHE = os.path.join(_REPO_ROOT, ".plan_cache.json")
 
 
 def _device_kind() -> str:
@@ -42,32 +44,43 @@ def _device_kind() -> str:
         return "unknown"
 
 
+def _plans_path() -> str:
+    kind = _device_kind().lower().replace(" ", "_")
+    return os.path.join(_REPO_ROOT, "plans", f"{kind}.json")
+
+
 def save_plan_cache(fusion_layout: str, bert_attn: str,
                     race_results: Optional[dict] = None,
                     bert_grid: Optional[str] = None,
                     bert_bc: Optional[int] = None) -> None:
-    """Record hardware-measured plan winners (called by bench.py)."""
+    """Record hardware-measured plan winners (called by bench.py after
+    EACH race leg, so a later-killed bench still leaves the winners it
+    measured)."""
+    path = _plans_path()
     try:
-        with open(_PLAN_CACHE, "w") as f:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
             json.dump({"device_kind": _device_kind(),
                        "fusion_layout": fusion_layout,
                        "bert_attn": bert_attn,
                        "bert_grid": bert_grid or "subject",
                        "bert_bc": bert_bc or 8,
                        "race": race_results or {}}, f, indent=1)
+            f.write("\n")
     except OSError:                                  # pragma: no cover
         pass
 
 
 def _load_plan_cache() -> Optional[dict]:
-    try:
-        with open(_PLAN_CACHE) as f:
-            cache = json.load(f)
-    except (OSError, ValueError):
-        return None
-    if cache.get("device_kind") != _device_kind():
-        return None
-    return cache
+    for path in (_plans_path(), _LEGACY_PLAN_CACHE):
+        try:
+            with open(path) as f:
+                cache = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if cache.get("device_kind") == _device_kind():
+            return cache
+    return None
 
 
 def _on_tpu() -> bool:
@@ -239,11 +252,11 @@ def resolve_plans(batch_size: int = 8) -> Tuple[str, str]:
         if sf._LAYOUT is None:
             sf._LAYOUT = cache["fusion_layout"]
             print(f"[autoplan] fusion layout: {sf._LAYOUT} "
-                  f"(measured, .plan_cache.json)")
+                  f"(measured plan file)")
         if not bl._ATTN_PINNED:
             bl._ATTN_MODE = cache["bert_attn"]
             print(f"[autoplan] bert attention: {bl._ATTN_MODE} "
-                  f"(measured, .plan_cache.json)")
+                  f"(measured plan file)")
         if not bl._GRID_PINNED and "bert_grid" in cache:
             bl._GRID_MODE = cache["bert_grid"]
             if "BERT_BC" not in os.environ and "bert_bc" in cache:

@@ -26,6 +26,20 @@ Param/bias gradients are accumulated in BP (block-diagonal) shape inside
 the kernel and folded back to the original shapes by the custom-VJP wrapper
 (sum of the B diagonal blocks — XLA-side, tiny).
 
+Batch-GROUP grid (B > G): the lane fold is capped at G subjects (default 8
+— the fold that saturates the 128 lanes at C=12 while the zero blocks of
+kron(I_G, W) still hide inside the K pad). Larger batches split into
+ngroups = B/G independent lane groups that ride a leading grid axis: the
+stream converts to (ngroups, nW, NP, G*C) at kernel entry, every grid cell
+processes one (group, window-chunk) pair, and the kron weights / packed
+attention / masks stay G-sized. Total MXU work is LINEAR in B with
+constant lane packing — the naive fold's kron dots and BH-packed scores
+were O(B^2) (measured: 7554 ms/step at bs=16 vs 109 at bs=8, ROADMAP
+round-3 matrix). Param/bias grads accumulate across ALL cells (groups
+included) into the same G-sized accumulator blocks, so the XLA-side fold
+is unchanged. At B <= G this reduces exactly to the single-group kernel
+(same grid, same dropout hash keys, same numerics).
+
 Same contracts as fusion_block.py otherwise: pre-norm block, -1e9 pad/mask
 columns, per-(cell, draw) PRNG dropout regeneration (fwd and bwd run the
 same 1-D grid), hash-mask fallback for the HLO interpreter. Replaces the
@@ -66,6 +80,36 @@ def from_bp(x_bp, B: int):
     """(nW, NP, B*C) -> (B, nW, NP, C)."""
     nW, NP, BC = x_bp.shape
     return jnp.transpose(x_bp.reshape(nW, NP, B, BC // B), (2, 0, 1, 3))
+
+
+def group_size(B: int) -> int:
+    """Lane-fold cap: largest divisor of B that is <= FUSION_BP_GROUP
+    (default 8). Lane l = b*C + c is group-contiguous, so group g owns the
+    lane slab [g*G*C, (g+1)*G*C) of the public (nW, NP, B*C) stream."""
+    cap = max(1, int(os.environ.get("FUSION_BP_GROUP", "8")))
+    g = min(B, cap)
+    while B % g:
+        g -= 1
+    return g
+
+
+def _to_groups(x, ngroups: int):
+    """(nW, NP, B*C) -> (ngroups, nW, NP, G*C). Free at ngroups=1; one
+    lane-split transpose otherwise (paid per kernel call — small next to
+    the O(B^2) work it removes)."""
+    nW, NP, BC = x.shape
+    if ngroups == 1:
+        return x[None]
+    return jnp.transpose(x.reshape(nW, NP, ngroups, BC // ngroups),
+                         (2, 0, 1, 3))
+
+
+def _from_groups(x4):
+    """(ngroups, nW, NP, G*C) -> (nW, NP, B*C)."""
+    ngroups, nW, NP, GC = x4.shape
+    if ngroups == 1:
+        return x4[0]
+    return jnp.transpose(x4, (1, 2, 0, 3)).reshape(nW, NP, ngroups * GC)
 
 
 # ---------------------------------------------------------------------------
@@ -197,24 +241,26 @@ def _prng_keep1(shape, rate: float, seed, draw: int):
     return _keep_scale(shape, rate)
 
 
-def _keep2_bp(shape, rate: float, seed, draw: int, row0, mode: str):
+def _keep2_bp(shape, rate: float, seed, draw: int, row0, col0, mode: str):
     """(R, lanes) stream mask; lane encodes (b, c) so masks differ per
-    sample. Hash keys: global token row, lane column."""
+    sample. Hash keys: global token row, GLOBAL lane column (col0 = group
+    lane offset, so groups draw distinct masks)."""
     if mode == "prng":
         return _prng_keep1(shape, rate, seed, draw)
     r = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row0
-    c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + col0
     return _mix_keep(r, c, rate, seed, draw)
 
 
-def _keep3_bp(shape, rate: float, seed, draw: int, w0, mode: str):
-    """(Wc, NP, L_bp) attention mask; lane encodes (b, h, n)."""
+def _keep3_bp(shape, rate: float, seed, draw: int, w0, m0, mode: str):
+    """(Wc, NP, L_bp) attention mask; lane encodes (b, h, n); m0 = group
+    lane offset (g * L) keeps groups' masks distinct."""
     if mode == "prng":
         return _prng_keep1(shape, rate, seed, draw)
     NP = shape[1]
     w = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + w0
     n = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    m = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    m = jax.lax.broadcasted_iota(jnp.int32, shape, 2) + m0
     return _mix_keep(w * NP + n, m, rate, seed, draw)
 
 
@@ -266,16 +312,21 @@ _MM16_ENABLED = os.environ.get("FUSION_MM16", "1") != "0"
 
 def _forward_bp(seed_ref, x_ref, y_ref, dpl_ref, bias_ref, mask_ref, prefs,
                 dims, rates, training, cross, mode, mm16=False):
-    """Shared BP forward. Returns (out, x2r)."""
-    Wc, NP, BC, BH, BCh = dims
+    """Shared BP forward. Returns (out, x2r). Grid is flat
+    (ngroups * n_chunks,) group-major; BC/BH here are the per-GROUP lane
+    sizes (G*C / G*H)."""
+    Wc, NP, BC, BH, BCh, n_chunks = dims
     attn_rate, drop_rate = rates
     hd = BC // BH
     L = BH * NP
     scale = hd ** -0.5
     R = Wc * NP
     seed = seed_ref[0]
-    wkey0 = pl.program_id(0) * Wc
+    gi = pl.program_id(0) // n_chunks              # lane group
+    wkey0 = (pl.program_id(0) % n_chunks) * Wc     # global window offset
     row0 = wkey0 * NP
+    col0 = gi * BC                                 # global lane offsets for
+    m0 = gi * L                                    # group-distinct masks
     mdot, mdot_nt, mdot_tn, mbdot = _mm_bp(mm16)
 
     if cross:
@@ -314,13 +365,16 @@ def _forward_bp(seed_ref, x_ref, y_ref, dpl_ref, bias_ref, mask_ref, prefs,
             else:
                 p = _packed_softmax(S, _seg_matrix(NP, BH), Wc, NP, L, mm16)
         if training and attn_rate > 0.0:
-            p = p * _keep3_bp(p.shape, attn_rate, seed, 3, wkey0, mode)
+            p = p * _keep3_bp(p.shape, attn_rate, seed, 3, wkey0, m0,
+                              mode)
         o2 = mbdot(p, V_pack, 2, 2).reshape(R, BC)
     a = mdot(o2, wp[:]) + bpj[:]
     if training and drop_rate > 0.0:
-        a = a * _keep2_bp(a.shape, drop_rate, seed, _DRAW_PROJ, row0, mode)
-    dp1 = dpl_ref[0:1, :]                          # (1, BC) lane DropPath
-    dp2 = dpl_ref[1:2, :]
+        a = a * _keep2_bp(a.shape, drop_rate, seed, _DRAW_PROJ, row0,
+                          col0, mode)
+    dpl = dpl_ref[:].reshape(2, BC)                # (1,2,GC) block
+    dp1 = dpl[0:1, :]                              # (1, BC) DropPath
+    dp2 = dpl[1:2, :]
     x2r = x2 + dp1 * a
     if fb._ABLATE == "nomlp":                      # skip LN2 + MLP
         return x2r, x2r
@@ -329,10 +383,11 @@ def _forward_bp(seed_ref, x_ref, y_ref, dpl_ref, bias_ref, mask_ref, prefs,
     gu = _gelu(u)
     if training and drop_rate > 0.0:
         gu = gu * _keep2_bp(gu.shape, drop_rate, seed, _DRAW_MLP1, row0,
-                            mode)
+                            col0, mode)
     z = mdot(gu, w2[:]) + b2m[:]
     if training and drop_rate > 0.0:
-        z = z * _keep2_bp(z.shape, drop_rate, seed, _DRAW_MLP2, row0, mode)
+        z = z * _keep2_bp(z.shape, drop_rate, seed, _DRAW_MLP2, row0,
+                          col0, mode)
     out = x2r + dp2 * z
     return out, x2r
 
@@ -354,9 +409,8 @@ def _make_fwd_kernel_bp(dims, rates, training, with_mask, cross, mode,
         out, x2r = _forward_bp(seed_ref, x_ref, y_ref, dpl_ref, bias_ref,
                                mask_ref, prefs, dims, rates, training,
                                cross, mode, mm16)
-        Wc, NP, BC = dims[0], dims[1], dims[2]
-        o_ref[:] = out.reshape(Wc, NP, BC).astype(o_ref.dtype)
-        x2r_ref[:] = x2r.reshape(Wc, NP, BC).astype(x2r_ref.dtype)
+        o_ref[:] = out.reshape(o_ref.shape).astype(o_ref.dtype)
+        x2r_ref[:] = x2r.reshape(x2r_ref.shape).astype(x2r_ref.dtype)
     return kernel
 
 
@@ -396,15 +450,18 @@ def _make_bwd_kernel_bp(dims, rates, training, with_mask, cross, mode,
              dWv_ref, dbv_ref, dwp_ref, dbpj_ref, dg2_ref, db2_ref,
              dw1_ref, db1m_ref, dw2_ref, db2m_ref) = dp_refs
 
-        Wc, NP, BC, BH, BCh = dims
+        Wc, NP, BC, BH, BCh, n_chunks = dims
         attn_rate, drop_rate = rates
         hd = BC // BH
         L = BH * NP
         scale = hd ** -0.5
         R = Wc * NP
         seed = seed_ref[0]
-        wkey0 = pl.program_id(0) * Wc
+        gi = pl.program_id(0) // n_chunks
+        wkey0 = (pl.program_id(0) % n_chunks) * Wc
         row0 = wkey0 * NP
+        col0 = gi * BC
+        m0 = gi * L
         with_drop = training and drop_rate > 0.0
         mdot, mdot_nt, mdot_tn, mbdot = _mm_bp(mm16)
 
@@ -422,8 +479,9 @@ def _make_bwd_kernel_bp(dims, rates, training, with_mask, cross, mode,
         # ---- MLP/LN2 backward over saved x2r ------------------------------
         x2r = x2r_ref[:].astype(jnp.float32).reshape(R, BC)
         g = g_ref[:].astype(jnp.float32).reshape(R, BC)
-        dp1 = dpl_ref[0:1, :]
-        dp2 = dpl_ref[1:2, :]
+        dpl = dpl_ref[:].reshape(2, BC)
+        dp1 = dpl[0:1, :]
+        dp2 = dpl[1:2, :]
 
         if fb._ABLATE == "nomlp":                  # skip LN2 + MLP backward
             dx2r = g
@@ -431,14 +489,14 @@ def _make_bwd_kernel_bp(dims, rates, training, with_mask, cross, mode,
             dz = dp2 * g
             if with_drop:
                 dz = dz * _keep2_bp(dz.shape, drop_rate, seed, _DRAW_MLP2,
-                                    row0, mode)
+                                    row0, col0, mode)
             db2m_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
             h2, xh2, r2 = _ln_fwd_bp(x2r, g2[:], b2[:], M[:])
             u = mdot(h2, w1[:]) + b1m[:]
             gu = _gelu(u)
             if with_drop:
                 m1 = _keep2_bp(gu.shape, drop_rate, seed, _DRAW_MLP1, row0,
-                               mode)
+                               col0, mode)
                 gu = gu * m1
             else:
                 m1 = None
@@ -469,7 +527,7 @@ def _make_bwd_kernel_bp(dims, rates, training, with_mask, cross, mode,
         da = dp1 * dx2r
         if with_drop:
             da = da * _keep2_bp(da.shape, drop_rate, seed, _DRAW_PROJ,
-                                row0, mode)
+                                row0, col0, mode)
         do2 = mdot_nt(da, wp[:])
         do3 = do2.reshape(Wc, NP, BC)
 
@@ -496,7 +554,7 @@ def _make_bwd_kernel_bp(dims, rates, training, with_mask, cross, mode,
                     p = _packed_softmax(S, G, Wc, NP, L, mm16)
             if training and attn_rate > 0.0:
                 keep = _keep3_bp((Wc, NP, L), attn_rate, seed, 3, wkey0,
-                                 mode)
+                                 m0, mode)
                 pd = p * keep
             else:
                 keep = None
@@ -535,13 +593,13 @@ def _make_bwd_kernel_bp(dims, rates, training, with_mask, cross, mode,
             dg1y_ref[:] += jnp.sum(dhk * xh1y, axis=0, keepdims=True)
             db1y_ref[:] += jnp.sum(dhk, axis=0, keepdims=True)
             dy = _ln_bwd_bp(dhk, xh1y, r1y, g1y[:], M[:])
-            dy_ref[:] = dy.reshape(Wc, NP, BC).astype(dy_ref.dtype)
+            dy_ref[:] = dy.reshape(dy_ref.shape).astype(dy_ref.dtype)
         else:
             dh1 = dh1 + dhk
         dg1_ref[:] += jnp.sum(dh1 * xh1, axis=0, keepdims=True)
         db1_ref[:] += jnp.sum(dh1, axis=0, keepdims=True)
         dx = dx2r + _ln_bwd_bp(dh1, xh1, r1, g1[:], M[:])
-        dx_ref[:] = dx.reshape(Wc, NP, BC).astype(dx_ref.dtype)
+        dx_ref[:] = dx.reshape(dx_ref.shape).astype(dx_ref.dtype)
     return kernel
 
 
@@ -576,8 +634,24 @@ def _grid_chunk(nW, NP, BC, L, mode):
     return wf, wb
 
 
-def _x_spec_bp(Wc, NP, BC):
-    return pl.BlockSpec((Wc, NP, BC), lambda c, *_: (c, 0, 0),
+def _x_spec_bp(Wc, NP, GC, n_chunks):
+    """Stream BlockSpec on the (ngroups, nW, NP, G*C) group-major array:
+    flat grid cell i = (group, window-chunk) = (i // n_chunks, i % n_chunks).
+    The lane axis is never blocked (full G*C minor dim) — Mosaic-legal at
+    any G*C."""
+    return pl.BlockSpec((1, Wc, NP, GC),
+                        lambda i, *_: (i // n_chunks, i % n_chunks, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _mask_spec_bp(Wc, NP, n_chunks):
+    return pl.BlockSpec((Wc, NP, NP),
+                        lambda i, *_: (i % n_chunks, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _dpl_spec_bp(GC, n_chunks):
+    return pl.BlockSpec((1, 2, GC), lambda i, *_: (i // n_chunks, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -588,117 +662,136 @@ def _res_bp(shape):
 
 def _prep_bp(params, bias, dp, B: int, C: int, cross: bool):
     """One-shot operand prep shared by fwd and bwd: expanded block-diagonal
-    params, lane-tiled bias plane, lane DropPath scales. Computed ONCE per
-    block call in the custom-VJP fwd and threaded to the bwd via residuals
-    (the bwd used to re-run the whole kron-expansion op chain — a measured
-    part of the scan-body operand-prep tail, ROADMAP round-3 attribution)."""
-    bp_params = _expand_params(params, B, cross)
-    dpl = jnp.repeat(jnp.asarray(dp, jnp.float32).T, C, axis=1)  # (2, BC)
-    bias_bp = jnp.tile(jnp.asarray(bias, jnp.float32), (1, B))
+    params (G-sized), lane-tiled bias plane, group-major lane DropPath
+    scales (ngroups, 2, G*C). Computed ONCE per block call in the
+    custom-VJP fwd and threaded to the bwd via residuals (the bwd used to
+    re-run the whole kron-expansion op chain — a measured part of the
+    scan-body operand-prep tail, ROADMAP round-3 attribution)."""
+    G = group_size(B)
+    ngroups = B // G
+    bp_params = _expand_params(params, G, cross)
+    dpl = jnp.repeat(jnp.asarray(dp, jnp.float32).T, C, axis=1)  # (2, B*C)
+    dpl = jnp.transpose(dpl.reshape(2, ngroups, G * C), (1, 0, 2))
+    bias_bp = jnp.tile(jnp.asarray(bias, jnp.float32), (1, G))
     return bp_params, bias_bp, dpl
 
 
 def _fwd_impl_bp(x, y, params, bias, mask, dp, seed_arr, rates, training,
                  interpret, cross, prep=None):
-    nW, NP, BC = x.shape
+    nW, NP, BCf = x.shape
     B = dp.shape[0]
-    C = BC // B
+    C = BCf // B
+    G = group_size(B)
+    ngroups = B // G
+    BC = G * C                                     # per-group lane width
     H = bias.shape[1] // NP
-    BH = B * H
+    BH = G * H
     L = BH * NP
     Ch = params[-4].shape[1]
     mode = _mode_for(interpret)
     mm16 = _MM16_ENABLED and x.dtype == jnp.bfloat16
     Wc, _ = _grid_chunk(nW, NP, BC, L, mode)
+    n_chunks = nW // Wc
     with_mask = mask is not None
-    dims = (Wc, NP, BC, BH, B * Ch)
+    dims = (Wc, NP, BC, BH, G * Ch, n_chunks)
     bp_params, bias_bp, dpl = (prep if prep is not None
                                else _prep_bp(params, bias, dp, B, C, cross))
+    x4 = _to_groups(x, ngroups)
 
-    x_spec = _x_spec_bp(Wc, NP, BC)
+    x_spec = _x_spec_bp(Wc, NP, BC, n_chunks)
     in_specs = [x_spec]
     if cross:
         in_specs.append(x_spec)
-    in_specs += [_res_bp((2, BC)), _res_bp((NP, L))]
+    in_specs += [_dpl_spec_bp(BC, n_chunks), _res_bp((NP, L))]
     if with_mask:
-        in_specs.append(pl.BlockSpec((Wc, NP, NP), lambda c, *_: (c, 0, 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(_mask_spec_bp(Wc, NP, n_chunks))
     in_specs += [_res_bp(p.shape) for p in bp_params]
-    args = ((seed_arr, x) + ((jnp.asarray(y, x.dtype),) if cross else ())
+    args = ((seed_arr, x4)
+            + ((_to_groups(jnp.asarray(y, x.dtype), ngroups),)
+               if cross else ())
             + (dpl, bias_bp)
             + ((jnp.asarray(mask, jnp.float32),) if with_mask else ())
             + bp_params)
-    out, x2r = pl.pallas_call(
+    out4, x2r4 = pl.pallas_call(
         _make_fwd_kernel_bp(dims, rates, training, with_mask, cross, mode,
                             mm16),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(nW // Wc,),
+            num_scalar_prefetch=1, grid=(ngroups * n_chunks,),
             in_specs=in_specs, out_specs=[x_spec, x_spec]),
-        out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype)] * 2,
+        out_shape=[jax.ShapeDtypeStruct(x4.shape, x.dtype)] * 2,
         interpret=interpret,
         compiler_params=fb._compiler_params(),
     )(*args)
-    return out, x2r
+    return _from_groups(out4), _from_groups(x2r4)
 
 
 def _bwd_impl_bp(x, y, params, bias, mask, dp, seed_arr, x2r, g, rates,
                  training, interpret, cross, prep=None):
-    nW, NP, BC = x.shape
+    nW, NP, BCf = x.shape
     B = dp.shape[0]
-    C = BC // B
+    C = BCf // B
+    G = group_size(B)
+    ngroups = B // G
+    BC = G * C                                     # per-group lane width
     H = bias.shape[1] // NP
-    BH = B * H
+    BH = G * H
     L = BH * NP
     Ch = params[-4].shape[1]
     mode = _mode_for(interpret)
     mm16 = _MM16_ENABLED and x.dtype == jnp.bfloat16
     _, Wc = _grid_chunk(nW, NP, BC, L, mode)
+    n_chunks = nW // Wc
     with_mask = mask is not None
-    dims = (Wc, NP, BC, BH, B * Ch)
+    dims = (Wc, NP, BC, BH, G * Ch, n_chunks)
     bp_params, bias_bp, dpl = (prep if prep is not None
                                else _prep_bp(params, bias, dp, B, C, cross))
-    g_shapes = _bp_grad_shapes(B, C, Ch, cross)
+    g_shapes = _bp_grad_shapes(G, C, Ch, cross)
 
-    x_spec = _x_spec_bp(Wc, NP, BC)
+    x_spec = _x_spec_bp(Wc, NP, BC, n_chunks)
     in_specs = [x_spec]
     if cross:
         in_specs.append(x_spec)
-    in_specs += [x_spec, x_spec, _res_bp((2, BC)), _res_bp((NP, L))]
+    in_specs += [x_spec, x_spec, _dpl_spec_bp(BC, n_chunks),
+                 _res_bp((NP, L))]
     if with_mask:
-        in_specs.append(pl.BlockSpec((Wc, NP, NP), lambda c, *_: (c, 0, 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(_mask_spec_bp(Wc, NP, n_chunks))
     in_specs += [_res_bp(p.shape) for p in bp_params]
     out_specs = ([x_spec] + ([x_spec] if cross else [])
                  + [_res_bp((NP, L))] + [_res_bp(s) for s in g_shapes])
-    out_shapes = ([jax.ShapeDtypeStruct(x.shape, x.dtype)]
+    x4 = _to_groups(x, ngroups)
+    out_shapes = ([jax.ShapeDtypeStruct(x4.shape, x.dtype)]
                   * (2 if cross else 1)
                   + [jax.ShapeDtypeStruct((NP, L), jnp.float32)]
                   + [jax.ShapeDtypeStruct(s, jnp.float32)
                      for s in g_shapes])
-    args = ((seed_arr, x) + ((jnp.asarray(y, x.dtype),) if cross else ())
-            + (x2r, jnp.asarray(g, x.dtype), dpl, bias_bp)
+    args = ((seed_arr, x4)
+            + ((_to_groups(jnp.asarray(y, x.dtype), ngroups),)
+               if cross else ())
+            + (_to_groups(x2r, ngroups),
+               _to_groups(jnp.asarray(g, x.dtype), ngroups), dpl, bias_bp)
             + ((jnp.asarray(mask, jnp.float32),) if with_mask else ())
             + bp_params)
     outs = pl.pallas_call(
         _make_bwd_kernel_bp(dims, rates, training, with_mask, cross, mode,
                             mm16),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(nW // Wc,),
+            num_scalar_prefetch=1, grid=(ngroups * n_chunks,),
             in_specs=in_specs, out_specs=out_specs),
         out_shape=out_shapes,
         interpret=interpret,
         compiler_params=fb._compiler_params(),
     )(*args)
     if cross:
-        dx, dy, dbias_bp = outs[0], outs[1], outs[2]
+        dx, dy, dbias_bp = _from_groups(outs[0]), _from_groups(outs[1]), \
+            outs[2]
         d_bp = outs[3:]
     else:
-        dx, dbias_bp = outs[0], outs[1]
+        dx, dbias_bp = _from_groups(outs[0]), outs[1]
         dy = None
         d_bp = outs[2:]
     dparams = tuple(d.astype(jnp.asarray(p).dtype)
-                    for d, p in zip(_fold_grads(d_bp, B, cross), params))
-    dbias = dbias_bp.reshape(NP, B, H * NP).sum(1).astype(
+                    for d, p in zip(_fold_grads(d_bp, G, cross), params))
+    dbias = dbias_bp.reshape(NP, G, H * NP).sum(1).astype(
         jnp.asarray(bias).dtype)
     return dx, dy, dparams, dbias
 

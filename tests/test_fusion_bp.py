@@ -333,6 +333,153 @@ def test_transition_permutation_gather_only_vjp():
     assert "scatter" not in jaxpr
 
 
+# ---------------------------------------------------------------------------
+# Batch-GROUP grid (B > G): lane fold capped, groups ride the grid
+# ---------------------------------------------------------------------------
+
+
+def _inputs_b(Bn, shift=0, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(Bn, NW, NP, C)).astype(np.float32)
+    x[:, :, N:, :] = 0.0
+    table = jnp.asarray(
+        rng.normal(size=((2 * WS - 1) ** 2, H)).astype(np.float32) * 0.1)
+    bias = fb.combined_bias(table, WS, H, NP, relative_position_index(WS, WS))
+    mask = shift_attn_mask(RES, RES, WS, shift)
+    maskp = (None if mask is None
+             else np.pad(mask, ((0, 0), (0, NP - N), (0, NP - N))))
+    dp = jnp.asarray(rng.uniform(0.7, 1.3, size=(Bn, 2)), jnp.float32)
+    return jnp.asarray(x), bias, maskp, dp
+
+
+@pytest.mark.parametrize("Bn,cap", [(4, 2), (16, 8), (32, 8)])
+def test_bp_group_grid_forward_parity(Bn, cap, monkeypatch):
+    """B > FUSION_BP_GROUP splits into ngroups lane groups on the grid;
+    values must match the std reference exactly (the O(B^2) -> O(B) fix,
+    ROADMAP round-3 matrix / VERDICT r3 #2)."""
+    monkeypatch.setenv("FUSION_BP_GROUP", str(cap))
+    x, bias, maskp, dp = _inputs_b(Bn, shift=3, seed=40 + Bn)
+    assert fbp.group_size(Bn) == cap and Bn // cap > 1
+    params = _params(jax.random.PRNGKey(4))
+    got = fbp.from_bp(
+        fbp.fused_fusion_block_bp(fbp.to_bp(x), params, _pk(bias), maskp,
+                                  dp, 0, (0.0, 0.0), False, interpret=True),
+        Bn)
+    want = fb.fusion_block_reference(x, params, bias, maskp, dp)
+    np.testing.assert_allclose(np.asarray(got)[:, :, :N],
+                               np.asarray(want)[:, :, :N],
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("Bn,cap", [(16, 8)])
+def test_bp_group_grid_grad_parity(Bn, cap, monkeypatch):
+    """Gradients across groups: param/bias grads accumulate over ALL grid
+    cells (groups included) and must match the std reference."""
+    monkeypatch.setenv("FUSION_BP_GROUP", str(cap))
+    x, bias, maskp, dp = _inputs_b(Bn, shift=3, seed=50)
+    params = _params(jax.random.PRNGKey(5))
+    cot = jnp.asarray(np.random.default_rng(51).normal(
+        size=x.shape).astype(np.float32))
+    cot = cot.at[:, :, N:, :].set(0.0)
+
+    def loss_bp(x, params, bias):
+        out = fbp.fused_fusion_block_bp(fbp.to_bp(x), params, _pk(bias),
+                                        maskp, dp, 0, (0.0, 0.0), False,
+                                        interpret=True)
+        return jnp.sum(fbp.from_bp(out, Bn) * cot)
+
+    def loss_ref(x, params, bias):
+        return jnp.sum(fb.fusion_block_reference(x, params, bias, maskp, dp)
+                       * cot)
+
+    gf = jax.grad(loss_bp, argnums=(0, 1, 2))(x, params, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, params, bias)
+    np.testing.assert_allclose(np.asarray(gf[0])[:, :, :N],
+                               np.asarray(gr[0])[:, :, :N],
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(gf[1], gr[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf[2])[:, :N, :N],
+                               np.asarray(gr[2])[:, :N, :N],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_bp_group_grid_cross_parity(monkeypatch):
+    monkeypatch.setenv("FUSION_BP_GROUP", "4")
+    Bn = 8                                          # ngroups = 2
+    x, bias, maskp, dp = _inputs_b(Bn, shift=3, seed=60)
+    y, *_ = _inputs_b(Bn, shift=3, seed=61)
+    params = _params(jax.random.PRNGKey(6), cross=True)
+    cot = jnp.asarray(np.random.default_rng(62).normal(
+        size=x.shape).astype(np.float32))
+    cot = cot.at[:, :, N:, :].set(0.0)
+
+    def loss_bp(x, y, params):
+        out = fbp.fused_cross_fusion_block_bp(
+            fbp.to_bp(x), fbp.to_bp(y), params, _pk(bias), maskp, dp, 0,
+            (0.0, 0.0), False, interpret=True)
+        return jnp.sum(fbp.from_bp(out, Bn) * cot)
+
+    def loss_ref(x, y, params):
+        return jnp.sum(fb.cross_fusion_block_reference(
+            x, y, params, bias, maskp, dp) * cot)
+
+    vf, gf = jax.value_and_grad(loss_bp, argnums=(0, 1, 2))(x, y, params)
+    vr, gr = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(x, y, params)
+    np.testing.assert_allclose(float(vf), float(vr), rtol=1e-5)
+    for name, a, b in (("dx", gf[0], gr[0]), ("dy", gf[1], gr[1])):
+        np.testing.assert_allclose(np.asarray(a)[:, :, :N],
+                                   np.asarray(b)[:, :, :N],
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+    for a, b in zip(gf[2], gr[2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_bp_group_grid_dropout_masks_differ_across_groups(monkeypatch):
+    """Group lane offsets feed the dropout hash: identical subjects placed
+    in DIFFERENT groups must draw different masks (col0/m0 offsets)."""
+    from jax.experimental.pallas import tpu as pltpu
+    monkeypatch.setenv("FUSION_BP_GROUP", "2")
+    Bn = 4
+    x, bias, maskp, _ = _inputs_b(Bn, shift=0, seed=70)
+    xs = jnp.broadcast_to(x[:1], x.shape)           # all subjects identical
+    dp = jnp.ones((Bn, 2), jnp.float32)
+    params = _params(jax.random.PRNGKey(7))
+    out = fbp.fused_fusion_block_bp(fbp.to_bp(xs), params, _pk(bias),
+                                    maskp, dp, 42, (0.4, 0.4), True,
+                                    interpret=pltpu.InterpretParams())
+    out = np.asarray(fbp.from_bp(out, Bn))
+    # subjects 0/1 share group 0; subject 2 lives in group 1
+    assert np.abs(out[0, :, :N] - out[2, :, :N]).max() > 1e-3
+    assert np.abs(out[0, :, :N] - out[1, :, :N]).max() > 1e-3
+
+
+@pytest.mark.slow
+def test_stack_bp_group_matches_std(monkeypatch):
+    """Full CRSTB stack at B=8 with the fold capped at G=4 (ngroups=2):
+    the batch-group grid must be invisible at the module level."""
+    monkeypatch.setenv("FUSION_BP_GROUP", "4")
+    global B
+    prev = B
+    B = 8
+    try:
+        v1, g1 = _crstb_apply("std", monkeypatch)
+        v2, g2 = _crstb_apply("bp", monkeypatch)
+    finally:
+        B = prev
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    # grads: the group grid accumulates param grads over ngroups x more
+    # grid cells, reordering the f32 sums vs the std layout (measured max
+    # rel drift 5e-4 on 2/432 elements) — a looser tolerance than the
+    # single-group stack test, same math
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-4)
+
+
 def test_bp_mm16_forward_close_to_f32():
     """bf16 streams flip the kernels' dots to bf16 operands (FUSION_MM16,
     the v5e MXU fast path); output must track the f32 oracle within bf16

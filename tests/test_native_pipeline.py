@@ -119,3 +119,41 @@ def test_native_fmri_image_matches_host(tmp_path):
     assert hn == nn
     np.testing.assert_array_equal(nb["fmri_sequence"], hb["fmri_sequence"])
     np.testing.assert_array_equal(nb["target"], hb["target"])
+
+
+def test_native_pool_multiworker_and_poison(tmp_path):
+    """Worker-pool de-risk (VERDICT r3 weak #5): nthreads=4 on this 1-core
+    host still exercises pool contention and completion ordering (the Latch
+    path); results must land in their batch slots bit-exactly vs the numpy
+    oracle, a corrupt npy mid-batch must propagate one RuntimeError without
+    wedging the pool, and the very next batch must succeed."""
+    from multimodal_neuroimage_tpu.data.native import matrix_batch_native
+
+    rng = np.random.default_rng(9)
+    paths = []
+    mats = []
+    for i in range(12):
+        m = rng.normal(loc=i * 3.0, size=(84, 84)).astype(np.float32)
+        p = str(tmp_path / f"m{i}.npy")
+        np.save(p, m)
+        paths.append(p)
+        mats.append(m)
+
+    out = matrix_batch_native(paths, 84, 84, nthreads=4)
+    # oracle: global zscore, f64 accumulation, population std (fastpipe.cpp
+    # zscore_row) — per-slot distinct means catch any slot/order mixups
+    for i, m in enumerate(mats):
+        x = m.astype(np.float64)
+        ref = ((x - x.mean()) / x.std()).astype(np.float32)
+        np.testing.assert_allclose(out[i], ref, rtol=1e-6, atol=1e-6)
+
+    # poison slot 5: truncated magic bytes -> one error, pool stays healthy
+    bad = str(tmp_path / "bad.npy")
+    with open(bad, "wb") as f:
+        f.write(b"\x93NUMPY junk")
+    poisoned = paths[:5] + [bad] + paths[6:]
+    with pytest.raises(RuntimeError):
+        matrix_batch_native(poisoned, 84, 84, nthreads=4)
+
+    out2 = matrix_batch_native(paths, 84, 84, nthreads=4)
+    np.testing.assert_array_equal(out2, out)
