@@ -262,7 +262,7 @@ def resolve_plans(batch_size: int = 8) -> Tuple[str, str]:
             if "BERT_BC" not in os.environ and "bert_bc" in cache:
                 bl._BC_CAP = int(cache["bert_bc"])
             print(f"[autoplan] bert grid: {bl._GRID_MODE} "
-                  f"(Bc cap {bl._BC_CAP}; measured, .plan_cache.json)")
+                  f"(Bc cap {bl._BC_CAP}; measured plan file)")
         return sf._LAYOUT, bl._ATTN_MODE
 
     if sf._LAYOUT is None:                         # no env override

@@ -73,16 +73,23 @@ def train_reference(pipe, cfg, epochs: int):
                            weight_decay=cfg.weight_decay)
     crit = torch.nn.BCEWithLogitsLoss()
     curve = []
+    train_losses = []
+    first_logits = []
     for epoch in range(epochs):
         model.train()
+        ep_losses = []
         for batch, names in pipe.epoch("train", epoch, to_device=False):
             x = torch.from_numpy(np.asarray(batch["smri"], np.float32))
             y = torch.from_numpy(np.asarray(batch["target"], np.float32))
             opt.zero_grad()
             out = model(x)["binary_classification"].reshape(-1)
+            if epoch == 0:
+                first_logits.extend(out.detach().numpy().tolist())
             loss = crit(out, y)
             loss.backward()
             opt.step()
+            ep_losses.append(float(loss.detach()))
+        train_losses.append(float(np.mean(ep_losses)))
         model.eval()
         scores, labels = [], []
         with torch.no_grad():
@@ -96,16 +103,22 @@ def train_reference(pipe, cfg, epochs: int):
                         scores.append(out[i])
                         labels.append(float(batch["target"][i]))
         curve.append(auroc(np.asarray(scores), np.asarray(labels)))
-        print(f"[reference] epoch {epoch}: val AUROC {curve[-1]:.3f}",
-              flush=True)
-    return curve
+        print(f"[reference] epoch {epoch}: val AUROC {curve[-1]:.3f} "
+              f"train loss {train_losses[-1]:.4f}", flush=True)
+    return curve, train_losses, np.asarray(first_logits)
 
 
 def train_framework(cfg):
     from multimodal_neuroimage_tpu.train.trainer import Trainer
     trainer = Trainer(cfg)
     trainer.training()
-    return [float(v) for v in trainer.writer.metric_history["val_AUROC"]]
+    hist = trainer.writer.metric_history
+    # per-epoch running-mean train loss (writer keys f"{name}_{set}_loss_history")
+    lh = trainer.writer.loss_history
+    losses = [float(v) for v in
+              lh.get("binary_classification_train_loss_history",
+                     lh.get("total_train_loss_history", []))]
+    return [float(v) for v in hist["val_AUROC"]], losses
 
 
 def main(epochs: int = 8, n_subjects: int = 64, write_json: bool = True):
@@ -124,16 +137,37 @@ def main(epochs: int = 8, n_subjects: int = 64, write_json: bool = True):
         experiment_title="parity", compute_dtype="float32").validate()
 
     pipe = DataPipeline(cfg)                       # shared splits/batches
-    ref_curve = train_reference(pipe, cfg, epochs)
-    fw_curve = train_framework(cfg)
+    ref_curve, ref_losses, ref_logits = train_reference(pipe, cfg, epochs)
+    fw_curve, fw_losses = train_framework(cfg)
     print(f"[framework] val AUROC curve: "
           f"{[round(v, 3) for v in fw_curve]}", flush=True)
+
+    # first-epoch logit distribution of the FRAMEWORK at init (diagnostic
+    # for the trajectory gap, VERDICT r3 #7): forward the first train batch
+    # through the freshly initialised flax model
+    import jax
+    from multimodal_neuroimage_tpu.models.registry import create_model
+    from multimodal_neuroimage_tpu.train.state import (create_train_state,
+                                                       optimizer_from_config)
+    model = create_model(cfg)
+    b0, _ = next(pipe.epoch("train", 0, to_device=False))
+    tx, _ = optimizer_from_config(cfg, steps_per_epoch=10)
+    st = create_train_state(model, b0, tx, cfg.seed)
+    fw_logits = np.asarray(model.apply(
+        {"params": st.params}, b0,
+        deterministic=True)["binary_classification"]).reshape(-1)
 
     tail = min(2, len(fw_curve))
     ref_final = float(np.mean(ref_curve[-tail:]))
     fw_final = float(np.mean(fw_curve[-tail:]))
     result = {"reference_val_auroc": [round(v, 4) for v in ref_curve],
               "framework_val_auroc": [round(v, 4) for v in fw_curve],
+              "reference_train_loss": [round(v, 4) for v in ref_losses],
+              "framework_train_loss": [round(v, 4) for v in fw_losses],
+              "reference_init_logit_std": round(float(ref_logits.std()), 5),
+              "framework_init_logit_std": round(float(fw_logits.std()), 5),
+              "reference_init_logit_mean": round(float(ref_logits.mean()), 5),
+              "framework_init_logit_mean": round(float(fw_logits.mean()), 5),
               "reference_final": round(ref_final, 4),
               "framework_final": round(fw_final, 4),
               "abs_diff_final": round(abs(ref_final - fw_final), 4),

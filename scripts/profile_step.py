@@ -85,12 +85,13 @@ def run_step():
     def mark(what):
         print(f"[{time.perf_counter() - t0:7.1f}s] {what}", flush=True)
 
+    bs = int(os.environ.get("BENCH_PER_CHIP_BATCH", "8"))
     cfg = _flagship_cfg()
-    resolve_plans(8)
-    mark("plans resolved")
+    resolve_plans(bs)
+    mark(f"plans resolved (bs={bs}/chip)")
     mesh = build_mesh()
     model = create_model(cfg)
-    batch = _example_batch(8 * jax.local_device_count())
+    batch = _example_batch(bs * jax.local_device_count())
     tx, _ = optimizer_from_config(cfg, steps_per_epoch=100)
     state = create_train_state(model, batch, tx, cfg.seed)
     mark("state initialized")
