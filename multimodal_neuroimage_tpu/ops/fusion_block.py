@@ -328,28 +328,51 @@ def _seg_matrix(NP: int, H: int):
             ).astype(jnp.float32)
 
 
+_PACK_MODE = os.environ.get("FUSION_PACK", "dot")
+
+
 def _pack_kv(t3, H, mm16: bool = False):
-    """(Wc, NP, C) -> head-packed (Wc, C, L): transpose, then place a copy of
-    each source lane into every head block via ONE matmul against a constant
-    tile-placement matrix E (lane-misaligned 6-piece concats measured ~2x the
-    matmul's cost), and zero channels outside each head's block with a single
-    constant-mask multiply. ``mm16`` runs the placement dot with bf16
-    operands (f32 accumulation) — E is 0/1 so the placement itself is exact;
-    only the t3 values round to bf16 (the surrounding model already runs the
-    bf16 compute policy)."""
+    """(Wc, NP, C) -> head-packed (Wc, C, L): transpose, place a copy of
+    each source lane into every head block, and zero channels outside each
+    head's block with a single constant-mask multiply.
+
+    Placement modes (FUSION_PACK):
+      tile — H lane-concatenated copies of the (Wc, C, NP) transpose: a
+             whole-40-lane-block tile, the same pattern as the in-kernel
+             mask lane-tiling that cut the BP shell floor (round-3
+             ROADMAP). A copy expressed as VPU concat instead of MXU work.
+      dot  — ONE matmul against a constant 0/1 tile-placement matrix E.
+             Round-2's choice ("lane-misaligned 6-piece concats measured
+             ~2x the matmul") predates whole-block tiling; the round-4
+             ablation ladder measured the 4 placement dots (~5.8 GFLOP of
+             pure copying each) as a top kernel cost.
+    ``mm16`` runs the dot-mode placement with bf16 operands (f32
+    accumulation) — E is 0/1 so the placement itself is exact. Both modes
+    produce identical f32 values."""
     Wc, NP, C = t3.shape
     hd = C // H
     L = H * NP
-    tT = jnp.swapaxes(t3, 1, 2)                   # (Wc, C, NP)
-    lane_m = jax.lax.broadcasted_iota(jnp.int32, (NP, L), 0)
-    lane_l = jax.lax.broadcasted_iota(jnp.int32, (NP, L), 1)
-    edt = jnp.bfloat16 if mm16 else jnp.float32
-    E = (lane_l % NP == lane_m).astype(edt)              # (NP, L) placement
+    if _ABLATE == "nopack":       # pack-cost probe: splat stand-in
+        return jnp.full((Wc, C, L), 0.01, jnp.float32) + jnp.sum(t3) * 1e-9
+    if _ABLATE == "noswap":       # transpose-cost probe: tiny-slice stand-in
+        tT = jnp.broadcast_to(jnp.swapaxes(t3[:, :1, :], 1, 2), (Wc, C, NP))
+    else:
+        tT = jnp.swapaxes(t3, 1, 2)               # (Wc, C, NP)
     sub_c = jax.lax.broadcasted_iota(jnp.int32, (C, L), 0)
     sel = (sub_c // hd
            == jax.lax.broadcasted_iota(jnp.int32, (C, L), 1) // NP)
-    tiled = jax.lax.dot_general(tT.astype(edt), E, (((2,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+    if _PACK_MODE == "tile":
+        tiled = jnp.concatenate([tT] * H, axis=2)        # (Wc, C, L)
+    else:
+        lane_m = jax.lax.broadcasted_iota(jnp.int32, (NP, L), 0)
+        lane_l = jax.lax.broadcasted_iota(jnp.int32, (NP, L), 1)
+        edt = jnp.bfloat16 if mm16 else jnp.float32
+        E = (lane_l % NP == lane_m).astype(edt)          # (NP, L) placement
+        tiled = jax.lax.dot_general(tT.astype(edt), E,
+                                    (((2,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    if _ABLATE == "nosel":        # pack-mask-cost probe: skip the block zero
+        return tiled * 1.0
     return tiled * sel.astype(jnp.float32)[None]
 
 

@@ -562,8 +562,13 @@ def _make_bwd_kernel_bp(dims, rates, training, with_mask, cross, mode,
             o2 = mbdot(pd, V_pack, 2, 2).reshape(R, BC)
 
             dpd = mbdot(do3, V_pack, 2, 1)             # (Wc, NP, L)
-            dvf = mbdot(pd, do3, 1, 1)                 # (Wc, L, BC)
-            dv3 = _unstack_bp(dvf, Wc, BH, NP, BC)
+            if fb._ABLATE == "nounstack":  # dv/dk path cost probe
+                dvf = None
+                dv3 = do3 * 0.01
+            else:
+                dvf = mbdot(pd, do3, 1, 1)             # (Wc, L, BC)
+                dv3 = (dvf[:, :NP, :] if fb._ABLATE == "nofold"
+                       else _unstack_bp(dvf, Wc, BH, NP, BC))
             dp_ = dpd * keep if keep is not None else dpd
             if fb._ABLATE in ("dotsonly", "nosm"):     # skip softmax bwd
                 ds = dp_ * 0.01
@@ -573,8 +578,12 @@ def _make_bwd_kernel_bp(dims, rates, training, with_mask, cross, mode,
                 ds = p * (dp_ - seg)
             dbias_ref[:] += jnp.sum(ds, axis=0)        # (NP, L)
             dq3 = mbdot(ds, K_pack, 2, 2) * scale      # (Wc, NP, BC)
-            dkf = mbdot(ds, q3s, 1, 1)                 # (Wc, L, BC)
-            dk3 = _unstack_bp(dkf, Wc, BH, NP, BC)
+            if fb._ABLATE == "nounstack":  # dv/dk path cost probe
+                dk3 = dq3 * 0.01
+            else:
+                dkf = mbdot(ds, q3s, 1, 1)             # (Wc, L, BC)
+                dk3 = (dkf[:, :NP, :] if fb._ABLATE == "nofold"
+                       else _unstack_bp(dkf, Wc, BH, NP, BC))
             dq = dq3.reshape(R, BC)
             dk = dk3.reshape(R, BC)
             dv = dv3.reshape(R, BC)
