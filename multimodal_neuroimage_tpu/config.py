@@ -155,6 +155,9 @@ class Config:
     compute_dtype: str = "bfloat16"           # replaces CUDA AMP (trainer.py:378-409)
     remat: bool = False                       # jax.checkpoint the encoder stacks
     flatten_optimizer: bool = True            # one flat-vector optax update
+    fused_optimizer: str = "auto"             # "auto"|"on"|"off": single-
+    # Pallas-kernel flat update (ops/fused_update.py) replacing the ~15-pass
+    # optax chain; auto = on for adam/adamw without grad accumulation
 
     # ---- losses ------------------------------------------------------------------
     intensity_factor: float = 1.0

@@ -675,7 +675,15 @@ def _prep_bp(params, bias, dp, B: int, C: int, cross: bool):
     scales (ngroups, 2, G*C). Computed ONCE per block call in the
     custom-VJP fwd and threaded to the bwd via residuals (the bwd used to
     re-run the whole kron-expansion op chain — a measured part of the
-    scan-body operand-prep tail, ROADMAP round-3 attribution)."""
+    scan-body operand-prep tail, ROADMAP round-3 attribution).
+
+    HBM cost of pinning the expansions fwd->bwd (round-3 advisor note): at
+    the flagship geometry (G=8, C=12 -> BC=96, Ch=48) the kron matrices are
+    (96,96)/(96,384)/(384,96) f32 — ~0.6 MB per block including the lane
+    tiles, ~40 MB across all ~60 scanned blocks, under 0.3% of v5e HBM and
+    far below the streams the blocks already save (x2r is ~30 MB/block).
+    Recomputing in bwd would instead re-pay the einsum/tile op chain per
+    block per step; the pin stays."""
     G = group_size(B)
     ngroups = B // G
     bp_params = _expand_params(params, G, cross)

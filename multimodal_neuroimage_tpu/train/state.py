@@ -51,7 +51,8 @@ class TrainState(struct.PyTreeNode):
 def create_optimizer(optim: str, schedule: Callable, weight_decay: float,
                      gradient_clipping: bool = False, clip_max_norm: float = 1.0,
                      accumulation_steps: int = 1,
-                     flatten: bool = True) -> optax.GradientTransformation:
+                     flatten: bool = True,
+                     fused: str = "auto") -> optax.GradientTransformation:
     """Optimizer factory (reference trainer.py:166-173): Adam applies L2 into
     the gradient (torch.optim.Adam semantics), AdamW decouples the decay.
 
@@ -60,7 +61,24 @@ def create_optimizer(optim: str, schedule: Callable, weight_decay: float,
     vector instead of per-tensor loops — one fused XLA kernel chain instead
     of a kernel per parameter tensor, which matters on a launch-overhead-
     heavy backend. Mathematically identical (global-norm clipping, Adam,
-    and decay are all elementwise or norm-global)."""
+    and decay are all elementwise or norm-global).
+
+    ``fused`` ("auto"/"on"/"off") selects ops/fused_update.fused_adam — the
+    whole clip/decay/adam/lr chain as ONE Pallas kernel over the flat
+    vector (4 HBM reads + 3 writes instead of ~15 sweeps; parity-tested
+    against this exact optax chain). auto = on whenever the chain below
+    would be adam/adamw without gradient accumulation."""
+    optim_known = optim.lower() in ("adam", "adamw")
+    if fused not in ("auto", "on", "off"):
+        raise ValueError(f"fused must be auto/on/off, got {fused!r}")
+    if fused != "off" and optim_known and accumulation_steps <= 1:
+        from multimodal_neuroimage_tpu.ops.fused_update import fused_adam
+        return fused_adam(schedule, weight_decay, mode=optim.lower(),
+                          gradient_clipping=gradient_clipping,
+                          clip_max_norm=clip_max_norm)
+    if fused == "on":
+        raise ValueError("fused='on' requires adam/adamw and "
+                         "accumulation_steps == 1")
     parts = []
     if gradient_clipping:
         parts.append(optax.clip_by_global_norm(clip_max_norm))
@@ -90,7 +108,8 @@ def optimizer_from_config(cfg, steps_per_epoch: int) -> Tuple[
     tx = create_optimizer(cfg.optim, schedule, cfg.weight_decay,
                           cfg.gradient_clipping, cfg.clip_max_norm,
                           cfg.accumulation_steps,
-                          flatten=getattr(cfg, "flatten_optimizer", True))
+                          flatten=getattr(cfg, "flatten_optimizer", True),
+                          fused=getattr(cfg, "fused_optimizer", "auto"))
     return tx, schedule
 
 

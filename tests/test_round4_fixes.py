@@ -115,3 +115,23 @@ def test_plan_cache_roundtrip_per_device_file(tmp_path, monkeypatch):
         json.dump({"device_kind": "TPU v4", "fusion_layout": "std",
                    "bert_attn": "packed"}, f)
     assert autoplan._load_plan_cache()["fusion_layout"] == "std"
+
+
+# ---------------------------------------------------------------------------
+# Pack placement modes (round-4 ablation work): tile and dot produce
+# identical packed K/V layouts
+# ---------------------------------------------------------------------------
+
+
+def test_pack_kv_tile_matches_dot(monkeypatch):
+    import jax.numpy as jnp
+    from multimodal_neuroimage_tpu.ops import fusion_block as fb
+
+    rng = np.random.default_rng(7)
+    t3 = jnp.asarray(rng.normal(size=(5, 16, 12)).astype(np.float32))
+    monkeypatch.setattr(fb, "_PACK_MODE", "dot")
+    ref = np.asarray(fb._pack_kv(t3, 6))
+    monkeypatch.setattr(fb, "_PACK_MODE", "tile")
+    tile = np.asarray(fb._pack_kv(t3, 6))
+    np.testing.assert_array_equal(ref, tile)
+    assert ref.shape == (5, 12, 6 * 16)
