@@ -294,7 +294,7 @@ def _fwd_parts(seed_ref, x_ref, prefs, dims, rates, training, ctx_scratch,
     x = x_ref[0].astype(jnp.float32)              # (TP, H)
     if _ABLATE == "copy":                          # shell + DMA floor
         ones = jnp.ones((TP, 1), jnp.float32)
-        return x, (x, x, x, x, x, None, x, x, ones, None, x, ones)
+        return x, (x, x, x, x, x, None, x, x, ones, None, x, ones, x)
     q = mdot(x, wq[:]) + bq[:]
     k = mdot(x, wk[:]) + bk[:]
     v = mdot(x, wv[:]) + bv[:]
@@ -338,19 +338,24 @@ def _fwd_parts(seed_ref, x_ref, prefs, dims, rates, training, ctx_scratch,
         z = z * m1
     else:
         m1 = None
-    out, xh2, r2 = _ln_fwd(z + x1, g2[:], b2[:])
-    return out, (x, q, k, v, ctx, m0, x1, xh1, r1, m1, xh2, r2)
+    a2 = z + x1                                   # pre-LN2 sum (residual)
+    out, xh2, r2 = _ln_fwd(a2, g2[:], b2[:])
+    return out, (x, q, k, v, ctx, m0, x1, xh1, r1, m1, xh2, r2, a2)
 
 
 def _make_fwd_kernel(dims, rates, training, mm16=False, mode="prng"):
     def kernel(seed_ref, x_ref, *rest):
         prefs = rest[0:N_PARAMS]
-        o_ref, x1_ref, ctx_scratch = (rest[N_PARAMS], rest[N_PARAMS + 1],
-                                      rest[N_PARAMS + 2])
+        (o_ref, x1_ref, ctx_ref, a2_ref,
+         ctx_scratch) = (rest[N_PARAMS], rest[N_PARAMS + 1],
+                         rest[N_PARAMS + 2], rest[N_PARAMS + 3],
+                         rest[N_PARAMS + 4])
         out, res = _fwd_parts(seed_ref, x_ref, prefs, dims, rates, training,
                               ctx_scratch, mm16, mode)
         o_ref[0] = out.astype(o_ref.dtype)
         x1_ref[0] = res[6].astype(x1_ref.dtype)   # x1 (post-attention LN)
+        ctx_ref[0] = res[4]                       # f32 residuals: the bwd
+        a2_ref[0] = res[12]                       # skips both recomputes
     return kernel
 
 
@@ -398,8 +403,10 @@ def _attn_fwd_into(seed_ref, q, k, v, ctx_scratch, b, dims, rates, training,
 def _make_fwd_kernel_batched(dims, rates, training, mm16, mode, Bc):
     def kernel(seed_ref, x_ref, *rest):
         prefs = rest[0:N_PARAMS]
-        o_ref, x1_ref, ctx_scratch = (rest[N_PARAMS], rest[N_PARAMS + 1],
-                                      rest[N_PARAMS + 2])
+        (o_ref, x1_ref, ctx_ref, a2_ref,
+         ctx_scratch) = (rest[N_PARAMS], rest[N_PARAMS + 1],
+                         rest[N_PARAMS + 2], rest[N_PARAMS + 3],
+                         rest[N_PARAMS + 4])
         TP, H, F, heads, T = dims
         attn_rate, drop_rate = rates
         R = Bc * TP
@@ -426,9 +433,12 @@ def _make_fwd_kernel_batched(dims, rates, training, mm16, mode, Bc):
             z = z + mdot(_gelu_erf(u_c), w2[c0:c0 + Fc, :])
         if training and drop_rate > 0.0:
             z = z * _drop(z.shape, drop_rate, seed_ref, 1, mode, cell_row0)
-        out, _, _ = _ln_fwd(z + x1, g2[:], b2[:])
+        a2 = z + x1                               # pre-LN2 sum (residual)
+        out, _, _ = _ln_fwd(a2, g2[:], b2[:])
         o_ref[...] = out.reshape(Bc, TP, H).astype(o_ref.dtype)
         x1_ref[...] = x1.reshape(Bc, TP, H).astype(x1_ref.dtype)
+        ctx_ref[...] = ctx.reshape(Bc, TP, H)
+        a2_ref[...] = a2.reshape(Bc, TP, H)
     return kernel
 
 
@@ -437,8 +447,15 @@ def _make_merged_bwd_kernel_batched(dims, rates, training, mm16, mode, Bc):
     the folded (Bc*TP, H) rows (single dots, single dW contractions); the
     score/softmax/context recompute + backward loops subjects. Masks
     regenerate identically to the batched forward (same grid, same draws,
-    same row origins)."""
-    def kernel(seed_ref, x_ref, x1_ref, g_ref, *rest):
+    same row origins).
+
+    With the forward-saved residuals (ctx, a2 — BERT_BWD_RESID, default on)
+    the kernel skips BOTH of its forward recomputes: the per-subject
+    attention pass that only rebuilt ctx/LN1 statistics, and the chunked
+    FFN forward that only rebuilt LN2 statistics — together ~1/3 of the
+    backward's FLOPs. The f32 saves are bitwise the forward's values, so
+    gradients are identical."""
+    def kernel(seed_ref, x_ref, x1_ref, ctx_ref, a2_ref, g_ref, *rest):
         prefs = rest[0:N_PARAMS]
         (wq, bq, wk, bk, wv, bv, wo, bo, g1, b1,
          w1, b1m, w2, b2m, g2, b2) = prefs
@@ -468,16 +485,21 @@ def _make_merged_bwd_kernel_batched(dims, rates, training, mm16, mode, Bc):
         dx1 = _ffn_bwd_body(seed_ref, x1, g, w1, b1m, w2, b2m, g2, b2,
                             dw1_ref, db1m_ref, dw2_ref, db2m_ref, dg2_ref,
                             db2_ref, dims, rates, training, mm16, mode,
-                            rows=R)
+                            rows=R,
+                            a2=(a2_ref[...].reshape(R, H) if _RESID
+                                else None))
 
         q = mdot(x, wq[:]) + bq[:]
         k = mdot(x, wk[:]) + bk[:]
         v = mdot(x, wv[:]) + bv[:]
         cell_row0 = pl.program_id(0) * R
-        for b in range(Bc):                       # ctx recompute (pass 1)
-            _attn_fwd_into(seed_ref, q, k, v, ctx_scratch, b, dims, rates,
-                           training, mm16, mode, cell_row0)
-        ctx = ctx_scratch[:]
+        if _RESID:
+            ctx = ctx_ref[...].reshape(R, H)
+        else:
+            for b in range(Bc):                   # ctx recompute (pass 1)
+                _attn_fwd_into(seed_ref, q, k, v, ctx_scratch, b, dims,
+                               rates, training, mm16, mode, cell_row0)
+            ctx = ctx_scratch[:]
         a = mdot(ctx, wo[:]) + bo[:]
         if training and drop_rate > 0.0:
             m0 = _drop(a.shape, drop_rate, seed_ref, 0, mode, cell_row0)
@@ -576,12 +598,19 @@ def _make_ffn_bwd_kernel(dims, rates, training, mm16=False, mode="prng"):
 
 def _ffn_bwd_body(seed_ref, x1, g, w1, b1m, w2, b2m, g2, b2,
                   dw1_ref, db1m_ref, dw2_ref, db2m_ref, dg2_ref, db2_ref,
-                  dims, rates, training, mm16, mode, rows=None):
+                  dims, rates, training, mm16, mode, rows=None, a2=None):
     """LN2+FFN backward math over saved x1; returns dx1 (stays in VMEM when
     called from the merged kernel). Row-count generic: ``rows`` defaults to
     one subject (TP) and is Bc*TP under the batched grid — the math is
     row-wise so the fold is free, and the dropout row origin matches the
-    forward's (same grid, same row0)."""
+    forward's (same grid, same row0).
+
+    ``a2``: the forward-saved pre-LN2 sum (dropout(z) + x1). When given,
+    the full FFN forward recompute that existed only to rebuild the LN2
+    statistics (2 chunked dots, ~29% of the FFN backward's FLOPs) is
+    skipped — the saved f32 value is bitwise what the forward computed, so
+    gradients are unchanged (tests/test_bert_megakernel.py A/Bs the plans).
+    """
     TP, H, F, heads, T = dims
     R = TP if rows is None else rows
     _, drop_rate = rates
@@ -589,16 +618,22 @@ def _ffn_bwd_body(seed_ref, x1, g, w1, b1m, w2, b2m, g2, b2,
     row0 = pl.program_id(0) * R
 
     Fc = _ffn_chunk(F, 256)
-    z = jnp.zeros((R, H), jnp.float32) + b2m[:]
-    for c0 in range(0, F, Fc):
-        u_c = mdot(x1, w1[:, c0:c0 + Fc]) + b1m[:, c0:c0 + Fc]
-        z = z + mdot(_gelu_erf(u_c), w2[c0:c0 + Fc, :])
-    if training and drop_rate > 0.0:
-        m1 = _drop(z.shape, drop_rate, seed_ref, 1, mode, row0)
-        z = z * m1
+    if a2 is None:
+        z = jnp.zeros((R, H), jnp.float32) + b2m[:]
+        for c0 in range(0, F, Fc):
+            u_c = mdot(x1, w1[:, c0:c0 + Fc]) + b1m[:, c0:c0 + Fc]
+            z = z + mdot(_gelu_erf(u_c), w2[c0:c0 + Fc, :])
+        if training and drop_rate > 0.0:
+            m1 = _drop(z.shape, drop_rate, seed_ref, 1, mode, row0)
+            z = z * m1
+        else:
+            m1 = None
+        a2 = z + x1
+    elif training and drop_rate > 0.0:
+        m1 = _drop((R, H), drop_rate, seed_ref, 1, mode, row0)
     else:
         m1 = None
-    _, xh2, r2 = _ln_fwd(z + x1, g2[:], b2[:])
+    _, xh2, r2 = _ln_fwd(a2, g2[:], b2[:])
 
     dg2_ref[:] += jnp.sum(g * xh2, axis=0, keepdims=True)
     db2_ref[:] += jnp.sum(g, axis=0, keepdims=True)
@@ -706,8 +741,11 @@ def _make_merged_bwd_kernel(dims, rates, training, mm16=False, mode="prng"):
     """ONE backward kernel per layer: FFN/LN2 side over saved x1 (dx1 stays
     in VMEM), then the attention-side recompute + backward. The split
     variant below predates the 64 MB vmem_limit and is kept for A/B
-    (BERT_BWD=split)."""
-    def kernel(seed_ref, x_ref, x1_ref, g_ref, *rest):
+    (BERT_BWD=split). The saved a2 residual (BERT_BWD_RESID) skips the FFN
+    forward recompute; ctx is accepted but unused here — the per-subject
+    attention backward needs the softmax internals regardless, and its
+    single _attn_packed_fwd call already yields ctx for free."""
+    def kernel(seed_ref, x_ref, x1_ref, ctx_ref, a2_ref, g_ref, *rest):
         prefs = rest[0:N_PARAMS]
         (wq, bq, wk, bk, wv, bv, wo, bo, g1, b1,
          w1, b1m, w2, b2m, g2, b2) = prefs
@@ -730,7 +768,8 @@ def _make_merged_bwd_kernel(dims, rates, training, mm16=False, mode="prng"):
         g = g_ref[0].astype(jnp.float32)
         dx1 = _ffn_bwd_body(seed_ref, x1, g, w1, b1m, w2, b2m, g2, b2,
                             dw1_ref, db1m_ref, dw2_ref, db2m_ref, dg2_ref,
-                            db2_ref, dims, rates, training, mm16, mode)
+                            db2_ref, dims, rates, training, mm16, mode,
+                            a2=a2_ref[0] if _RESID else None)
         dx = _attn_bwd_body(seed_ref, x, dx1, wq, bq, wk, bk, wv, bv, wo,
                             bo, g1, b1, dwq_ref, dbq_ref, dwk_ref, dbk_ref,
                             dwv_ref, dbv_ref, dwo_ref, dbo_ref, dg1_ref,
@@ -818,31 +857,33 @@ def _fbl_fwd(x, params, seed, heads, t_valid, rates, training, interpret,
     if bc > 1:
         xb_spec = pl.BlockSpec((bc, TP, H), lambda b, c, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM)
-        out, x1 = pl.pallas_call(
+        out, x1, ctx, a2 = pl.pallas_call(
             _make_fwd_kernel_batched(dims, rates, training, mm16, mode, bc),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1, grid=(B // bc, 1),
                 in_specs=[xb_spec] + [_resident(s) for s in p_shapes],
-                out_specs=[xb_spec, xb_spec],
+                out_specs=[xb_spec] * 4,
                 scratch_shapes=[pltpu.VMEM((bc * TP, H), jnp.float32)]),
-            out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype)] * 2,
+            out_shape=([jax.ShapeDtypeStruct(x.shape, x.dtype)] * 2
+                       + [jax.ShapeDtypeStruct(x.shape, jnp.float32)] * 2),
             interpret=interpret,
             compiler_params=_batched_compiler_params(),
         )(seed_arr, x, *[f32(p) for p in params])
-        return out, (x, x1, params, seed_arr)
-    out, x1 = pl.pallas_call(
+        return out, (x, x1, ctx, a2, params, seed_arr)
+    out, x1, ctx, a2 = pl.pallas_call(
         _make_fwd_kernel(dims, rates, training, mm16, mode),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(B, 1),
-            in_specs=in_specs, out_specs=[x_spec, x_spec],
+            in_specs=in_specs, out_specs=[x_spec] * 4,
             scratch_shapes=[pltpu.VMEM((TP, H), jnp.float32)]),
-        out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype)] * 2,
+        out_shape=([jax.ShapeDtypeStruct(x.shape, x.dtype)] * 2
+                   + [jax.ShapeDtypeStruct(x.shape, jnp.float32)] * 2),
         interpret=interpret,
         # packed attention's head-packed score pass needs ~17.7 MB of scoped
         # vmem — just over the 16 MB Mosaic default; use the shared 64 MB cap
         compiler_params=_fb._compiler_params(),
     )(seed_arr, x, *[f32(p) for p in params])
-    return out, (x, x1, params, seed_arr)
+    return out, (x, x1, ctx, a2, params, seed_arr)
 
 
 # BERT_MM16=force: bf16-operand MXU dots even when the token stream is f32
@@ -866,9 +907,16 @@ _ABLATE = os.environ.get("BERT_ABLATE", "")
 
 _BWD_MODE = os.environ.get("BERT_BWD", "merged")
 
+# BERT_BWD_RESID (default on): the merged backward kernels consume the
+# forward-saved f32 residuals (ctx, a2) instead of recomputing the attention
+# forward (batched grid's pass 1) and the chunked FFN forward — ~1/3 of the
+# backward's FLOPs for ~2 MB/layer-call of extra HBM. "0" restores the
+# recompute-everything behavior (A/B; gradients are bitwise identical).
+_RESID = os.environ.get("BERT_BWD_RESID", "1") != "0"
+
 
 def _fbl_bwd(heads, t_valid, rates, training, interpret, mm16, res, g):
-    x, x1, params, seed_arr = res
+    x, x1, ctx, a2, params, seed_arr = res
     B, dims = _dims(x, params, heads, t_valid)
     TP, H, F = dims[0], dims[1], dims[2]
     f32 = lambda t: jnp.asarray(t, jnp.float32)
@@ -889,7 +937,7 @@ def _fbl_bwd(heads, t_valid, rates, training, interpret, mm16, res, g):
                                             mode, bc),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1, grid=(B // bc, 1),
-                in_specs=([xb_spec, xb_spec, xb_spec]
+                in_specs=([xb_spec] * 5
                           + [_resident(s) for s in p_shapes]),
                 out_specs=[xb_spec] + [_resident(s) for s in p_shapes],
                 scratch_shapes=[pltpu.VMEM((bc * TP, H), jnp.float32),
@@ -899,7 +947,7 @@ def _fbl_bwd(heads, t_valid, rates, training, interpret, mm16, res, g):
                           for s in p_shapes]),
             interpret=interpret,
             compiler_params=_batched_compiler_params(),
-        )(seed_arr, x, x1, jnp.asarray(g, x.dtype),
+        )(seed_arr, x, x1, ctx, a2, jnp.asarray(g, x.dtype),
           *[f32(p) for p in params])
         dx = outs[0]
         dparams = tuple(d.astype(jnp.asarray(p).dtype)
@@ -910,7 +958,7 @@ def _fbl_bwd(heads, t_valid, rates, training, interpret, mm16, res, g):
             _make_merged_bwd_kernel(dims, rates, training, mm16, mode),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1, grid=(B, 1),
-                in_specs=([x_spec, x_spec, x_spec]
+                in_specs=([x_spec] * 5
                           + [_resident(s) for s in p_shapes]),
                 out_specs=[x_spec] + [_resident(s) for s in p_shapes],
                 scratch_shapes=[pltpu.VMEM((TP, H), jnp.float32),
@@ -920,7 +968,7 @@ def _fbl_bwd(heads, t_valid, rates, training, interpret, mm16, res, g):
                           for s in p_shapes]),
             interpret=interpret,
             compiler_params=_fb._compiler_params(),
-        )(seed_arr, x, x1, jnp.asarray(g, x.dtype),
+        )(seed_arr, x, x1, ctx, a2, jnp.asarray(g, x.dtype),
           *[f32(p) for p in params])
         dx = outs[0]
         dparams = tuple(d.astype(jnp.asarray(p).dtype)

@@ -173,3 +173,35 @@ def test_bert_layer_mm16_force_f32_stream_parity(monkeypatch):
     for a, b in zip(dp16, dp32):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0.2, atol=0.25)
+
+
+@pytest.mark.parametrize("grid_mode", ["subject", "batched"])
+@pytest.mark.parametrize("rates", [(0.0, 0.0), (0.1, 0.1)])
+def test_bert_bwd_resid_matches_recompute(grid_mode, rates, monkeypatch):
+    """BERT_BWD_RESID (forward-saved ctx/a2, round 4) matches the
+    recompute-everything backward to f32 summation-order noise. (Not
+    bitwise: the old recompute rebuilt z with the BACKWARD's FFN chunk size
+    (256) while the forward accumulates in 768-chunks, so ITS LN2 stats
+    carried a ~1e-7 ordering wobble that the saved value does not.)"""
+    monkeypatch.setattr(bl, "_GRID_MODE", grid_mode)
+    x = _x(5)
+    params = _params(jax.random.PRNGKey(4))
+    cot = jnp.asarray(np.random.default_rng(9).normal(
+        size=x.shape).astype(np.float32)).at[:, T:, :].set(0.0)
+    training = rates != (0.0, 0.0)
+
+    def loss(x, params):
+        out = bl.bert_layer_call(x, params, 11, HEADS, T, rates, training,
+                                 interpret=True)
+        return jnp.sum(out * cot)
+
+    grads = {}
+    for resid in (True, False):
+        monkeypatch.setattr(bl, "_RESID", resid)
+        grads[resid] = jax.grad(loss, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(np.asarray(grads[True][0]),
+                               np.asarray(grads[False][0]),
+                               rtol=5e-5, atol=1e-6)
+    for a, b in zip(grads[True][1], grads[False][1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=1e-6)
