@@ -1,5 +1,12 @@
 """Measure candidate MXU dot formulations for the fusion window attention.
 
+WARNING (round-4 postmortem): numbers from THIS script are not trustworthy
+as absolute rates — every grid cell writes the same output block, so Mosaic
+may elide all but the last cell's work, and measured rates exceeded bf16
+peak. Kept as a cautionary artifact (ROADMAP round-4 section). Use the
+in-kernel FUSION_ABLATE ladder on the real kernels instead
+(scripts/bench_fusion_bp.py), or give every cell a distinct output block.
+
 The BP fusion kernels spend ~81% of their time in packed window dots shaped
 (Wc, NP=40, BC=96) x (Wc, BC, L=1920) — M=40 rows per window leaves the MXU
 mostly idle (ROADMAP round-3 attribution). This benchmark times the candidate
