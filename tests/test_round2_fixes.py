@@ -269,7 +269,12 @@ def test_autoplan_plan_cache(monkeypatch, tmp_path):
     from multimodal_neuroimage_tpu.ops import bert_layer as bl
 
     cache_file = str(tmp_path / "plan_cache.json")
-    monkeypatch.setattr(autoplan, "_PLAN_CACHE", cache_file)
+    # plan winners moved to a committed per-device-kind file in round 4
+    # (plans/<kind>.json, autoplan._plans_path); point both lookup paths
+    # into the tmp dir so the repo's real plan file cannot interfere
+    monkeypatch.setattr(autoplan, "_plans_path", lambda: cache_file)
+    monkeypatch.setattr(autoplan, "_LEGACY_PLAN_CACHE",
+                        str(tmp_path / "legacy-absent.json"))
     monkeypatch.setattr(autoplan, "_on_tpu", lambda: True)
     monkeypatch.setattr(autoplan, "_device_kind", lambda: "TPU v5e")
 
@@ -312,9 +317,11 @@ def test_autoplan_fallback(monkeypatch, tmp_path):
     from multimodal_neuroimage_tpu.ops import autoplan
     from multimodal_neuroimage_tpu.ops import bert_layer as bl
 
-    # isolate from any machine-local measured-plan cache
-    monkeypatch.setattr(autoplan, "_PLAN_CACHE",
-                        str(tmp_path / "absent.json"))
+    # isolate from the committed / machine-local measured-plan files
+    monkeypatch.setattr(autoplan, "_plans_path",
+                        lambda: str(tmp_path / "absent.json"))
+    monkeypatch.setattr(autoplan, "_LEGACY_PLAN_CACHE",
+                        str(tmp_path / "legacy-absent.json"))
 
     # canaries succeed -> fast plans
     monkeypatch.setattr(autoplan, "_RESOLVED", False)
