@@ -27,6 +27,26 @@ jax.config.update("jax_compilation_cache_dir",
                       os.path.abspath(__file__))), ".jax_cache"))
 
 
+def _self_times(events):
+    """Per-event SELF duration for one trace line: duration minus the
+    durations of DIRECT children (events strictly contained in it on the
+    same line). Raw-duration sums double-count nesting — e.g. a scanned
+    `while` shell re-reports every kernel call it contains, which muddied
+    the round-4 bs=64 attribution (ROADMAP)."""
+    evs = sorted(events, key=lambda e: (e.offset_ps, -e.duration_ps))
+    self_ps = {}
+    stack = []          # (end_ps, id) of currently open ancestors
+    for i, ev in enumerate(evs):
+        start, end = ev.offset_ps, ev.offset_ps + ev.duration_ps
+        while stack and stack[-1][0] <= start:
+            stack.pop()
+        self_ps[i] = ev.duration_ps
+        if stack:
+            self_ps[stack[-1][1]] -= ev.duration_ps   # direct parent only
+        stack.append((end, i))
+    return evs, self_ps
+
+
 def summarize(logdir: str, top: int = 30):
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
     paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
@@ -44,14 +64,15 @@ def summarize(logdir: str, top: int = 30):
         total = defaultdict(float)
         count = defaultdict(int)
         for line in plane.lines:
-            for ev in line.events:
+            evs, self_ps = _self_times(line.events)
+            for i, ev in enumerate(evs):
                 name = evmeta.get(ev.metadata_id, str(ev.metadata_id))
-                total[name] += ev.duration_ps / 1e9        # ms
+                total[name] += max(self_ps[i], 0) / 1e9    # ms, self time
                 count[name] += 1
         if not total:
             continue
         print(f"== plane: {plane.name} "
-              f"(total {sum(total.values()):.2f} ms across lines) ==")
+              f"(total {sum(total.values()):.2f} ms SELF across lines) ==")
         for name, ms in sorted(total.items(), key=lambda kv: -kv[1])[:top]:
             print(f"  {ms:9.3f} ms  x{count[name]:<5d} {name[:100]}")
 
