@@ -518,7 +518,10 @@ def main() -> None:
 
         if "FUSION_LAYOUT" not in os.environ:
             fusion_times = {}
-            for lay in ("std", "bp", "bpr"):
+            # most-promising first so the budget guard drops the least
+            # informative legs: bp is the committed winner, xbp the round-5
+            # plain-XLA twin (VERDICT r4 #3), std OOMs HBM at bs=64
+            for lay in ("bp", "xbp", "bpr", "std"):
                 if not budget_left(f"fusion layout leg {lay}"):
                     break
                 sf._LAYOUT = lay

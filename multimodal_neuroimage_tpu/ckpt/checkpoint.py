@@ -70,10 +70,15 @@ def load_checkpoint(path: str, params_template, opt_state_template=None
                 opt_state_template, payload["opt_state"])
         except Exception as e:
             # opt_state pytree structure changed across versions (e.g. the
-            # optax.flatten switch): resume params/step, restart the
-            # optimizer moments rather than crashing the run
+            # fused-optimizer or optax.flatten switch). Do NOT silently
+            # resume with fresh moments — surface the incompatibility so the
+            # caller can rebuild a compatible optimizer (Trainer retries
+            # with fused='off') or fail loudly: a quiet restart of Adam
+            # moments AND the schedule count mid-run changes training
+            # dynamics (round-4 advisor, medium).
+            out["opt_state_error"] = str(e)
             print(f"[ckpt] opt_state incompatible with current optimizer "
-                  f"({e}); resuming with fresh optimizer state")
+                  f"({e})")
     return out
 
 

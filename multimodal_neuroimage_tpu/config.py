@@ -158,6 +158,10 @@ class Config:
     fused_optimizer: str = "auto"             # "auto"|"on"|"off": single-
     # Pallas-kernel flat update (ops/fused_update.py) replacing the ~15-pass
     # optax chain; auto = on for adam/adamw without grad accumulation
+    fresh_opt_state: bool = False             # explicit opt-in: resume a
+    # checkpoint whose opt_state is incompatible with the current optimizer
+    # by RESTARTING Adam moments + the LR schedule count (otherwise the
+    # trainer retries with the unfused optimizer, then fails loudly)
 
     # ---- losses ------------------------------------------------------------------
     intensity_factor: float = 1.0

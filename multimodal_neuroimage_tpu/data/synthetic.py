@@ -29,6 +29,8 @@ def generate_synthetic_cohort(
     n_rois: int = 84,
     targets: Optional[List[str]] = None,
     include_fmri_image: bool = False,
+    smri_signal: float = 0.5,
+    smri_strength_noise: float = 0.0,
 ) -> str:
     """Create a synthetic cohort under ``root``; returns ``root``.
 
@@ -112,9 +114,21 @@ def generate_synthetic_cohort(
         np.save(os.path.join(dti_dir, f"dti_count_{key}.npy"),
                 base.astype(np.float32))
 
-        # sMRI: cortical thickness style matrix
+        # sMRI: cortical thickness style matrix. The planted block shift is
+        # class-signed with optional PER-SUBJECT strength noise: with
+        # smri_strength_noise > 0 the class strength distributions overlap,
+        # bounding the Bayes-optimal subject-level AUROC below 1.0
+        # (~Phi(2*signal/(noise*sqrt(2)))) — used by behavioral_parity to
+        # de-saturate the task so val-AUROC trajectories carry information
+        # (VERDICT r4 #7). Default noise 0.0 keeps the legacy separable
+        # cohort every other test trains on.
         smri = srng.normal(2.5, 0.3, (n_rois, n_rois))
-        smri[:10, :10] += 0.5 * (1 if sex[i] else -1)
+        strength = smri_signal * (1 if sex[i] else -1)
+        if smri_strength_noise:
+            # draw only when enabled so the legacy cohorts (noise=0) keep
+            # their exact per-subject RNG streams for the golden tests
+            strength += smri_strength_noise * srng.normal()
+        smri[:10, :10] += strength
         np.save(os.path.join(smri_dir,
                              f"smri_cortical_thickness_{key}.npy"),
                 smri.astype(np.float32))

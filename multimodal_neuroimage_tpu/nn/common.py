@@ -197,7 +197,7 @@ def window_perm_indices(H: int, W: int, ws: int, shift: int, NP: int):
 
 @functools.lru_cache(maxsize=None)
 def transition_permutation_fn(H: int, W: int, ws: int, s_from: int,
-                              s_to: int, NP: int):
+                              s_to: int, NP: int, axis: int = 0):
     """Window-resident block transition as a BIJECTION with a gather-only
     VJP.
 
@@ -221,6 +221,9 @@ def transition_permutation_fn(H: int, W: int, ws: int, s_from: int,
 
     lru_cached per geometry so the custom_vjp identity is stable across
     scan traces (one primitive per geometry, not per call site).
+
+    ``axis`` selects which axis holds the nW*NP rows (axis=1 serves the
+    group-major (ngroups, nW*NP, G*C) resident streams without a transpose).
     """
     N = ws * ws
     base = np.asarray(
@@ -234,13 +237,13 @@ def transition_permutation_fn(H: int, W: int, ws: int, s_from: int,
 
     @jax.custom_vjp
     def permute(x):
-        return jnp.take(x, idx_j, axis=0)
+        return jnp.take(x, idx_j, axis=axis)
 
     def fwd(x):
         return permute(x), None
 
     def bwd(_, g):
-        return (jnp.take(g, inv_j, axis=0),)
+        return (jnp.take(g, inv_j, axis=axis),)
 
     permute.defvjp(fwd, bwd)
     return permute

@@ -53,14 +53,21 @@ _GLUE_MODE = os.environ.get("FUSION_GLUE", "chain")
 
 # Kernel layout for the fused blocks (env FUSION_LAYOUT):
 #   "std" — (B, nW, NP, C) per-sample grid cells (ops/fusion_block.py).
-#   "bp"  — batch-lane-packed (nW, NP, B*C): the batch rides the VPU lane
-#           axis (ops/fusion_block_bp.py). The stacks convert on entry/exit
-#           and the stream stays 2-D (L, B*C) between blocks, so the
-#           transpose is paid once per stack, not per block.
+#   "bp"  — batch-lane-packed: the batch rides the VPU lane axis
+#           (ops/fusion_block_bp.py). Streams are GROUP-MAJOR
+#           (ngroups, L, G*C) between blocks and (ngroups, nW, NP, G*C)
+#           into the kernels, so the lane-split transpose is paid once per
+#           stack, not per kernel call (round-5 glue attack).
 #   "bpr" — bp + WINDOW-RESIDENT stacks: the stream stays in padded-window
 #           layout across the whole stack; consecutive blocks are glued by
 #           ONE composed-permutation gather (window_transition_indices)
 #           instead of an exit + entry pair, halving inter-block glue.
+#   "xbp" — plain-XLA twin (no Pallas in the fusion blocks): the batched
+#           (B, nW, N, C) einsum formulation in bf16, raced as a 4th plan.
+#           Useful-only FLOPs (no 48x lane-pack redundancy) at whatever MXU
+#           efficiency XLA reaches on the tiny hd=2 contractions — the
+#           measured answer to VERDICT r4 #3's open question. BERT and the
+#           SwinV2 head keep their fused kernels.
 # Unset (None) behaves as "std" until ops/autoplan.resolve_plans() picks a
 # plan for the live backend (bpr on TPU when its canary compiles, std
 # otherwise). Tests monkeypatch this global directly.
@@ -95,27 +102,39 @@ def _stream16_active() -> bool:
 
 
 def _win_trans(xw, H: int, W: int, ws: int, s_from: int, s_to: int):
-    """(nW, NP, B*C) windows at shift s_from -> windows at shift s_to via
-    one composed bijective gather whose VJP is the inverse gather — no
-    scatter-add in the backward (transition_permutation_fn docstring).
-    No-op when the shifts agree."""
+    """Group-major (ngroups, nW, NP, G*C) windows at shift s_from -> windows
+    at shift s_to via one composed bijective gather whose VJP is the inverse
+    gather — no scatter-add in the backward (transition_permutation_fn
+    docstring). No-op when the shifts agree."""
     if s_from == s_to:
         return xw
-    nW, NP, BC = xw.shape
-    permute = transition_permutation_fn(H, W, ws, s_from, s_to, NP)
-    return permute(xw.reshape(-1, BC)).reshape(nW, NP, BC)
+    ngroups, nW, NP, GC = xw.shape
+    permute = transition_permutation_fn(H, W, ws, s_from, s_to, NP, axis=1)
+    return permute(xw.reshape(ngroups, -1, GC)).reshape(ngroups, nW, NP, GC)
+
+
+def _bp_groups(B: int) -> int:
+    from multimodal_neuroimage_tpu.ops.fusion_block_bp import group_size
+    return B // group_size(B)
 
 
 def _bp_enter(x):
-    """(B, L, C) -> (L, B*C), lane l = b*C + c."""
+    """(B, L, C) -> group-major (ngroups, L, G*C), lane of group g:
+    j*C + c for b = g*G + j. ONE transpose per stack entry; the fused
+    kernels consume this layout directly (round-5: the per-kernel-call
+    _to_groups lane-split transposes were ~10% of the bs=64 step)."""
     B, L, C = x.shape
-    return jnp.transpose(x, (1, 0, 2)).reshape(L, B * C)
+    ngroups = _bp_groups(B)
+    return jnp.transpose(x.reshape(ngroups, B // ngroups, L, C),
+                         (0, 2, 1, 3)).reshape(ngroups, L, -1)
 
 
 def _bp_exit(x, B: int):
-    """(L, B*C) -> (B, L, C)."""
-    L, BC = x.shape
-    return jnp.transpose(x.reshape(L, B, BC // B), (1, 0, 2))
+    """(ngroups, L, G*C) -> (B, L, C)."""
+    ngroups, L, GC = x.shape
+    G = B // ngroups
+    return jnp.transpose(x.reshape(ngroups, L, G, GC // G),
+                         (0, 2, 1, 3)).reshape(B, L, GC // G)
 
 
 def _to_padded_windows(t, H: int, W: int, ws: int, shift: int, NP: int):
@@ -148,31 +167,34 @@ def _from_padded_windows(t, H: int, W: int, ws: int, shift: int, NP: int):
 
 
 def _to_padded_windows_bp(t, H: int, W: int, ws: int, shift: int, NP: int):
-    """(L, B*C) BP stream -> (nW, NP, B*C) padded windows."""
-    BC = t.shape[-1]
+    """Group-major (ngroups, L, G*C) BP stream -> (ngroups, nW, NP, G*C)
+    padded windows (the fused kernels' native input layout)."""
+    ngroups, L, GC = t.shape
     N = ws * ws
     if _GLUE_MODE == "perm":
         entry, _ = window_perm_indices(H, W, ws, shift, NP)
-        return jnp.take(t, jnp.asarray(entry), axis=0).reshape(-1, NP, BC)
-    t = t.reshape(1, H, W, BC)
+        return jnp.take(t, jnp.asarray(entry), axis=1).reshape(
+            ngroups, -1, NP, GC)
+    t = t.reshape(ngroups, H, W, GC)
     if shift > 0:
         t = jnp.roll(t, shift=(-shift, -shift), axis=(1, 2))
     t = window_partition(t, ws)
-    return jnp.pad(t, ((0, 0), (0, 0), (0, NP - N), (0, 0)))[0]
+    return jnp.pad(t, ((0, 0), (0, 0), (0, NP - N), (0, 0)))
 
 
 def _from_padded_windows_bp(t, H: int, W: int, ws: int, shift: int, NP: int):
-    """(nW, NP, B*C) padded windows -> (L, B*C) BP stream."""
-    BC = t.shape[-1]
+    """(ngroups, nW, NP, G*C) padded windows -> (ngroups, L, G*C) stream."""
+    ngroups, nW, NP_, GC = t.shape
     N = ws * ws
     if _GLUE_MODE == "perm":
         _, exit_ = window_perm_indices(H, W, ws, shift, NP)
-        return jnp.take(t.reshape(-1, BC), jnp.asarray(exit_), axis=0)
+        return jnp.take(t.reshape(ngroups, -1, GC), jnp.asarray(exit_),
+                        axis=1)
     # explicit slice: gather-free forward, pad (not scatter-add) VJP
-    t = window_reverse(jax.lax.slice_in_dim(t, 0, N, axis=1)[None], ws, H, W)
+    t = window_reverse(jax.lax.slice_in_dim(t, 0, N, axis=2), ws, H, W)
     if shift > 0:
         t = jnp.roll(t, shift=(shift, shift), axis=(1, 2))
-    return t.reshape(H * W, BC)
+    return t.reshape(ngroups, H * W, GC)
 
 
 def _plain_window_attention(qwin, kvwin, table, rel_idx, mask, heads,
@@ -234,7 +256,8 @@ class FusionBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
-    io_windows: bool = False   # in/out already (nW, NP, B*C) at own shift
+    io_windows: bool = False   # in/out already (ngroups, nW, NP, G*C), own shift
+    io_groups: bool = False    # in/out group-major token stream (ngroups, L, G*C)
 
     def _effective(self):
         ws, shift = self.window_size, self.shift_size
@@ -252,13 +275,10 @@ class FusionBlock(nn.Module):
         ws, shift = self._effective()
         H, W = self.input_resolution
         io_win = self.io_windows          # window-resident (bpr) stream
-        bp = io_win or x.ndim == 2        # batch rides the lane axis
-        if io_win:
+        bp = io_win or self.io_groups     # batch rides the lane axis
+        if bp:
             C = self.dim
-            B = x.shape[-1] // C
-        elif bp:
-            L, C = x.shape[0], self.dim
-            B = x.shape[1] // C
+            B = x.shape[0] * (x.shape[-1] // C)   # ngroups * G
         else:
             B, L, C = x.shape
         heads = self.num_heads
@@ -306,7 +326,7 @@ class FusionBlock(nn.Module):
         rates = ((self.attn_drop if training else 0.0),
                  (self.drop if training else 0.0))
 
-        if fused_attention_active():
+        if fused_attention_active() and _LAYOUT != "xbp":
             NP = fb.round_up(N, 8)
             bias = fb.packed_bias_from_table(table, ws, heads, NP, rel_idx)
             maskp = (None if mask is None else
@@ -337,13 +357,18 @@ class FusionBlock(nn.Module):
             return _from_padded_windows(out, H, W, ws, shift, NP)
         assert not bp, "BP layout requires the fused kernels"
 
-        # ---- plain-jnp path over the same params (non-TPU) ------------------
+        # ---- plain-jnp path over the same params (non-TPU, and the xbp
+        # plain-XLA twin on TPU). Weights cast to the stream dtype so a
+        # bf16 xbp stream gets bf16-rate MXU dots (identity under the f32
+        # streams the CPU parity/golden tests run); LN stays f32. ----------
         (g1, b1, wqkv, bqkv, wp, bp, g2, b2, w1, b1m, w2, b2m) = params
+        cd = x.dtype
+        cw = lambda t: t.astype(cd)
         hd = C // heads
         shortcut = x
         h = LayerNorm(name=None, use_scale=False, use_bias=False)(x)
-        h = h * g1[0] + b1[0]
-        qkv = h @ wqkv + bqkv[0]
+        h = (h * g1[0] + b1[0]).astype(cd)
+        qkv = h @ cw(wqkv) + cw(bqkv)[0]
 
         attn_dropout = nn.Dropout(self.attn_drop)
 
@@ -354,16 +379,16 @@ class FusionBlock(nn.Module):
                 x.dtype)
 
         o = _windowed(window_attn, qkv, self.input_resolution, ws, shift)
-        a = o @ wp + bp[0]
+        a = o @ cw(wp) + cw(bp)[0]
         a = nn.Dropout(self.drop)(a, deterministic=deterministic)
-        x = shortcut + dp[:, 0][:, None, None] * a
+        x = shortcut + (dp[:, 0][:, None, None] * a).astype(cd)
         h2 = LayerNorm(name=None, use_scale=False, use_bias=False)(x)
-        h2 = h2 * g2[0] + b2[0]
-        u = fb._gelu(h2 @ w1 + b1m[0])
+        h2 = (h2 * g2[0] + b2[0]).astype(cd)
+        u = fb._gelu(h2 @ cw(w1) + cw(b1m)[0])
         u = nn.Dropout(self.drop)(u, deterministic=deterministic)
-        z = u @ w2 + b2m[0]
+        z = u.astype(cd) @ cw(w2) + cw(b2m)[0]
         z = nn.Dropout(self.drop)(z, deterministic=deterministic)
-        return x + dp[:, 1][:, None, None] * z
+        return x + (dp[:, 1][:, None, None] * z).astype(cd)
 
 
 class CrossFusionBlock(nn.Module):
@@ -381,7 +406,8 @@ class CrossFusionBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
-    io_windows: bool = False   # in/out already (nW, NP, B*C) at own shift
+    io_windows: bool = False   # in/out already (ngroups, nW, NP, G*C), own shift
+    io_groups: bool = False    # in/out group-major token stream (ngroups, L, G*C)
 
     def _effective(self):
         ws, shift = self.window_size, self.shift_size
@@ -428,13 +454,10 @@ class CrossFusionBlock(nn.Module):
         ws, shift = self._effective()
         H, W = self.input_resolution
         io_win = self.io_windows          # window-resident (bpr) stream
-        bp = io_win or x.ndim == 2        # batch rides the lane axis
-        if io_win:
+        bp = io_win or self.io_groups     # batch rides the lane axis
+        if bp:
             C = self.dim
-            B = x.shape[-1] // C
-        elif bp:
-            L, C = x.shape[0], self.dim
-            B = x.shape[1] // C
+            B = x.shape[0] * (x.shape[-1] // C)   # ngroups * G
         else:
             B, L, C = x.shape
         heads = self.num_heads
@@ -467,7 +490,7 @@ class CrossFusionBlock(nn.Module):
         else:
             dp_A, dp_B = dp_scales(), dp_scales()
 
-        if fused_attention_active():
+        if fused_attention_active() and _LAYOUT != "xbp":
             NP = fb.round_up(N, 8)
             bias_A = fb.packed_bias_from_table(pA["table"], ws, heads, NP,
                                                rel_idx)
@@ -514,18 +537,22 @@ class CrossFusionBlock(nn.Module):
                     _from_padded_windows(out_y, H, W, ws, shift, NP))
         assert not bp, "BP layout requires the fused kernels"
 
-        # ---- plain-jnp path over the same params (non-TPU) ------------------
+        # ---- plain-jnp path over the same params (non-TPU, and the xbp
+        # plain-XLA twin on TPU; weight casts as in FusionBlock) ------------
+        cd = x.dtype
+        cw = lambda t: t.astype(cd)
+
         def ln(t, g, b):
             t = LayerNorm(name=None, use_scale=False, use_bias=False)(t)
-            return t * g[0] + b[0]
+            return (t * g[0] + b[0]).astype(cd)
 
         attn_dropout = nn.Dropout(self.attn_drop)
         h1x = ln(x, pA["g1"], pA["b1"])
         h1y = ln(y, pB["g1"], pB["b1"])
 
         def stream(p, hq, hkv, src, dp):
-            q = hq @ p["wq"] + p["bq"][0]
-            kv = hkv @ p["wkv"] + p["bkv"][0]
+            q = hq @ cw(p["wq"]) + cw(p["bq"])[0]
+            kv = hkv @ cw(p["wkv"]) + cw(p["bkv"])[0]
             qkv = jnp.concatenate([q, kv], axis=-1)
 
             def window_attn(win):
@@ -536,15 +563,15 @@ class CrossFusionBlock(nn.Module):
                     x.dtype)
 
             o = _windowed(window_attn, qkv, self.input_resolution, ws, shift)
-            a = o @ p["wp"] + p["bp"][0]
+            a = o @ cw(p["wp"]) + cw(p["bp"])[0]
             a = nn.Dropout(self.drop)(a, deterministic=deterministic)
-            s = src + dp[:, 0][:, None, None] * a
+            s = src + (dp[:, 0][:, None, None] * a).astype(cd)
             h2 = ln(s, p["g2"], p["b2"])
-            u = fb._gelu(h2 @ p["w1"] + p["b1m"][0])
+            u = fb._gelu(h2 @ cw(p["w1"]) + cw(p["b1m"])[0])
             u = nn.Dropout(self.drop)(u, deterministic=deterministic)
-            z = u @ p["w2"] + p["b2m"][0]
+            z = u.astype(cd) @ cw(p["w2"]) + cw(p["b2m"])[0]
             z = nn.Dropout(self.drop)(z, deterministic=deterministic)
-            return s + dp[:, 1][:, None, None] * z
+            return s + (dp[:, 1][:, None, None] * z).astype(cd)
 
         return (stream(pA, h1x, h1y, x, dp_A),
                 stream(pB, h1y, h1x, y, dp_B))
@@ -592,7 +619,7 @@ class _FusionPairBody(nn.Module):
     """nn.scan body: one (no-shift, shift) block pair with traced per-depth
     DropPath rates. With ``resident`` the carry stays in shift-0 padded-
     window layout and the blocks are glued by composed-permutation
-    transitions."""
+    transitions; with ``grouped`` the carry is the group-major BP stream."""
 
     dim: int
     input_resolution: Tuple[int, int]
@@ -603,6 +630,7 @@ class _FusionPairBody(nn.Module):
     drop: float
     attn_drop: float
     resident: bool = False
+    grouped: bool = False
 
     @nn.compact
     def __call__(self, x, aux, deterministic):
@@ -611,7 +639,7 @@ class _FusionPairBody(nn.Module):
                       num_heads=self.num_heads, window_size=self.window_size,
                       mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                       drop=self.drop, attn_drop=self.attn_drop, drop_path=1.0,
-                      io_windows=self.resident)
+                      io_windows=self.resident, io_groups=self.grouped)
         H, W = self.input_resolution
         ws, s, _ = _eff_geometry(self.input_resolution, self.window_size)
         x = FusionBlock(shift_size=0, name="block_0", **common)(
@@ -637,6 +665,7 @@ class _CrossPairBody(nn.Module):
     attn_drop: float
 
     resident: bool = False
+    grouped: bool = False
 
     @nn.compact
     def __call__(self, carry, aux, deterministic):
@@ -646,7 +675,7 @@ class _CrossPairBody(nn.Module):
                       num_heads=self.num_heads, window_size=self.window_size,
                       mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                       drop=self.drop, attn_drop=self.attn_drop, drop_path=1.0,
-                      io_windows=self.resident)
+                      io_windows=self.resident, io_groups=self.grouped)
         H, W = self.input_resolution
         ws, s, _ = _eff_geometry(self.input_resolution, self.window_size)
         x, y = CrossFusionBlock(shift_size=0, name="block_0", **common)(
@@ -688,10 +717,11 @@ class BasicLayerFusion(nn.Module):
         B = x.shape[0]
         bp = _LAYOUT in ("bp", "bpr") and fused_attention_active()
         resident = bp and _LAYOUT == "bpr"
+        xla_twin = _LAYOUT == "xbp" and fused_attention_active()
         H, W = self.input_resolution
         ws, s_eff, NP = _eff_geometry(self.input_resolution, self.window_size)
         in_dtype = x.dtype
-        if bp and _stream16_active():
+        if (bp or xla_twin) and _stream16_active():
             x = x.astype(jnp.bfloat16)         # see _STREAM16
         if bp:
             x = _bp_enter(x)
@@ -709,10 +739,11 @@ class BasicLayerFusion(nn.Module):
             x, _ = scan(self.dim, self.input_resolution, self.num_heads,
                         self.window_size, self.mlp_ratio, self.qkv_bias,
                         self.drop, self.attn_drop, resident=resident,
-                        name="pairs")(x, aux, deterministic)
+                        grouped=bp, name="pairs")(x, aux, deterministic)
             if resident:
                 x = _from_padded_windows_bp(x, H, W, ws, 0, NP)
-            return _bp_exit(x, B).astype(in_dtype) if bp else x
+            return (_bp_exit(x, B).astype(in_dtype) if bp
+                    else x.astype(in_dtype))
         cur = 0
         for i in range(self.depth):
             dp = (self.drop_path[i] if isinstance(self.drop_path, (list, tuple))
@@ -726,11 +757,12 @@ class BasicLayerFusion(nn.Module):
                             shift_size=0 if i % 2 == 0 else self.window_size // 2,
                             mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                             drop=self.drop, attn_drop=self.attn_drop,
-                            drop_path=dp, io_windows=resident,
+                            drop_path=dp, io_windows=resident, io_groups=bp,
                             name=f"block_{i}")(x, deterministic)
         if resident:
             x = _from_padded_windows_bp(x, H, W, ws, cur, NP)
-        return _bp_exit(x, B).astype(in_dtype) if bp else x
+        return (_bp_exit(x, B).astype(in_dtype) if bp
+                else x.astype(in_dtype))
 
 
 class CrossBasicLayer(nn.Module):
@@ -755,10 +787,11 @@ class CrossBasicLayer(nn.Module):
         B = x.shape[0]
         bp = _LAYOUT in ("bp", "bpr") and fused_attention_active()
         resident = bp and _LAYOUT == "bpr"
+        xla_twin = _LAYOUT == "xbp" and fused_attention_active()
         H, W = self.input_resolution
         ws, s_eff, NP = _eff_geometry(self.input_resolution, self.window_size)
         in_dtype = x.dtype
-        if bp and _stream16_active():
+        if (bp or xla_twin) and _stream16_active():
             x, y = x.astype(jnp.bfloat16), y.astype(jnp.bfloat16)
         if bp:
             x, y = _bp_enter(x), _bp_enter(y)
@@ -777,13 +810,14 @@ class CrossBasicLayer(nn.Module):
             (x, y), _ = scan(self.dim, self.input_resolution, self.num_heads,
                              self.window_size, self.mlp_ratio, self.qkv_bias,
                              self.drop, self.attn_drop, resident=resident,
-                             name="pairs")((x, y), aux, deterministic)
+                             grouped=bp, name="pairs")((x, y), aux,
+                                                       deterministic)
             if resident:
                 x = _from_padded_windows_bp(x, H, W, ws, 0, NP)
                 y = _from_padded_windows_bp(y, H, W, ws, 0, NP)
             return ((_bp_exit(x, B).astype(in_dtype),
                      _bp_exit(y, B).astype(in_dtype))
-                    if bp else (x, y))
+                    if bp else (x.astype(in_dtype), y.astype(in_dtype)))
         cur = 0
         for i in range(self.depth):
             dp = (self.drop_path[i] if isinstance(self.drop_path, (list, tuple))
@@ -799,13 +833,14 @@ class CrossBasicLayer(nn.Module):
                 shift_size=0 if i % 2 == 0 else self.window_size // 2,
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                 drop=self.drop, attn_drop=self.attn_drop, drop_path=dp,
-                io_windows=resident, name=f"block_{i}")(x, y, deterministic)
+                io_windows=resident, io_groups=bp,
+                name=f"block_{i}")(x, y, deterministic)
         if resident:
             x = _from_padded_windows_bp(x, H, W, ws, cur, NP)
             y = _from_padded_windows_bp(y, H, W, ws, cur, NP)
         return ((_bp_exit(x, B).astype(in_dtype),
                  _bp_exit(y, B).astype(in_dtype))
-                if bp else (x, y))
+                if bp else (x.astype(in_dtype), y.astype(in_dtype)))
 
 
 class RSTB(nn.Module):

@@ -343,19 +343,25 @@ def _fwd_parts(seed_ref, x_ref, prefs, dims, rates, training, ctx_scratch,
     return out, (x, q, k, v, ctx, m0, x1, xh1, r1, m1, xh2, r2, a2)
 
 
-def _make_fwd_kernel(dims, rates, training, mm16=False, mode="prng"):
+def _make_fwd_kernel(dims, rates, training, mm16=False, mode="prng",
+                     save_resid=True):
+    """``save_resid=False`` builds the 2-output variant (out, x1): Pallas
+    outputs are never DCE'd, so inference and BERT_BWD_RESID=0 must not pay
+    the two extra (B, TP, H) f32 HBM writes per layer (round-4 advisor)."""
     def kernel(seed_ref, x_ref, *rest):
         prefs = rest[0:N_PARAMS]
-        (o_ref, x1_ref, ctx_ref, a2_ref,
-         ctx_scratch) = (rest[N_PARAMS], rest[N_PARAMS + 1],
-                         rest[N_PARAMS + 2], rest[N_PARAMS + 3],
-                         rest[N_PARAMS + 4])
+        if save_resid:
+            (o_ref, x1_ref, ctx_ref, a2_ref,
+             ctx_scratch) = rest[N_PARAMS:N_PARAMS + 5]
+        else:
+            o_ref, x1_ref, ctx_scratch = rest[N_PARAMS:N_PARAMS + 3]
         out, res = _fwd_parts(seed_ref, x_ref, prefs, dims, rates, training,
                               ctx_scratch, mm16, mode)
         o_ref[0] = out.astype(o_ref.dtype)
         x1_ref[0] = res[6].astype(x1_ref.dtype)   # x1 (post-attention LN)
-        ctx_ref[0] = res[4]                       # f32 residuals: the bwd
-        a2_ref[0] = res[12]                       # skips both recomputes
+        if save_resid:
+            ctx_ref[0] = res[4]                   # f32 residuals: the bwd
+            a2_ref[0] = res[12]                   # skips both recomputes
     return kernel
 
 
@@ -400,13 +406,15 @@ def _attn_fwd_into(seed_ref, q, k, v, ctx_scratch, b, dims, rates, training,
             ctx_scratch[sl, h * hd:(h + 1) * hd] = ctx_h
 
 
-def _make_fwd_kernel_batched(dims, rates, training, mm16, mode, Bc):
+def _make_fwd_kernel_batched(dims, rates, training, mm16, mode, Bc,
+                             save_resid=True):
     def kernel(seed_ref, x_ref, *rest):
         prefs = rest[0:N_PARAMS]
-        (o_ref, x1_ref, ctx_ref, a2_ref,
-         ctx_scratch) = (rest[N_PARAMS], rest[N_PARAMS + 1],
-                         rest[N_PARAMS + 2], rest[N_PARAMS + 3],
-                         rest[N_PARAMS + 4])
+        if save_resid:
+            (o_ref, x1_ref, ctx_ref, a2_ref,
+             ctx_scratch) = rest[N_PARAMS:N_PARAMS + 5]
+        else:
+            o_ref, x1_ref, ctx_scratch = rest[N_PARAMS:N_PARAMS + 3]
         TP, H, F, heads, T = dims
         attn_rate, drop_rate = rates
         R = Bc * TP
@@ -437,25 +445,38 @@ def _make_fwd_kernel_batched(dims, rates, training, mm16, mode, Bc):
         out, _, _ = _ln_fwd(a2, g2[:], b2[:])
         o_ref[...] = out.reshape(Bc, TP, H).astype(o_ref.dtype)
         x1_ref[...] = x1.reshape(Bc, TP, H).astype(x1_ref.dtype)
-        ctx_ref[...] = ctx.reshape(Bc, TP, H)
-        a2_ref[...] = a2.reshape(Bc, TP, H)
+        if save_resid:
+            ctx_ref[...] = ctx.reshape(Bc, TP, H)
+            a2_ref[...] = a2.reshape(Bc, TP, H)
     return kernel
 
 
-def _make_merged_bwd_kernel_batched(dims, rates, training, mm16, mode, Bc):
+def _make_merged_bwd_kernel_batched(dims, rates, training, mm16, mode, Bc,
+                                    use_resid=True):
     """Batched-grid merged backward: FFN/LN2 + projection/LN1 backward over
     the folded (Bc*TP, H) rows (single dots, single dW contractions); the
     score/softmax/context recompute + backward loops subjects. Masks
     regenerate identically to the batched forward (same grid, same draws,
     same row origins).
 
-    With the forward-saved residuals (ctx, a2 — BERT_BWD_RESID, default on)
-    the kernel skips BOTH of its forward recomputes: the per-subject
-    attention pass that only rebuilt ctx/LN1 statistics, and the chunked
-    FFN forward that only rebuilt LN2 statistics — together ~1/3 of the
-    backward's FLOPs. The f32 saves are bitwise the forward's values, so
-    gradients are identical."""
-    def kernel(seed_ref, x_ref, x1_ref, ctx_ref, a2_ref, g_ref, *rest):
+    With the forward-saved residuals (ctx, a2 — BERT_BWD_RESID, default on;
+    ``use_resid`` mirrors whether the forward actually saved them) the
+    kernel skips BOTH of its forward recomputes: the per-subject attention
+    pass that only rebuilt ctx/LN1 statistics, and the chunked FFN forward
+    that only rebuilt LN2 statistics — together ~1/3 of the backward's
+    FLOPs. The saved ctx/a2 are bitwise the forward's values; the backward
+    recompute path differs from them only by f32 summation-order noise
+    (its 256-chunk FFN rebuild sums in a different order than the forward's
+    larger chunks), so the two plans' gradients agree to ~1e-5 rtol, not
+    bitwise (tests/test_bert_megakernel.py A/Bs them at rtol=5e-5)."""
+    def kernel(seed_ref, x_ref, x1_ref, *more):
+        if use_resid:
+            ctx_ref, a2_ref, g_ref = more[0], more[1], more[2]
+            rest = more[3:]
+        else:
+            ctx_ref = a2_ref = None
+            g_ref = more[0]
+            rest = more[1:]
         prefs = rest[0:N_PARAMS]
         (wq, bq, wk, bk, wv, bv, wo, bo, g1, b1,
          w1, b1m, w2, b2m, g2, b2) = prefs
@@ -486,14 +507,14 @@ def _make_merged_bwd_kernel_batched(dims, rates, training, mm16, mode, Bc):
                             dw1_ref, db1m_ref, dw2_ref, db2m_ref, dg2_ref,
                             db2_ref, dims, rates, training, mm16, mode,
                             rows=R,
-                            a2=(a2_ref[...].reshape(R, H) if _RESID
+                            a2=(a2_ref[...].reshape(R, H) if use_resid
                                 else None))
 
         q = mdot(x, wq[:]) + bq[:]
         k = mdot(x, wk[:]) + bk[:]
         v = mdot(x, wv[:]) + bv[:]
         cell_row0 = pl.program_id(0) * R
-        if _RESID:
+        if use_resid:
             ctx = ctx_ref[...].reshape(R, H)
         else:
             for b in range(Bc):                   # ctx recompute (pass 1)
@@ -737,15 +758,23 @@ def _attn_bwd_body(seed_ref, x, dx1, wq, bq, wk, bk, wv, bv, wo, bo, g1, b1,
             + mdot_nt(dv, wv[:]))
 
 
-def _make_merged_bwd_kernel(dims, rates, training, mm16=False, mode="prng"):
+def _make_merged_bwd_kernel(dims, rates, training, mm16=False, mode="prng",
+                            use_resid=True):
     """ONE backward kernel per layer: FFN/LN2 side over saved x1 (dx1 stays
     in VMEM), then the attention-side recompute + backward. The split
     variant below predates the 64 MB vmem_limit and is kept for A/B
     (BERT_BWD=split). The saved a2 residual (BERT_BWD_RESID) skips the FFN
-    forward recompute; ctx is accepted but unused here — the per-subject
-    attention backward needs the softmax internals regardless, and its
-    single _attn_packed_fwd call already yields ctx for free."""
-    def kernel(seed_ref, x_ref, x1_ref, ctx_ref, a2_ref, g_ref, *rest):
+    forward recompute; ctx is NOT shipped here — the per-subject attention
+    backward needs the softmax internals regardless, and its single
+    _attn_packed_fwd call already yields ctx for free."""
+    def kernel(seed_ref, x_ref, x1_ref, *more):
+        if use_resid:
+            a2_ref, g_ref = more[0], more[1]
+            rest = more[2:]
+        else:
+            a2_ref = None
+            g_ref = more[0]
+            rest = more[1:]
         prefs = rest[0:N_PARAMS]
         (wq, bq, wk, bk, wv, bv, wo, bo, g1, b1,
          w1, b1m, w2, b2m, g2, b2) = prefs
@@ -769,7 +798,7 @@ def _make_merged_bwd_kernel(dims, rates, training, mm16=False, mode="prng"):
         dx1 = _ffn_bwd_body(seed_ref, x1, g, w1, b1m, w2, b2m, g2, b2,
                             dw1_ref, db1m_ref, dw2_ref, db2m_ref, dg2_ref,
                             db2_ref, dims, rates, training, mm16, mode,
-                            a2=a2_ref[0] if _RESID else None)
+                            a2=a2_ref[0] if use_resid else None)
         dx = _attn_bwd_body(seed_ref, x, dx1, wq, bq, wk, bk, wv, bv, wo,
                             bo, g1, b1, dwq_ref, dbq_ref, dwk_ref, dbk_ref,
                             dwv_ref, dbv_ref, dwo_ref, dbo_ref, dg1_ref,
@@ -854,35 +883,43 @@ def _fbl_fwd(x, params, seed, heads, t_valid, rates, training, interpret,
     f32 = lambda t: jnp.asarray(t, jnp.float32)
     mode = _fb._mode_for(interpret)
     bc = _bc_for(B) if _GRID_MODE == "batched" else 1
+    # ctx/a2 residual saves only exist for a training backward that will
+    # consume them — inference (eval/serving) and BERT_BWD_RESID=0 build the
+    # 2-output kernel and skip the extra f32 HBM writes (round-4 advisor)
+    save_resid = training and _RESID
+    n_out = 4 if save_resid else 2
+    out_shapes = ([jax.ShapeDtypeStruct(x.shape, x.dtype)] * 2
+                  + [jax.ShapeDtypeStruct(x.shape, jnp.float32)] * 2)[:n_out]
     if bc > 1:
         xb_spec = pl.BlockSpec((bc, TP, H), lambda b, c, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM)
-        out, x1, ctx, a2 = pl.pallas_call(
-            _make_fwd_kernel_batched(dims, rates, training, mm16, mode, bc),
+        outs = pl.pallas_call(
+            _make_fwd_kernel_batched(dims, rates, training, mm16, mode, bc,
+                                     save_resid),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1, grid=(B // bc, 1),
                 in_specs=[xb_spec] + [_resident(s) for s in p_shapes],
-                out_specs=[xb_spec] * 4,
+                out_specs=[xb_spec] * n_out,
                 scratch_shapes=[pltpu.VMEM((bc * TP, H), jnp.float32)]),
-            out_shape=([jax.ShapeDtypeStruct(x.shape, x.dtype)] * 2
-                       + [jax.ShapeDtypeStruct(x.shape, jnp.float32)] * 2),
+            out_shape=out_shapes,
             interpret=interpret,
             compiler_params=_batched_compiler_params(),
         )(seed_arr, x, *[f32(p) for p in params])
-        return out, (x, x1, ctx, a2, params, seed_arr)
-    out, x1, ctx, a2 = pl.pallas_call(
-        _make_fwd_kernel(dims, rates, training, mm16, mode),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(B, 1),
-            in_specs=in_specs, out_specs=[x_spec] * 4,
-            scratch_shapes=[pltpu.VMEM((TP, H), jnp.float32)]),
-        out_shape=([jax.ShapeDtypeStruct(x.shape, x.dtype)] * 2
-                   + [jax.ShapeDtypeStruct(x.shape, jnp.float32)] * 2),
-        interpret=interpret,
-        # packed attention's head-packed score pass needs ~17.7 MB of scoped
-        # vmem — just over the 16 MB Mosaic default; use the shared 64 MB cap
-        compiler_params=_fb._compiler_params(),
-    )(seed_arr, x, *[f32(p) for p in params])
+    else:
+        outs = pl.pallas_call(
+            _make_fwd_kernel(dims, rates, training, mm16, mode, save_resid),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(B, 1),
+                in_specs=in_specs, out_specs=[x_spec] * n_out,
+                scratch_shapes=[pltpu.VMEM((TP, H), jnp.float32)]),
+            out_shape=out_shapes,
+            interpret=interpret,
+            # packed attention's head-packed score pass needs ~17.7 MB of
+            # scoped vmem — over the 16 MB Mosaic default; shared 64 MB cap
+            compiler_params=_fb._compiler_params(),
+        )(seed_arr, x, *[f32(p) for p in params])
+    out, x1 = outs[0], outs[1]
+    ctx, a2 = (outs[2], outs[3]) if save_resid else (None, None)
     return out, (x, x1, ctx, a2, params, seed_arr)
 
 
@@ -911,12 +948,19 @@ _BWD_MODE = os.environ.get("BERT_BWD", "merged")
 # forward-saved f32 residuals (ctx, a2) instead of recomputing the attention
 # forward (batched grid's pass 1) and the chunked FFN forward — ~1/3 of the
 # backward's FLOPs for ~2 MB/layer-call of extra HBM. "0" restores the
-# recompute-everything behavior (A/B; gradients are bitwise identical).
+# recompute-everything behavior (A/B). The saved values are bitwise the
+# forward's; the recompute path's gradients differ from them by f32
+# summation-order noise (256-chunk FFN rebuild vs the forward's larger
+# chunks) — identical to ~1e-5 rtol, not bitwise
+# (tests/test_bert_megakernel.py compares at rtol=5e-5).
 _RESID = os.environ.get("BERT_BWD_RESID", "1") != "0"
 
 
 def _fbl_bwd(heads, t_valid, rates, training, interpret, mm16, res, g):
     x, x1, ctx, a2, params, seed_arr = res
+    # residuals exist iff the forward saved them (training and BERT_BWD_RESID)
+    # — a gradient through a deterministic forward falls back to recompute
+    use_resid = ctx is not None
     B, dims = _dims(x, params, heads, t_valid)
     TP, H, F = dims[0], dims[1], dims[2]
     f32 = lambda t: jnp.asarray(t, jnp.float32)
@@ -932,12 +976,13 @@ def _fbl_bwd(heads, t_valid, rates, training, interpret, mm16, res, g):
         # the 64 MB vmem cap and exists only for the per-subject A/B)
         xb_spec = pl.BlockSpec((bc, TP, H), lambda b, c, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM)
+        resid_args = (ctx, a2) if use_resid else ()
         outs = pl.pallas_call(
             _make_merged_bwd_kernel_batched(dims, rates, training, mm16,
-                                            mode, bc),
+                                            mode, bc, use_resid),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1, grid=(B // bc, 1),
-                in_specs=([xb_spec] * 5
+                in_specs=([xb_spec] * (3 + len(resid_args))
                           + [_resident(s) for s in p_shapes]),
                 out_specs=[xb_spec] + [_resident(s) for s in p_shapes],
                 scratch_shapes=[pltpu.VMEM((bc * TP, H), jnp.float32),
@@ -947,18 +992,20 @@ def _fbl_bwd(heads, t_valid, rates, training, interpret, mm16, res, g):
                           for s in p_shapes]),
             interpret=interpret,
             compiler_params=_batched_compiler_params(),
-        )(seed_arr, x, x1, ctx, a2, jnp.asarray(g, x.dtype),
+        )(seed_arr, x, x1, *resid_args, jnp.asarray(g, x.dtype),
           *[f32(p) for p in params])
         dx = outs[0]
         dparams = tuple(d.astype(jnp.asarray(p).dtype)
                         for d, p in zip(outs[1:], params))
         return dx, dparams, None
     if _BWD_MODE == "merged":
+        resid_args = (a2,) if use_resid else ()
         outs = pl.pallas_call(
-            _make_merged_bwd_kernel(dims, rates, training, mm16, mode),
+            _make_merged_bwd_kernel(dims, rates, training, mm16, mode,
+                                    use_resid),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1, grid=(B, 1),
-                in_specs=([x_spec] * 5
+                in_specs=([x_spec] * (3 + len(resid_args))
                           + [_resident(s) for s in p_shapes]),
                 out_specs=[x_spec] + [_resident(s) for s in p_shapes],
                 scratch_shapes=[pltpu.VMEM((TP, H), jnp.float32),
@@ -968,7 +1015,7 @@ def _fbl_bwd(heads, t_valid, rates, training, interpret, mm16, res, g):
                           for s in p_shapes]),
             interpret=interpret,
             compiler_params=_fb._compiler_params(),
-        )(seed_arr, x, x1, ctx, a2, jnp.asarray(g, x.dtype),
+        )(seed_arr, x, x1, *resid_args, jnp.asarray(g, x.dtype),
           *[f32(p) for p in params])
         dx = outs[0]
         dparams = tuple(d.astype(jnp.asarray(p).dtype)

@@ -43,8 +43,13 @@ _ROWS_PER_CELL = 512   # 2 MB per operand ref per grid cell (7 refs ~ 14 MB)
 
 class FusedAdamState(NamedTuple):
     count: jnp.ndarray         # int32 scalar, pre-increment step count
-    mu: jnp.ndarray            # (N,) f32 first moment (flat)
-    nu: jnp.ndarray            # (N,) f32 second moment (flat)
+    mu: jnp.ndarray            # (rows, _LANES) f32 first moment, PADDED
+    nu: jnp.ndarray            # (rows, _LANES) f32 second moment, PADDED
+    # mu/nu live in the kernel's padded 2-D layout across steps so the
+    # per-step pad (jnp.concatenate) / unpad (reshape+slice) full-size
+    # copies happen once at init, not every update (round-4 advisor:
+    # they eroded the 4-read/3-write HBM floor). g/p still pad per step —
+    # they arrive as pytrees. Pad tail stays zero: 0*b1+(1-b1)*0 = 0.
 
 
 def _kernel(mode_adamw: bool, wd: float, b1: float, b2: float, eps: float):
@@ -77,19 +82,20 @@ def _pad_len(n: int) -> int:
     return (n + block - 1) // block * block
 
 
+def _pad2d(x, np_: int):
+    """(N,) flat -> (rows, _LANES) padded view (one copy when pad > 0)."""
+    pad = np_ - x.shape[0]
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,), jnp.float32)])
+    return x.reshape(-1, _LANES)
+
+
 def _fused_flat_update(gflat, pflat, mu, nu, scalars, mode_adamw, wd,
                        b1, b2, eps, interpret):
-    """Run the kernel over the padded flat vectors; returns (upd, mu', nu')
-    un-padded."""
+    """Run the kernel over the padded flat vectors. mu/nu arrive AND return
+    in the padded (rows, _LANES) state layout; the update is un-padded."""
     n = gflat.shape[0]
     np_ = _pad_len(n)
-    pad = np_ - n
-
-    def v(x):
-        if pad:
-            x = jnp.concatenate([x, jnp.zeros((pad,), jnp.float32)])
-        return x.reshape(-1, _LANES)
-
     rows = np_ // _LANES
     n_cells = rows // _ROWS_PER_CELL
     spec = pl.BlockSpec((_ROWS_PER_CELL, _LANES), lambda i: (i, 0),
@@ -106,8 +112,8 @@ def _fused_flat_update(gflat, pflat, mu, nu, scalars, mode_adamw, wd,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(v(gflat), v(pflat), v(mu), v(nu), scalars)
-    return (upd.reshape(-1)[:n], mu2.reshape(-1)[:n], nu2.reshape(-1)[:n])
+    )(_pad2d(gflat, np_), _pad2d(pflat, np_), mu, nu, scalars)
+    return upd.reshape(-1)[:n], mu2, nu2
 
 
 def fused_adam(schedule: Callable, weight_decay: float, mode: str = "adam",
@@ -127,10 +133,10 @@ def fused_adam(schedule: Callable, weight_decay: float, mode: str = "adam",
 
     def init(params):
         flat, _ = ravel_pytree(params)
-        flat = flat.astype(jnp.float32)
+        rows = _pad_len(flat.shape[0]) // _LANES
         return FusedAdamState(count=jnp.zeros((), jnp.int32),
-                              mu=jnp.zeros_like(flat),
-                              nu=jnp.zeros_like(flat))
+                              mu=jnp.zeros((rows, _LANES), jnp.float32),
+                              nu=jnp.zeros((rows, _LANES), jnp.float32))
 
     def update(grads, state, params=None):
         if params is None:

@@ -95,8 +95,11 @@ def group_size(B: int) -> int:
 
 def _to_groups(x, ngroups: int):
     """(nW, NP, B*C) -> (ngroups, nW, NP, G*C). Free at ngroups=1; one
-    lane-split transpose otherwise (paid per kernel call — small next to
-    the O(B^2) work it removes)."""
+    lane-split transpose otherwise. Round-5 note: the module-level stacks
+    now keep their streams group-major across whole stacks (nn/swinfusion
+    group-major glue), so on the hot path this is only paid at stack
+    entry/exit, not per kernel call — the per-call conversion below remains
+    for 3-D (legacy/parity-test) callers."""
     nW, NP, BC = x.shape
     if ngroups == 1:
         return x[None]
@@ -110,6 +113,15 @@ def _from_groups(x4):
     if ngroups == 1:
         return x4[0]
     return jnp.transpose(x4, (1, 2, 0, 3)).reshape(nW, NP, ngroups * GC)
+
+
+def _stream_geom(x, B: int):
+    """(ngroups, grouped) for a public 3-D (nW, NP, B*C) or group-major 4-D
+    (ngroups, nW, NP, G*C) stream. A 4-D stream's group split is whatever
+    the caller built (it must match group_size(B) so masks/grid agree)."""
+    if x.ndim == 4:
+        return x.shape[0], True
+    return B // group_size(B), False
 
 
 # ---------------------------------------------------------------------------
@@ -695,11 +707,11 @@ def _prep_bp(params, bias, dp, B: int, C: int, cross: bool):
 
 def _fwd_impl_bp(x, y, params, bias, mask, dp, seed_arr, rates, training,
                  interpret, cross, prep=None):
-    nW, NP, BCf = x.shape
     B = dp.shape[0]
-    C = BCf // B
-    G = group_size(B)
-    ngroups = B // G
+    ngroups, grouped = _stream_geom(x, B)
+    nW, NP = x.shape[-3], x.shape[-2]
+    C = x.shape[-1] * (ngroups if grouped else 1) // B
+    G = B // ngroups
     BC = G * C                                     # per-group lane width
     H = bias.shape[1] // NP
     BH = G * H
@@ -713,7 +725,7 @@ def _fwd_impl_bp(x, y, params, bias, mask, dp, seed_arr, rates, training,
     dims = (Wc, NP, BC, BH, G * Ch, n_chunks)
     bp_params, bias_bp, dpl = (prep if prep is not None
                                else _prep_bp(params, bias, dp, B, C, cross))
-    x4 = _to_groups(x, ngroups)
+    x4 = x if grouped else _to_groups(x, ngroups)
 
     x_spec = _x_spec_bp(Wc, NP, BC, n_chunks)
     in_specs = [x_spec]
@@ -723,9 +735,10 @@ def _fwd_impl_bp(x, y, params, bias, mask, dp, seed_arr, rates, training,
     if with_mask:
         in_specs.append(_mask_spec_bp(Wc, NP, n_chunks))
     in_specs += [_res_bp(p.shape) for p in bp_params]
+    y4 = (jnp.asarray(y, x.dtype) if grouped
+          else _to_groups(jnp.asarray(y, x.dtype), ngroups)) if cross else None
     args = ((seed_arr, x4)
-            + ((_to_groups(jnp.asarray(y, x.dtype), ngroups),)
-               if cross else ())
+            + ((y4,) if cross else ())
             + (dpl, bias_bp)
             + ((jnp.asarray(mask, jnp.float32),) if with_mask else ())
             + bp_params)
@@ -739,16 +752,18 @@ def _fwd_impl_bp(x, y, params, bias, mask, dp, seed_arr, rates, training,
         interpret=interpret,
         compiler_params=fb._compiler_params(),
     )(*args)
+    if grouped:
+        return out4, x2r4
     return _from_groups(out4), _from_groups(x2r4)
 
 
 def _bwd_impl_bp(x, y, params, bias, mask, dp, seed_arr, x2r, g, rates,
                  training, interpret, cross, prep=None):
-    nW, NP, BCf = x.shape
     B = dp.shape[0]
-    C = BCf // B
-    G = group_size(B)
-    ngroups = B // G
+    ngroups, grouped = _stream_geom(x, B)
+    nW, NP = x.shape[-3], x.shape[-2]
+    C = x.shape[-1] * (ngroups if grouped else 1) // B
+    G = B // ngroups
     BC = G * C                                     # per-group lane width
     H = bias.shape[1] // NP
     BH = G * H
@@ -764,6 +779,10 @@ def _bwd_impl_bp(x, y, params, bias, mask, dp, seed_arr, x2r, g, rates,
                                else _prep_bp(params, bias, dp, B, C, cross))
     g_shapes = _bp_grad_shapes(G, C, Ch, cross)
 
+    def to4(t):
+        t = jnp.asarray(t, x.dtype)
+        return t if grouped else _to_groups(t, ngroups)
+
     x_spec = _x_spec_bp(Wc, NP, BC, n_chunks)
     in_specs = [x_spec]
     if cross:
@@ -775,17 +794,15 @@ def _bwd_impl_bp(x, y, params, bias, mask, dp, seed_arr, x2r, g, rates,
     in_specs += [_res_bp(p.shape) for p in bp_params]
     out_specs = ([x_spec] + ([x_spec] if cross else [])
                  + [_res_bp((NP, L))] + [_res_bp(s) for s in g_shapes])
-    x4 = _to_groups(x, ngroups)
+    x4 = x if grouped else _to_groups(x, ngroups)
     out_shapes = ([jax.ShapeDtypeStruct(x4.shape, x.dtype)]
                   * (2 if cross else 1)
                   + [jax.ShapeDtypeStruct((NP, L), jnp.float32)]
                   + [jax.ShapeDtypeStruct(s, jnp.float32)
                      for s in g_shapes])
     args = ((seed_arr, x4)
-            + ((_to_groups(jnp.asarray(y, x.dtype), ngroups),)
-               if cross else ())
-            + (_to_groups(x2r, ngroups),
-               _to_groups(jnp.asarray(g, x.dtype), ngroups), dpl, bias_bp)
+            + ((to4(y),) if cross else ())
+            + (to4(x2r), to4(g), dpl, bias_bp)
             + ((jnp.asarray(mask, jnp.float32),) if with_mask else ())
             + bp_params)
     outs = pl.pallas_call(
@@ -798,12 +815,12 @@ def _bwd_impl_bp(x, y, params, bias, mask, dp, seed_arr, x2r, g, rates,
         interpret=interpret,
         compiler_params=fb._compiler_params(),
     )(*args)
+    back = (lambda t: t) if grouped else _from_groups
     if cross:
-        dx, dy, dbias_bp = _from_groups(outs[0]), _from_groups(outs[1]), \
-            outs[2]
+        dx, dy, dbias_bp = back(outs[0]), back(outs[1]), outs[2]
         d_bp = outs[3:]
     else:
-        dx, dbias_bp = _from_groups(outs[0]), outs[1]
+        dx, dbias_bp = back(outs[0]), outs[1]
         dy = None
         d_bp = outs[2:]
     dparams = tuple(d.astype(jnp.asarray(p).dtype)
@@ -824,18 +841,27 @@ def fused_fusion_block_bp(x, params, bias, mask, dp, seed,
                           interpret: bool = False):
     """Self-attention SwinFusion block in batch-lane-packed layout.
 
-    x: (nW, NP, B*C) — lane l = b*C + c. params: the SAME 12-tuple as
-    fused_fusion_block. bias: head-packed (NP, H*NP). mask: optional
-    (nW, NP, NP). dp: (B, 2) per-sample DropPath scales. Gradients match
-    fused_fusion_block exactly (deterministic mode)."""
+    x: (nW, NP, B*C) — lane l = b*C + c — or group-major 4-D
+    (ngroups, nW, NP, G*C) with G = group_size(B) (round-5 glue: the
+    stacks keep their streams group-major so the lane-split transpose is
+    paid per stack, not per kernel call; output layout follows the input).
+    params: the SAME 12-tuple as fused_fusion_block. bias: head-packed
+    (NP, H*NP). mask: optional (nW, NP, NP). dp: (B, 2) per-sample DropPath
+    scales. Gradients match fused_fusion_block exactly (deterministic
+    mode)."""
     return _ffb_bp_fwd(x, params, bias, mask, dp, seed, rates, training,
                        interpret)[0]
+
+
+def _public_C(x, B: int) -> int:
+    ngroups, grouped = _stream_geom(x, B)
+    return x.shape[-1] * (ngroups if grouped else 1) // B
 
 
 def _ffb_bp_fwd(x, params, bias, mask, dp, seed, rates, training, interpret):
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
     B = dp.shape[0]
-    prep = _prep_bp(params, bias, dp, B, x.shape[2] // B, cross=False)
+    prep = _prep_bp(params, bias, dp, B, _public_C(x, B), cross=False)
     out, x2r = _fwd_impl_bp(x, None, params, bias, mask, dp, seed_arr,
                             rates, training, interpret, cross=False,
                             prep=prep)
@@ -858,7 +884,9 @@ def fused_cross_fusion_block_bp(x, y, params, bias, mask, dp, seed,
                                 rates: Tuple[float, float], training: bool,
                                 interpret: bool = False):
     """Directed cross-attention half-block (q from x, k/v from y) in BP
-    layout; params: the SAME 16-tuple as fused_cross_fusion_block."""
+    layout (3-D public or group-major 4-D streams, like
+    fused_fusion_block_bp); params: the SAME 16-tuple as
+    fused_cross_fusion_block."""
     return _fcb_bp_fwd(x, y, params, bias, mask, dp, seed, rates, training,
                        interpret)[0]
 
@@ -867,7 +895,7 @@ def _fcb_bp_fwd(x, y, params, bias, mask, dp, seed, rates, training,
                 interpret):
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
     B = dp.shape[0]
-    prep = _prep_bp(params, bias, dp, B, x.shape[2] // B, cross=True)
+    prep = _prep_bp(params, bias, dp, B, _public_C(x, B), cross=True)
     out, x2r = _fwd_impl_bp(x, y, params, bias, mask, dp, seed_arr, rates,
                             training, interpret, cross=True, prep=prep)
     return out, (x, y, params, bias, mask, dp, seed_arr, x2r, prep)

@@ -99,8 +99,13 @@ def create_optimizer(optim: str, schedule: Callable, weight_decay: float,
     return tx
 
 
-def optimizer_from_config(cfg, steps_per_epoch: int) -> Tuple[
+def optimizer_from_config(cfg, steps_per_epoch: int,
+                          fused_override: Optional[str] = None) -> Tuple[
         optax.GradientTransformation, Callable]:
+    """``fused_override`` forces the fused_adam selection regardless of the
+    config — used by Trainer's legacy-checkpoint fallback to rebuild the
+    pre-fused (optax-chain) optimizer whose opt_state pytree matches old
+    checkpoints."""
     total = max(steps_per_epoch * cfg.nEpochs, 2)
     schedule = build_schedule(cfg.lr_policy, cfg.lr_init, total,
                               lr_step=cfg.lr_step, lr_gamma=cfg.lr_gamma,
@@ -109,7 +114,9 @@ def optimizer_from_config(cfg, steps_per_epoch: int) -> Tuple[
                           cfg.gradient_clipping, cfg.clip_max_norm,
                           cfg.accumulation_steps,
                           flatten=getattr(cfg, "flatten_optimizer", True),
-                          fused=getattr(cfg, "fused_optimizer", "auto"))
+                          fused=(fused_override if fused_override is not None
+                                 else getattr(cfg, "fused_optimizer",
+                                              "auto")))
     return tx, schedule
 
 

@@ -78,6 +78,7 @@ class Trainer:
         steps = max(steps, 1)
 
         # 2-3. schedule + model (trainer.py:59, 78)
+        self._steps_per_epoch = steps
         self.tx, self.schedule = optimizer_from_config(cfg, steps)
         self.model = create_model(cfg)
 
@@ -175,6 +176,46 @@ class Trainer:
                 self._build_steps()
 
     # ------------------------------------------------------------------
+    def _recover_opt_state(self, resume: str, loaded: dict) -> dict:
+        """The checkpoint's opt_state doesn't match the current optimizer's
+        pytree (the round-4 fused-optimizer switch changed it for every
+        pre-round-4 checkpoint). A silent fresh-restart of Adam moments AND
+        the schedule count mid-run quietly changes training dynamics
+        (round-4 advisor, medium), so instead:
+
+          1. with fused_optimizer='auto', rebuild the legacy (unfused) optax
+             chain and retry — if the checkpoint matches it, run the rest of
+             this job unfused with moments + schedule intact;
+          2. otherwise fail loudly unless cfg.fresh_opt_state=True opts into
+             the restart explicitly."""
+        cfg = self.cfg
+        if getattr(cfg, "fused_optimizer", "auto") == "auto":
+            tx, schedule = optimizer_from_config(cfg, self._steps_per_epoch,
+                                                 fused_override="off")
+            retry = load_checkpoint(resume, self.state.params,
+                                    tx.init(self.state.params))
+            if "opt_state_error" not in retry and "opt_state" in retry:
+                print("[ckpt] legacy (unfused) optimizer state detected in "
+                      f"{resume}; continuing with fused_optimizer='off' so "
+                      "Adam moments and the LR schedule resume intact")
+                self.tx, self.schedule = tx, schedule
+                self.state = self.state.replace(tx=tx)
+                return retry
+        if getattr(cfg, "fresh_opt_state", False):
+            print("[ckpt] fresh_opt_state=True: resuming params/step from "
+                  f"{resume} with a FRESH optimizer state (Adam moments and "
+                  "LR warmup restart)")
+            return loaded
+        raise RuntimeError(
+            f"checkpoint {resume} carries an optimizer state incompatible "
+            f"with the current optimizer ({loaded['opt_state_error']}), and "
+            f"the legacy-optimizer retry did not match either. Resuming "
+            f"would silently restart Adam moments and the LR schedule. Set "
+            f"fresh_opt_state=True to opt into that explicitly, or pin "
+            f"fused_optimizer/flatten_optimizer to the values the "
+            f"checkpoint was trained with (see MIGRATION.md).")
+
+    # ------------------------------------------------------------------
     def _restore_weights(self) -> None:
         cfg = self.cfg
         folder = cfg.experiment_folder or cfg.log_dir
@@ -182,6 +223,8 @@ class Trainer:
         if resume:
             loaded = load_checkpoint(resume, self.state.params,
                                      self.state.opt_state)
+            if "opt_state_error" in loaded:
+                loaded = self._recover_opt_state(resume, loaded)
             self.state = self.state.replace(
                 params=loaded["params"],
                 opt_state=loaded.get("opt_state", self.state.opt_state),

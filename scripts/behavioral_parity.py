@@ -121,7 +121,14 @@ def train_framework(cfg):
     return [float(v) for v in hist["val_AUROC"]], losses
 
 
-def main(epochs: int = 8, n_subjects: int = 64, write_json: bool = True):
+def main(epochs: int = 8, n_subjects: int = 64, write_json: bool = True,
+         desaturate: bool = False):
+    """``desaturate=True`` plants an OVERLAPPING per-subject signal
+    (smri_signal=0.3, strength noise 0.5 -> Bayes subject AUROC ~0.8)
+    instead of the legacy separable cohort: the round-4 comparison pinned
+    val AUROC at 1.0 from epoch 1 on both sides, which carries zero
+    trajectory information (VERDICT r4 #7). The de-saturated task keeps
+    both curves moving so a per-epoch gap bound is assertable."""
     import jax
     jax.config.update("jax_platforms", "cpu")
     from multimodal_neuroimage_tpu.data.loader import DataPipeline
@@ -129,7 +136,8 @@ def main(epochs: int = 8, n_subjects: int = 64, write_json: bool = True):
         generate_synthetic_cohort, synthetic_config)
 
     root = tempfile.mkdtemp(prefix="parity_cohort_")
-    generate_synthetic_cohort(root, n_subjects=n_subjects, seed=11)
+    sig = dict(smri_signal=0.3, smri_strength_noise=0.5) if desaturate else {}
+    generate_synthetic_cohort(root, n_subjects=n_subjects, seed=11, **sig)
     cfg = synthetic_config(
         root, dataset_name="sMRI", target="sex", step=3, task="VIT",
         size_of_model="small", batch_size=8, nEpochs=epochs, workers=2,
@@ -160,7 +168,13 @@ def main(epochs: int = 8, n_subjects: int = 64, write_json: bool = True):
     tail = min(2, len(fw_curve))
     ref_final = float(np.mean(ref_curve[-tail:]))
     fw_final = float(np.mean(fw_curve[-tail:]))
-    result = {"reference_val_auroc": [round(v, 4) for v in ref_curve],
+    n_ep = min(len(ref_curve), len(fw_curve))
+    epoch_gaps = [round(abs(ref_curve[i] - fw_curve[i]), 4)
+                  for i in range(n_ep)]
+    result = {"desaturated": desaturate,
+              "per_epoch_auroc_gap": epoch_gaps,
+              "mean_epoch_auroc_gap": round(float(np.mean(epoch_gaps)), 4),
+              "reference_val_auroc": [round(v, 4) for v in ref_curve],
               "framework_val_auroc": [round(v, 4) for v in fw_curve],
               "reference_train_loss": [round(v, 4) for v in ref_losses],
               "framework_train_loss": [round(v, 4) for v in fw_losses],
@@ -178,12 +192,18 @@ def main(epochs: int = 8, n_subjects: int = 64, write_json: bool = True):
             json.dump(result, f, indent=1)
     print(json.dumps(result))
     ok = abs(ref_final - fw_final) <= 0.15
+    if desaturate:
+        # the informative contract (VERDICT r4 #7): both trajectories move
+        # and track each other per epoch, not just at the end. The bound is
+        # sized for a ~15-subject val split's rank-statistic noise.
+        ok = ok and result["mean_epoch_auroc_gap"] <= 0.15
     print("PARITY " + ("OK" if ok else "FAILED"))
     return result, ok
 
 
 if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    n_subjects = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    _, ok = main(epochs, n_subjects)
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    n_subjects = int(sys.argv[2]) if len(sys.argv) > 2 else 96
+    # the recorded full run uses the de-saturated cohort (VERDICT r4 #7)
+    _, ok = main(epochs, n_subjects, desaturate=True)
     sys.exit(0 if ok else 1)

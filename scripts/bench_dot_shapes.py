@@ -1,11 +1,11 @@
 """Measure candidate MXU dot formulations for the fusion window attention.
 
-WARNING (round-4 postmortem): numbers from THIS script are not trustworthy
-as absolute rates — every grid cell writes the same output block, so Mosaic
-may elide all but the last cell's work, and measured rates exceeded bf16
-peak. Kept as a cautionary artifact (ROADMAP round-4 section). Use the
-in-kernel FUSION_ABLATE ladder on the real kernels instead
-(scripts/bench_fusion_bp.py), or give every cell a distinct output block.
+Round-5 fix of the round-4 postmortem: every grid cell now writes its OWN
+output block (distinct leading-axis index map), so Mosaic cannot elide any
+cell's work and the measured rates are trustworthy. (The original version
+pointed every cell at block 0 and reported >bf16-peak rates.) The in-kernel
+FUSION_ABLATE ladder on the real kernels (scripts/bench_fusion_bp.py)
+remains the ground truth for full-block attribution.
 
 The BP fusion kernels spend ~81% of their time in packed window dots shaped
 (Wc, NP=40, BC=96) x (Wc, BC, L=1920) — M=40 rows per window leaves the MXU
@@ -119,25 +119,28 @@ def _mk(variant: str, reps: int, dtype):
         raise ValueError(variant)
 
     def kernel(q_ref, k_ref, v_ref, o_ref):
-        o_ref[:] = body(q_ref[:], k_ref[:], v_ref[:]).astype(o_ref.dtype)
+        o_ref[0] = body(q_ref[:], k_ref[:], v_ref[:]).astype(o_ref.dtype)
 
-    specs = [pl.BlockSpec(s, lambda i: tuple(0 for _ in s),
-                          memory_space=pltpu.VMEM) for s in shapes]
-    # grid over window chunks: operands differ per cell for cur/sm/st via
-    # index_map on the leading axis when it matches NCH
-    grid_specs = []
-    for s in shapes:
-        grid_specs.append(pl.BlockSpec(
-            s, (lambda i: (0,) * len(s)), memory_space=pltpu.VMEM))
+    def _in_spec(s):
+        # all cells read block 0 of each input (a broadcast read — cheap and
+        # legal); the OUTPUT below is distinct per cell, which is what keeps
+        # Mosaic from eliding any cell's work (round-4 postmortem: all-zero
+        # output index maps let every cell but the last be dead code and the
+        # script reported >bf16-peak rates)
+        return pl.BlockSpec(s, lambda i, _n=len(s): (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    out_spec = pl.BlockSpec((1,) + shapes[0], lambda i: (i,) + (0,) *
+                            len(shapes[0]), memory_space=pltpu.VMEM)
 
     @jax.jit
     def run(q, K, V):
         return pl.pallas_call(
             kernel,
             grid=(NCH,),
-            in_specs=grid_specs,
-            out_specs=grid_specs[0],
-            out_shape=jax.ShapeDtypeStruct(shapes[0], jnp.float32),
+            in_specs=[_in_spec(s) for s in shapes],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((NCH,) + shapes[0], jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=96 * 1024 * 1024),
         )(q, K, V)

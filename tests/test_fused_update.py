@@ -58,8 +58,9 @@ def test_create_optimizer_auto_selects_fused():
     tx = create_optimizer("adam", _schedule, 0.0)
     params = _tree(2)
     state = tx.init(params)
-    # fused state: (count, flat mu, flat nu)
-    assert hasattr(state, "mu") and state.mu.ndim == 1
+    # fused state: (count, padded 2-D mu, padded 2-D nu)
+    assert hasattr(state, "mu") and state.mu.ndim == 2
+    assert state.mu.shape[1] == 1024
     # accumulation forces the optax path
     tx2 = create_optimizer("adam", _schedule, 0.0, accumulation_steps=2)
     st2 = tx2.init(params)

@@ -260,6 +260,64 @@ def test_stack_bp_training_smoke(monkeypatch):
         assert np.all(np.isfinite(np.asarray(leaf)))
 
 
+@pytest.mark.slow
+def test_stack_xbp_matches_std(monkeypatch):
+    """FUSION_LAYOUT=xbp (the plain-XLA twin raced on TPU, VERDICT r4 #3)
+    takes the jnp path through the SAME stack wiring even when the fused
+    kernels are active — values and grads match the std kernel layout."""
+    v1, g1 = _crstb_apply("std", monkeypatch)
+    v2, g2 = _crstb_apply("xbp", monkeypatch)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_kernel_grouped_4d_entry_matches_3d():
+    """The fused BP kernels accept group-major 4-D streams (the round-5
+    stack-residency glue) bitwise-identically to the public 3-D layout."""
+    import jax as _jax
+    from multimodal_neuroimage_tpu.ops import fusion_block as fb
+    from multimodal_neuroimage_tpu.ops import fusion_block_bp as fbp
+    from multimodal_neuroimage_tpu.nn.swin2d import (relative_position_index,
+                                                     shift_attn_mask)
+    Bn = 16                                     # ngroups=2 at G=8
+    N = WS * WS
+    NP = fb.round_up(N, 8)
+    nW = (RES // WS) ** 2
+    rng = np.random.default_rng(0)
+    x3 = jnp.asarray(rng.normal(size=(nW, NP, Bn * C)), jnp.float32)
+    table = jnp.asarray(rng.normal(size=((2 * WS - 1) ** 2, H)) * 0.1,
+                        jnp.float32)
+    bias = fb.packed_bias_from_table(table, WS, H, NP,
+                                     relative_position_index(WS, WS))
+    mask = np.pad(shift_attn_mask(RES, RES, WS, WS // 2),
+                  ((0, 0), (0, NP - N), (0, NP - N)))
+    dp = jnp.ones((Bn, 2), jnp.float32)
+    params = tuple(jnp.asarray(rng.normal(size=s) * 0.05, jnp.float32)
+                   for s in fb.param_shapes(C, 4 * C, cross=False))
+    ngroups = Bn // fbp.group_size(Bn)
+    x4 = fbp._to_groups(x3, ngroups)
+
+    def loss(x):
+        return jnp.sum(fbp.fused_fusion_block_bp(
+            x, params, bias, mask, dp, 7, (0.0, 0.0), True,
+            interpret=True) ** 2)
+
+    o3 = fbp.fused_fusion_block_bp(x3, params, bias, mask, dp, 7,
+                                   (0.0, 0.0), True, interpret=True)
+    o4 = fbp.fused_fusion_block_bp(x4, params, bias, mask, dp, 7,
+                                   (0.0, 0.0), True, interpret=True)
+    assert o4.shape == x4.shape
+    np.testing.assert_array_equal(np.asarray(fbp._to_groups(o3, ngroups)),
+                                  np.asarray(o4))
+    g3 = _jax.grad(loss)(x3)
+    g4 = _jax.grad(loss)(x4)
+    np.testing.assert_array_equal(np.asarray(fbp._to_groups(g3, ngroups)),
+                                  np.asarray(g4))
+
+
 @pytest.mark.parametrize("layout", ["bp", "bpr"])
 def test_stack_odd_depth_matches_std(layout, monkeypatch):
     """Odd depths use the unrolled path (per-block transitions + exit from

@@ -110,6 +110,69 @@ def test_save_plan_cache_merges_race_legs(tmp_path, monkeypatch):
                                                  "loop": 716.2}
 
 
+# ---------------------------------------------------------------------------
+# legacy-checkpoint optimizer-state recovery (round-4 advisor, medium)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def cohort(tmp_path_factory):
+    from multimodal_neuroimage_tpu.data.synthetic import (
+        generate_synthetic_cohort)
+    root = str(tmp_path_factory.mktemp("cohort"))
+    return generate_synthetic_cohort(root, n_subjects=48, seed=7)
+
+
+def _cfg(cohort, tmp_path, **kw):
+    from multimodal_neuroimage_tpu.data.synthetic import synthetic_config
+    base = dict(dataset_name="sMRI", target="sex", step=3, task="VIT",
+                size_of_model="small", batch_size=4, nEpochs=1, workers=0,
+                lr_init=1e-3, lr_policy="step", lr_step=50,
+                experiment_folder=str(tmp_path / "exp"),
+                experiment_title="r5", compute_dtype="float32")
+    base.update(kw)
+    return synthetic_config(cohort, **base).validate()
+
+
+def test_legacy_opt_state_resumes_unfused(cohort, tmp_path, capsys):
+    """A checkpoint written by the pre-round-4 (unfused optax) optimizer,
+    resumed under fused_optimizer='auto', must NOT silently restart Adam
+    moments: the trainer falls back to the unfused chain and restores the
+    moments + schedule count intact."""
+    from multimodal_neuroimage_tpu.train.trainer import Trainer
+    cfg = _cfg(cohort, tmp_path, fused_optimizer="off")
+    Trainer(cfg).training()
+
+    cfg2 = _cfg(cohort, tmp_path, nEpochs=2, fused_optimizer="auto")
+    resumed = Trainer(cfg2)
+    out = capsys.readouterr().out
+    assert "legacy (unfused) optimizer state detected" in out
+    assert resumed.epoch0 == 1
+    # the restored inner step count is non-zero (moments resumed, not fresh)
+    import jax
+    leaves = jax.tree_util.tree_leaves(resumed.state.opt_state)
+    assert any(getattr(l, "ndim", None) == 0 and int(l) > 0 for l in leaves)
+
+
+def test_incompatible_opt_state_fails_loudly(cohort, tmp_path):
+    """When neither the current nor the legacy optimizer matches the
+    checkpoint, resume must raise unless fresh_opt_state=True opts in."""
+    from multimodal_neuroimage_tpu.train.trainer import Trainer
+    cfg = _cfg(cohort, tmp_path, optim="adam")
+    Trainer(cfg).training()
+
+    # different optimizer family -> neither template matches
+    bad = _cfg(cohort, tmp_path, nEpochs=2, optim="adamw",
+               accumulation_steps=2)
+    with pytest.raises(RuntimeError, match="incompatible"):
+        Trainer(bad)
+
+    ok = _cfg(cohort, tmp_path, nEpochs=2, optim="adamw",
+              accumulation_steps=2, fresh_opt_state=True)
+    t = Trainer(ok)
+    assert t.epoch0 == 1  # params/step resumed, optimizer restarted
+
+
 def test_save_plan_cache_ignores_foreign_device_race(tmp_path, monkeypatch):
     """Race records from a DIFFERENT hardware class are not merged in."""
     from multimodal_neuroimage_tpu.ops import autoplan
