@@ -101,6 +101,25 @@ def _stream16_active() -> bool:
         return False
 
 
+# Pin the stack-boundary relayouts to the bf16 side of the entry/exit casts.
+# The round-5 bs=64 trace showed XLA sinking the bf16 cast BELOW the entry
+# transposes (and hoisting the f32 cast ABOVE the exit ones), so every
+# stack-boundary relayout ran on f32 streams — and a (B, L, 12) f32 buffer
+# tiles at T(8,128) with 10.7x padding, so those copies cost ~21x the bytes
+# of their bf16 group-major twins. An optimization_barrier on the bf16 value
+# keeps the cast (elementwise, fusable) on the cheap side of the transpose.
+# FUSION_BARRIER=0 disables for A/B.
+_CAST_BARRIER = os.environ.get("FUSION_BARRIER", "1") != "0"
+
+
+def _pin16(x):
+    """Materialize a bf16 value before XLA can sink/hoist the cast across
+    the adjacent relayout (no-op when barriers are disabled or off-TPU)."""
+    if _CAST_BARRIER and x.dtype == jnp.bfloat16:
+        return jax.lax.optimization_barrier(x)
+    return x
+
+
 def _win_trans(xw, H: int, W: int, ws: int, s_from: int, s_to: int):
     """Group-major (ngroups, nW, NP, G*C) windows at shift s_from -> windows
     at shift s_to via one composed bijective gather whose VJP is the inverse
@@ -722,7 +741,7 @@ class BasicLayerFusion(nn.Module):
         ws, s_eff, NP = _eff_geometry(self.input_resolution, self.window_size)
         in_dtype = x.dtype
         if (bp or xla_twin) and _stream16_active():
-            x = x.astype(jnp.bfloat16)         # see _STREAM16
+            x = _pin16(x.astype(jnp.bfloat16))   # see _STREAM16 / _pin16
         if bp:
             x = _bp_enter(x)
         if resident:
@@ -742,7 +761,7 @@ class BasicLayerFusion(nn.Module):
                         grouped=bp, name="pairs")(x, aux, deterministic)
             if resident:
                 x = _from_padded_windows_bp(x, H, W, ws, 0, NP)
-            return (_bp_exit(x, B).astype(in_dtype) if bp
+            return (_pin16(_bp_exit(x, B)).astype(in_dtype) if bp
                     else x.astype(in_dtype))
         cur = 0
         for i in range(self.depth):
@@ -761,7 +780,7 @@ class BasicLayerFusion(nn.Module):
                             name=f"block_{i}")(x, deterministic)
         if resident:
             x = _from_padded_windows_bp(x, H, W, ws, cur, NP)
-        return (_bp_exit(x, B).astype(in_dtype) if bp
+        return (_pin16(_bp_exit(x, B)).astype(in_dtype) if bp
                 else x.astype(in_dtype))
 
 
@@ -792,7 +811,8 @@ class CrossBasicLayer(nn.Module):
         ws, s_eff, NP = _eff_geometry(self.input_resolution, self.window_size)
         in_dtype = x.dtype
         if (bp or xla_twin) and _stream16_active():
-            x, y = x.astype(jnp.bfloat16), y.astype(jnp.bfloat16)
+            x = _pin16(x.astype(jnp.bfloat16))   # see _STREAM16 / _pin16
+            y = _pin16(y.astype(jnp.bfloat16))
         if bp:
             x, y = _bp_enter(x), _bp_enter(y)
         if resident:
@@ -815,8 +835,8 @@ class CrossBasicLayer(nn.Module):
             if resident:
                 x = _from_padded_windows_bp(x, H, W, ws, 0, NP)
                 y = _from_padded_windows_bp(y, H, W, ws, 0, NP)
-            return ((_bp_exit(x, B).astype(in_dtype),
-                     _bp_exit(y, B).astype(in_dtype))
+            return ((_pin16(_bp_exit(x, B)).astype(in_dtype),
+                     _pin16(_bp_exit(y, B)).astype(in_dtype))
                     if bp else (x.astype(in_dtype), y.astype(in_dtype)))
         cur = 0
         for i in range(self.depth):
@@ -838,8 +858,8 @@ class CrossBasicLayer(nn.Module):
         if resident:
             x = _from_padded_windows_bp(x, H, W, ws, cur, NP)
             y = _from_padded_windows_bp(y, H, W, ws, cur, NP)
-        return ((_bp_exit(x, B).astype(in_dtype),
-                 _bp_exit(y, B).astype(in_dtype))
+        return ((_pin16(_bp_exit(x, B)).astype(in_dtype),
+                 _pin16(_bp_exit(y, B)).astype(in_dtype))
                 if bp else (x.astype(in_dtype), y.astype(in_dtype)))
 
 

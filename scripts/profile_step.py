@@ -76,6 +76,39 @@ def summarize(logdir: str, top: int = 30):
         for name, ms in sorted(total.items(), key=lambda kv: -kv[1])[:top]:
             print(f"  {ms:9.3f} ms  x{count[name]:<5d} {name[:100]}")
 
+        # family rollup (the attribution table the round reviews read):
+        # which band of the step each op belongs to, ms summed per family
+        def family(name: str) -> str:
+            if name.startswith("jit_") or name in ("0", "1"):
+                return "(step shells — excluded)"
+            n = name.lstrip("%")
+            if n.startswith(("block_0", "block_1")):
+                return "fusion block kernels"
+            if n.startswith("layer."):
+                return "BERT megakernels"
+            if n.startswith(("kernel", "fused_adam", "update")):
+                return "optimizer"
+            if n.startswith("copy-start"):
+                return "copy-start (DMA queue, mostly overlapped)"
+            if n.startswith(("copy", "transpose", "reshape", "bitcast")):
+                return "reshape/copy glue"
+            if n.startswith(("while", "dynamic-update", "dynamic-slice",
+                             "slice")):
+                return "scan shells / slices"
+            if n.startswith(("fusion", "add", "multiply", "select",
+                             "broadcast", "convert", "reduce", "iota",
+                             "concatenate", "pad", "compare", "gather",
+                             "scatter")):
+                return "XLA fusions / small ops"
+            return "other"
+
+        fam_ms = defaultdict(float)
+        for name, ms in total.items():
+            fam_ms[family(name)] += ms
+        print("-- family rollup (SELF ms across the traced window) --")
+        for fam, ms in sorted(fam_ms.items(), key=lambda kv: -kv[1]):
+            print(f"  {ms:9.1f} ms  {fam}")
+
 
 def run_micro(which: str):
     from scripts.bench_fusion_micro import stack_fn
