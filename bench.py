@@ -520,8 +520,14 @@ def main() -> None:
             fusion_times = {}
             # most-promising first so the budget guard drops the least
             # informative legs: bp is the committed winner, xbp the round-5
-            # plain-XLA twin (VERDICT r4 #3), std OOMs HBM at bs=64
-            for lay in ("bp", "xbp", "bpr", "std"):
+            # plain-XLA twin (VERDICT r4 #3). xbp and std both OOM HBM at
+            # bs=64 (measured r5/r4: xbp's plain attention-dropout tensors
+            # are bf16[B,196,6,36,36] HLO temps, 735 MB padded each at
+            # B=64) — skip their legs at large batch rather than paying a
+            # multi-minute compile that ends in a refusal.
+            legs = ["bp", "bpr"] + (["xbp", "std"]
+                                    if per_chip_batch <= 16 else [])
+            for lay in legs:
                 if not budget_left(f"fusion layout leg {lay}"):
                     break
                 sf._LAYOUT = lay

@@ -747,7 +747,7 @@ class BasicLayerFusion(nn.Module):
         if resident:
             x = _to_padded_windows_bp(x, H, W, ws, 0, NP)
         if self.depth % 2 == 0 and self.depth >= 2:
-            scan = nn.scan(scan_body(_FusionPairBody, (3,)),
+            scan = nn.scan(scan_body(_FusionPairBody, (3,), tag="fusion"),
                            variable_axes={"params": 0},
                            split_rngs={"params": True, "dropout": True,
                                        "droppath": True},
@@ -819,7 +819,7 @@ class CrossBasicLayer(nn.Module):
             x = _to_padded_windows_bp(x, H, W, ws, 0, NP)
             y = _to_padded_windows_bp(y, H, W, ws, 0, NP)
         if self.depth % 2 == 0 and self.depth >= 2:
-            scan = nn.scan(scan_body(_CrossPairBody, (3,)),
+            scan = nn.scan(scan_body(_CrossPairBody, (3,), tag="fusion"),
                            variable_axes={"params": 0},
                            split_rngs={"params": True, "dropout": True,
                                        "droppath": True},
