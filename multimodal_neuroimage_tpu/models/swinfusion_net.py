@@ -31,7 +31,7 @@ from typing import Dict, Tuple
 
 import flax.linen as nn
 
-from multimodal_neuroimage_tpu.nn.common import LayerNorm
+from multimodal_neuroimage_tpu.nn.common import LayerNorm  # noqa: F401 (SwinFusionNet head below)
 import jax.numpy as jnp
 import numpy as np
 
@@ -69,22 +69,42 @@ class SwinFusionBackbone(nn.Module):
     def __call__(self, a: jnp.ndarray, b: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
         """a, b: (B, 84, 84) -> fused (B, 84, 84)."""
+        import multimodal_neuroimage_tpu.nn.swinfusion as sfm
+        from multimodal_neuroimage_tpu.nn.swinfusion import (GroupLaneNorm,
+                                                             _bp_enter,
+                                                             _bp_exit)
+        from multimodal_neuroimage_tpu.ops.attention import (
+            fused_attention_active)
         E = self.embed_dim
         res = (self.img_size, self.img_size)
         L = res[0] * res[1]
         pos_drop = nn.Dropout(self.drop_rate)
+        # Whole-pipeline group-major residency (ROADMAP round-5): under the
+        # BP kernel layouts every inter-stage tensor — the shared patch_norm
+        # LNs, pos_drop, the RSTB/CRSTB residual adds — stays in the
+        # kernels' (ngroups, L, G*C) f32 layout. A token-major (B, L, 12)
+        # f32 buffer pads 10.7x under T(8,128); the 96-lane group-major
+        # stream pads 1.33x. Enter once after each conv (convs need the
+        # spatial (B, 84, 84, E) form), exit once before the next conv.
+        grouped = (sfm._LAYOUT in ("bp", "bpr") and fused_attention_active())
+
+        def enter(t):
+            return _bp_enter(t) if grouped else t
+
+        def exit_(t, B):
+            return _bp_exit(t, B) if grouped else t
 
         # shared conv stem (reference uses the A stem for both, model.py:1406)
         stem1 = TorchConv(E // 2, (3, 3), name="conv_first1_A")
         stem2 = TorchConv(E, (3, 3), name="conv_first2_A")
         # the reference's single patch_embed LayerNorm, shared by every
-        # stage entry (see module docstring)
-        patch_norm = LayerNorm(name="patch_norm")
+        # stage entry (see module docstring); group-major capable
+        patch_norm = GroupLaneNorm(E, name="patch_norm")
 
         def extract(x, branch: str):
             h = _lrelu(stem2(_lrelu(stem1(x[..., None]))))    # (B, 84, 84, E)
-            t = h.reshape(h.shape[0], L, E)
-            t = patch_norm(t)
+            t = enter(h.reshape(h.shape[0], L, E))
+            t = patch_norm(t, grouped)
             t = pos_drop(t, deterministic=deterministic)
             dpr = self._dpr(self.ex_depths)
             for i, (depth, heads) in enumerate(zip(self.ex_depths,
@@ -94,16 +114,18 @@ class SwinFusionBackbone(nn.Module):
                          attn_drop=self.attn_drop_rate,
                          drop_path=dpr[sum(self.ex_depths[:i]):
                                        sum(self.ex_depths[:i + 1])],
+                         io_groups=grouped,
                          name=f"Ex_{branch}_{i}")(t, deterministic)
-            return LayerNorm(name=f"norm_Ex_{branch}")(t)
+            return GroupLaneNorm(E, name=f"norm_Ex_{branch}")(t, grouped)
 
+        B = a.shape[0]
         x = extract(a.astype(jnp.float32), "A")
         y = extract(b.astype(jnp.float32), "B")
 
         # cross-fusion (model.py:1441-1462; re-enters via the shared
         # patch_embed -> norm + pos_drop)
-        x = pos_drop(patch_norm(x), deterministic=deterministic)
-        y = pos_drop(patch_norm(y), deterministic=deterministic)
+        x = pos_drop(patch_norm(x, grouped), deterministic=deterministic)
+        y = pos_drop(patch_norm(y, grouped), deterministic=deterministic)
         dpr = self._dpr(self.fusion_depths)
         for i, (depth, heads) in enumerate(zip(self.fusion_depths,
                                                self.fusion_heads)):
@@ -112,25 +134,27 @@ class SwinFusionBackbone(nn.Module):
                          attn_drop=self.attn_drop_rate,
                          drop_path=dpr[sum(self.fusion_depths[:i]):
                                        sum(self.fusion_depths[:i + 1])],
+                         io_groups=grouped,
                          name=f"Fusion_{i}")(x, y, deterministic)
-        x = LayerNorm(name="norm_Fusion_A")(x)
-        y = LayerNorm(name="norm_Fusion_B")(y)
+        x = exit_(GroupLaneNorm(E, name="norm_Fusion_A")(x, grouped), B)
+        y = exit_(GroupLaneNorm(E, name="norm_Fusion_B")(y, grouped), B)
         h = jnp.concatenate([x.reshape(-1, *res, E), y.reshape(-1, *res, E)],
                             axis=-1)
         h = _lrelu(TorchConv(E, (3, 3),
                              name="conv_after_body_Fusion")(h))
 
         # reconstruction (model.py:1464-1482; shared patch norm again)
-        t = h.reshape(h.shape[0], L, E)
-        t = pos_drop(patch_norm(t), deterministic=deterministic)
+        t = enter(h.reshape(h.shape[0], L, E))
+        t = pos_drop(patch_norm(t, grouped), deterministic=deterministic)
         dpr = self._dpr(self.re_depths)
         for i, (depth, heads) in enumerate(zip(self.re_depths, self.re_heads)):
             t = RSTB(E, res, depth, heads, self.window_size, self.mlp_ratio,
                      drop=self.drop_rate, attn_drop=self.attn_drop_rate,
                      drop_path=dpr[sum(self.re_depths[:i]):
                                    sum(self.re_depths[:i + 1])],
+                     io_groups=grouped,
                      name=f"Re_{i}")(t, deterministic)
-        t = LayerNorm(name="norm_Re")(t)
+        t = exit_(GroupLaneNorm(E, name="norm_Re")(t, grouped), B)
         h = t.reshape(-1, *res, E)
         h = _lrelu(TorchConv(E // 2, (3, 3), name="conv_last1")(h))
         h = _lrelu(TorchConv(E // 4, (3, 3), name="conv_last2")(h))

@@ -120,6 +120,44 @@ def _pin16(x):
     return x
 
 
+class GroupLaneNorm(nn.Module):
+    """LayerNorm over the channel axis that also runs DIRECTLY on group-major
+    (ngroups, L, G*C) streams, normalizing each C-lane block.
+
+    Same param names/shapes as flax LayerNorm ("scale"/"bias", (C,)) so the
+    checkpoint tree is unchanged when a model swaps it in for the inter-stage
+    norms. Token-major inputs reproduce nn/common.LayerNorm exactly
+    (two-pass variance, eps 1e-5, rsqrt). Group-major inputs compute the
+    per-block mean/var as ONE f32 matmul against kron(I_G, 1/C) — the whole
+    point: a token-major (B, L, 12) f32 buffer tiles at T(8,128) with 10.7x
+    padding, so every inter-stage LN/dropout/residual pass costs ~21x its
+    useful bytes; the 96-lane group-major stream pads only 1.33x
+    (ROADMAP round-5). The matmul mean differs from the jnp.mean chain only
+    by f32 summation order (~1e-7 relative)."""
+
+    features: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, t, grouped: bool = False):
+        C = self.features
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        if not grouped:
+            mu = jnp.mean(t, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(t - mu), axis=-1, keepdims=True)
+            return (t - mu) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        GC = t.shape[-1]
+        G = GC // C
+        M = jnp.asarray(np.kron(np.eye(G, dtype=np.float32),
+                                np.full((C, C), 1.0 / C, np.float32)))
+        mu = t @ M
+        tc = t - mu
+        var = (tc * tc) @ M
+        return (tc * jax.lax.rsqrt(var + self.epsilon) * jnp.tile(scale, G)
+                + jnp.tile(bias, G))
+
+
 def _win_trans(xw, H: int, W: int, ws: int, s_from: int, s_to: int):
     """Group-major (ngroups, nW, NP, G*C) windows at shift s_from -> windows
     at shift s_to via one composed bijective gather whose VJP is the inverse
@@ -728,24 +766,39 @@ class BasicLayerFusion(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: Sequence[float] = (0.0,)
+    io_groups: bool = False   # in/out already group-major (ngroups, L, G*C)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         from multimodal_neuroimage_tpu.ops.attention import (
             fused_attention_active)
-        B = x.shape[0]
         bp = _LAYOUT in ("bp", "bpr") and fused_attention_active()
         resident = bp and _LAYOUT == "bpr"
         xla_twin = _LAYOUT == "xbp" and fused_attention_active()
+        io_grp = self.io_groups
+        assert not io_grp or bp, "io_groups requires the BP kernel layouts"
+        B = (x.shape[0] * (x.shape[-1] // self.dim) if io_grp
+             else x.shape[0])
         H, W = self.input_resolution
         ws, s_eff, NP = _eff_geometry(self.input_resolution, self.window_size)
         in_dtype = x.dtype
         if (bp or xla_twin) and _stream16_active():
             x = _pin16(x.astype(jnp.bfloat16))   # see _STREAM16 / _pin16
-        if bp:
+        if bp and not io_grp:
             x = _bp_enter(x)
         if resident:
             x = _to_padded_windows_bp(x, H, W, ws, 0, NP)
+
+        def out(x):
+            if resident:
+                x = _from_padded_windows_bp(
+                    x, H, W, ws, 0 if self.depth % 2 == 0 else cur, NP)
+            if io_grp:
+                return _pin16(x).astype(in_dtype)   # stay group-major
+            if bp:
+                return _pin16(_bp_exit(x, B)).astype(in_dtype)
+            return x.astype(in_dtype)
+
         if self.depth % 2 == 0 and self.depth >= 2:
             scan = nn.scan(scan_body(_FusionPairBody, (3,), tag="fusion"),
                            variable_axes={"params": 0},
@@ -759,10 +812,7 @@ class BasicLayerFusion(nn.Module):
                         self.window_size, self.mlp_ratio, self.qkv_bias,
                         self.drop, self.attn_drop, resident=resident,
                         grouped=bp, name="pairs")(x, aux, deterministic)
-            if resident:
-                x = _from_padded_windows_bp(x, H, W, ws, 0, NP)
-            return (_pin16(_bp_exit(x, B)).astype(in_dtype) if bp
-                    else x.astype(in_dtype))
+            return out(x)
         cur = 0
         for i in range(self.depth):
             dp = (self.drop_path[i] if isinstance(self.drop_path, (list, tuple))
@@ -778,10 +828,7 @@ class BasicLayerFusion(nn.Module):
                             drop=self.drop, attn_drop=self.attn_drop,
                             drop_path=dp, io_windows=resident, io_groups=bp,
                             name=f"block_{i}")(x, deterministic)
-        if resident:
-            x = _from_padded_windows_bp(x, H, W, ws, cur, NP)
-        return (_pin16(_bp_exit(x, B)).astype(in_dtype) if bp
-                else x.astype(in_dtype))
+        return out(x)
 
 
 class CrossBasicLayer(nn.Module):
@@ -798,26 +845,43 @@ class CrossBasicLayer(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: Sequence[float] = (0.0,)
+    io_groups: bool = False   # in/out already group-major (ngroups, L, G*C)
 
     @nn.compact
     def __call__(self, x, y, deterministic: bool = True):
         from multimodal_neuroimage_tpu.ops.attention import (
             fused_attention_active)
-        B = x.shape[0]
         bp = _LAYOUT in ("bp", "bpr") and fused_attention_active()
         resident = bp and _LAYOUT == "bpr"
         xla_twin = _LAYOUT == "xbp" and fused_attention_active()
+        io_grp = self.io_groups
+        assert not io_grp or bp, "io_groups requires the BP kernel layouts"
+        B = (x.shape[0] * (x.shape[-1] // self.dim) if io_grp
+             else x.shape[0])
         H, W = self.input_resolution
         ws, s_eff, NP = _eff_geometry(self.input_resolution, self.window_size)
         in_dtype = x.dtype
         if (bp or xla_twin) and _stream16_active():
             x = _pin16(x.astype(jnp.bfloat16))   # see _STREAM16 / _pin16
             y = _pin16(y.astype(jnp.bfloat16))
-        if bp:
+        if bp and not io_grp:
             x, y = _bp_enter(x), _bp_enter(y)
         if resident:
             x = _to_padded_windows_bp(x, H, W, ws, 0, NP)
             y = _to_padded_windows_bp(y, H, W, ws, 0, NP)
+
+        def out2(x, y, shift):
+            if resident:
+                x = _from_padded_windows_bp(x, H, W, ws, shift, NP)
+                y = _from_padded_windows_bp(y, H, W, ws, shift, NP)
+            if io_grp:
+                return (_pin16(x).astype(in_dtype),
+                        _pin16(y).astype(in_dtype))   # stay group-major
+            if bp:
+                return (_pin16(_bp_exit(x, B)).astype(in_dtype),
+                        _pin16(_bp_exit(y, B)).astype(in_dtype))
+            return x.astype(in_dtype), y.astype(in_dtype)
+
         if self.depth % 2 == 0 and self.depth >= 2:
             scan = nn.scan(scan_body(_CrossPairBody, (3,), tag="fusion"),
                            variable_axes={"params": 0},
@@ -832,12 +896,7 @@ class CrossBasicLayer(nn.Module):
                              self.drop, self.attn_drop, resident=resident,
                              grouped=bp, name="pairs")((x, y), aux,
                                                        deterministic)
-            if resident:
-                x = _from_padded_windows_bp(x, H, W, ws, 0, NP)
-                y = _from_padded_windows_bp(y, H, W, ws, 0, NP)
-            return ((_pin16(_bp_exit(x, B)).astype(in_dtype),
-                     _pin16(_bp_exit(y, B)).astype(in_dtype))
-                    if bp else (x.astype(in_dtype), y.astype(in_dtype)))
+            return out2(x, y, 0)
         cur = 0
         for i in range(self.depth):
             dp = (self.drop_path[i] if isinstance(self.drop_path, (list, tuple))
@@ -855,12 +914,7 @@ class CrossBasicLayer(nn.Module):
                 drop=self.drop, attn_drop=self.attn_drop, drop_path=dp,
                 io_windows=resident, io_groups=bp,
                 name=f"block_{i}")(x, y, deterministic)
-        if resident:
-            x = _from_padded_windows_bp(x, H, W, ws, cur, NP)
-            y = _from_padded_windows_bp(y, H, W, ws, cur, NP)
-        return ((_pin16(_bp_exit(x, B)).astype(in_dtype),
-                 _pin16(_bp_exit(y, B)).astype(in_dtype))
-                if bp else (x.astype(in_dtype), y.astype(in_dtype)))
+        return out2(x, y, cur)
 
 
 class RSTB(nn.Module):
@@ -877,13 +931,14 @@ class RSTB(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: Sequence[float] = (0.0,)
+    io_groups: bool = False   # stream is group-major (ngroups, L, G*C)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         return x + BasicLayerFusion(
             self.dim, self.input_resolution, self.depth, self.num_heads,
             self.window_size, self.mlp_ratio, self.qkv_bias, self.drop,
-            self.attn_drop, self.drop_path,
+            self.attn_drop, self.drop_path, io_groups=self.io_groups,
             name="residual_group")(x, deterministic)
 
 
@@ -902,6 +957,7 @@ class CRSTB(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: Sequence[float] = (0.0,)
+    io_groups: bool = False   # stream is group-major (ngroups, L, G*C)
 
     @nn.compact
     def __call__(self, x, y, deterministic: bool = True):
@@ -909,7 +965,8 @@ class CRSTB(nn.Module):
                       depth=self.depth, num_heads=self.num_heads,
                       window_size=self.window_size, mlp_ratio=self.mlp_ratio,
                       qkv_bias=self.qkv_bias, drop=self.drop,
-                      attn_drop=self.attn_drop, drop_path=self.drop_path)
+                      attn_drop=self.attn_drop, drop_path=self.drop_path,
+                      io_groups=self.io_groups)
         x = x + BasicLayerFusion(**common, name="residual_group_A")(
             x, deterministic)
         y = y + BasicLayerFusion(**common, name="residual_group_B")(

@@ -318,6 +318,75 @@ def test_kernel_grouped_4d_entry_matches_3d():
                                   np.asarray(g4))
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("layout", ["bp", "bpr"])
+def test_backbone_group_residency_matches_std(layout, monkeypatch):
+    """Whole-pipeline group-major residency (SwinFusionBackbone keeps the
+    inter-stage streams in (ngroups, L, G*C); GroupLaneNorm normalizes the
+    C-lane blocks in place) must reproduce the std token-major pipeline:
+    values and parameter gradients, deterministic mode."""
+    import multimodal_neuroimage_tpu.nn.swinfusion as sf
+    from multimodal_neuroimage_tpu.models.swinfusion_net import (
+        SwinFusionBackbone)
+    from multimodal_neuroimage_tpu.ops.attention import set_fused_attention
+
+    Bn = 4
+    monkeypatch.setenv("FUSION_BP_GROUP", "2")      # ngroups=2 at B=4
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(rng.normal(size=(Bn, 84, 84)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(Bn, 84, 84)).astype(np.float32))
+
+    def run(lay):
+        monkeypatch.setattr(sf, "_LAYOUT", lay)
+        net = SwinFusionBackbone(ex_depths=(2,), fusion_depths=(2,),
+                                 re_depths=(2,), ex_heads=(6,),
+                                 fusion_heads=(6,), re_heads=(6,),
+                                 drop_rate=0.0, attn_drop_rate=0.0,
+                                 drop_path_rate=0.0)
+        set_fused_attention(True)
+        try:
+            v = net.init(jax.random.PRNGKey(0), a, b, deterministic=True)
+
+            def loss(v, a, b):
+                return jnp.sum(jnp.sin(net.apply(
+                    v, a, b, deterministic=True)))
+
+            return jax.value_and_grad(loss)(v, a, b)
+        finally:
+            set_fused_attention(None)
+
+    v1, g1 = run("std")
+    v2, g2 = run(layout)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=2e-5)
+    for a_, b_ in zip(jax.tree_util.tree_leaves(g1),
+                      jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_group_lane_norm_matches_layernorm():
+    """GroupLaneNorm's grouped path equals its token-major path (which is
+    flax LayerNorm semantics) after relayout."""
+    import multimodal_neuroimage_tpu.nn.swinfusion as sf
+
+    rng = np.random.default_rng(3)
+    Bn, L, C, G = 4, 36, 12, 2
+    x = jnp.asarray(rng.normal(size=(Bn, L, C)).astype(np.float32))
+    ln = sf.GroupLaneNorm(C)
+    v = ln.init(jax.random.PRNGKey(0), x)
+    v = jax.tree_util.tree_map(
+        lambda t: jnp.asarray(rng.normal(size=t.shape), t.dtype), v)
+    ref = ln.apply(v, x, False)
+    ngroups = Bn // G
+    xg = jnp.transpose(x.reshape(ngroups, G, L, C),
+                       (0, 2, 1, 3)).reshape(ngroups, L, G * C)
+    out = ln.apply(v, xg, True)
+    back = jnp.transpose(out.reshape(ngroups, L, G, C),
+                         (0, 2, 1, 3)).reshape(Bn, L, C)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("layout", ["bp", "bpr"])
 def test_stack_odd_depth_matches_std(layout, monkeypatch):
     """Odd depths use the unrolled path (per-block transitions + exit from
