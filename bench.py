@@ -471,6 +471,18 @@ def main() -> None:
                 best_w = min(best_w, (time.perf_counter() - t0) / 5)
             return best_w, nonlocal_state
 
+        def pick(times: dict, incumbent: str, min_gain: float = 0.01) -> str:
+            """Winner with HYSTERESIS: a challenger must beat the incumbent
+            by >1% to flip the plan. The r5 grid race measured batched
+            669.26 vs subject 668.64 ms (0.09%) — well inside the tunnel's
+            repeat noise — and plan picks must not flip-flop on noise."""
+            if incumbent not in times:
+                return min(times, key=times.get)
+            best = min(times, key=times.get)
+            if times[best] < times[incumbent] * (1.0 - min_gain):
+                return best
+            return incumbent
+
         def timed_leg(st):
             # a transient tunnel failure must not mark a good plan as lost
             # (a poisoned plan file would then mis-boot every later training
@@ -508,7 +520,7 @@ def main() -> None:
                         if mode != "batched" or not bl.shrink_bc():
                             break
             if grid_times:
-                bl._GRID_MODE = min(grid_times, key=grid_times.get)
+                bl._GRID_MODE = pick(grid_times, plans0[2])
                 race_results["bert_grid_ms_per_step"] = {
                     k: round(v * 1e3, 2) for k, v in grid_times.items()}
                 _say(f"[bench] bert grid race: "
@@ -536,7 +548,7 @@ def main() -> None:
                 except Exception as e:               # pragma: no cover - hw
                     _say(f"[bench] layout {lay} failed ({_err(e)})")
             if fusion_times:
-                sf._LAYOUT = min(fusion_times, key=fusion_times.get)
+                sf._LAYOUT = pick(fusion_times, plans0[0])
                 race_results["fusion_ms_per_step"] = {
                     k: round(v * 1e3, 2) for k, v in fusion_times.items()}
                 _say(f"[bench] fusion layout race: "
@@ -554,7 +566,7 @@ def main() -> None:
                 except Exception as e:               # pragma: no cover - hw
                     _say(f"[bench] bert plan {mode} failed ({_err(e)})")
             if bert_times:
-                bl._ATTN_MODE = min(bert_times, key=bert_times.get)
+                bl._ATTN_MODE = pick(bert_times, plans0[1])
                 race_results["bert_ms_per_step"] = {
                     k: round(v * 1e3, 2) for k, v in bert_times.items()}
                 _say(f"[bench] bert attention race: "

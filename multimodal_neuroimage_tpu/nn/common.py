@@ -232,18 +232,23 @@ def transition_permutation_fn(H: int, W: int, ws: int, s_from: int,
     pad = (rows % NP) >= N
     base[pad] = rows[pad]                      # self-map pads -> bijection
     inv = np.argsort(base).astype(np.int32)
-    idx_j = jnp.asarray(base)
-    inv_j = jnp.asarray(inv)
+    # The cached closure holds NUMPY index planes and converts at USE time:
+    # a jnp array created while a jit trace is active is trace-bound on
+    # jax 0.9, and caching one leaks it into later traces ("No constant
+    # handler for DynamicJaxprTracer" at scan lowering — round-5 bpr race
+    # regression, reproduced: bpr traced after any other layout in one
+    # process). jnp.take accepts numpy indices, materializing a fresh
+    # constant under whatever trace is live.
 
     @jax.custom_vjp
     def permute(x):
-        return jnp.take(x, idx_j, axis=axis)
+        return jnp.take(x, base, axis=axis)
 
     def fwd(x):
         return permute(x), None
 
     def bwd(_, g):
-        return (jnp.take(g, inv_j, axis=axis),)
+        return (jnp.take(g, inv, axis=axis),)
 
     permute.defvjp(fwd, bwd)
     return permute

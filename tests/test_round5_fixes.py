@@ -5,6 +5,7 @@ import json
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 
@@ -171,6 +172,36 @@ def test_incompatible_opt_state_fails_loudly(cohort, tmp_path):
               accumulation_steps=2, fresh_opt_state=True)
     t = Trainer(ok)
     assert t.epoch0 == 1  # params/step resumed, optimizer restarted
+
+
+def test_transition_permutation_usable_across_traces(monkeypatch):
+    """transition_permutation_fn's cached closure must hold NUMPY index
+    planes: a jnp array created while a jit trace is active is trace-bound
+    on jax 0.9, and caching one leaks it into later traces — the round-5
+    bpr race regression ('No constant handler for DynamicJaxprTracer' when
+    bpr traced after any other layout in one process). Regression: create
+    the permutation INSIDE one jit trace, then use it inside a second."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_neuroimage_tpu.nn import common
+
+    common.transition_permutation_fn.cache_clear()
+    H = W = 12
+
+    @jax.jit
+    def first(x):
+        p = common.transition_permutation_fn(H, W, 6, 0, 3, 40, axis=1)
+        return p(x).sum()
+
+    @jax.jit
+    def second(x):
+        p = common.transition_permutation_fn(H, W, 6, 0, 3, 40, axis=1)
+        return jax.grad(lambda t: p(t).sum() ** 2)(x)
+
+    x = jnp.ones((2, 4 * 40, 8), jnp.float32)
+    first(x)
+    out = second(x)          # cache hit from inside a DIFFERENT trace
+    assert np.all(np.isfinite(np.asarray(out)))
 
 
 def test_save_plan_cache_ignores_foreign_device_race(tmp_path, monkeypatch):
