@@ -52,7 +52,17 @@ def stack_fn(depth, train=True):
         return bl.bert_layer_call(h, params, seed + i, HEADS, T, RATES,
                                   train)
 
-    if train:
+    if train == "fwdonly":
+        # training-MODE forward without the backward: dropout PRNG + the
+        # ctx/a2 residual saves run, value_and_grad does not. This is the
+        # graph whose per-layer cost is the flagship's "BERT fwd" band
+        # (the `fwd` phase below is inference: no dropout, no saves).
+        @jax.jit
+        def run(x0, seed):
+            h = jax.lax.fori_loop(0, depth,
+                                  lambda i, c: body(i, c, seed), x0)
+            return jnp.sum(h.astype(jnp.float32))
+    elif train:
         @jax.jit
         def run(x0, seed):
             def loss(xx):
@@ -90,7 +100,9 @@ def slope(train, d1=int(os.environ.get('MICRO_D1', '4')),
     t2 = time_depth(d2, train)
     per = (t2 - t1) / (d2 - d1)
     mode = os.environ.get("BERT_ATTN", "packed")
-    kind = f"bert/{mode}" + ("/train" if train else "/fwd")
+    tag = {True: "/train", False: "/fwd", "fwdonly": "/trainfwd"}[train]
+    abl = os.environ.get("BERT_ABLATE", "")
+    kind = f"bert/{mode}{tag}" + (f"[{abl}]" if abl else "")
     print(f"{kind}: {per*1e3:.3f} ms/layer  (d{d1}={t1*1e3:.1f} ms, "
           f"d{d2}={t2*1e3:.1f} ms)", flush=True)
     return per
@@ -98,6 +110,9 @@ def slope(train, d1=int(os.environ.get('MICRO_D1', '4')),
 
 def main():
     phase = sys.argv[1] if len(sys.argv) > 1 else "train"
+    if phase == "trainfwd":
+        slope("fwdonly")
+        return
     for train in ([False, True] if phase == "both" else [phase == "train"]):
         slope(train)
 
