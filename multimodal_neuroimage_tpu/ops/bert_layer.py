@@ -119,7 +119,11 @@ def _ffn_chunk(F: int, cap: int = 768) -> int:
 
 
 def _keypad(TP: int, T: int):
-    col = jax.lax.broadcasted_iota(jnp.int32, (TP, TP), 1)
+    """(1, TP) pad-key mask row — constant across query rows, so it
+    broadcast-adds into the (TP, TP) scores. Materializing the full
+    (TP, *) iota/mod/where tensor instead measured 0.122 ms/layer at
+    B=64 (8% of the training forward — scripts/bert_ablate_ladder.sh)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, TP), 1)
     return jnp.where(col >= T, _NEG_INF, 0.0)
 
 
@@ -187,8 +191,9 @@ def _bc_for(B: int) -> int:
 
 
 def _keypad_packed(TP: int, T: int, heads: int):
-    """(TP, heads*TP) packed pad-key mask: lane l covers key t = l % TP."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (TP, heads * TP), 1) % TP
+    """(1, heads*TP) packed pad-key mask row: lane l covers key t = l % TP.
+    One row broadcast into the (TP, L) scores — see _keypad."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, heads * TP), 1) % TP
     return jnp.where(col >= T, _NEG_INF, 0.0)
 
 
